@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each oracle SQL (from outDir/oracle_sql.json) in DuckDB with views over
+the sf parquet tables, loads the Spark result parquet, sorts columns by name
+and rows by all columns, and compares values cell-by-cell (floats to 1e-9
+relative). Usage: compare.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_path}/*.parquet"):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            oracle = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+        o, g = canon(oracle), canon(got)
+        if list(o.columns) != list(g.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(g.columns)}")
+            n_fail += 1; continue
+        if len(o) != len(g):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(g)}"); n_fail += 1; continue
+        bad = None
+        for c in o.columns:
+            oc, gc = o[c], g[c]
+            if oc.dtype.kind == "f" or gc.dtype.kind == "f":
+                import numpy as np
+                ocv = oc.astype(float).to_numpy(); gcv = gc.astype(float).to_numpy()
+                ok = np.isclose(ocv, gcv, rtol=1e-9, atol=1e-12, equal_nan=True)
+                exact = (ocv == gcv) | (pd.isna(ocv) & pd.isna(gcv))
+                if not ok.all():
+                    bad = (c, ocv[~ok][:3], gcv[~ok][:3]); break
+                if not exact.all():
+                    i = (~exact).nonzero()[0][:3]
+                    print(f"WARN {name}.{c}: float close-but-not-exact e.g. "
+                          f"{ocv[i]} vs {gcv[i]}")
+            else:
+                ocs = oc.astype(str); gcs = gc.astype(str)
+                neq = ocs != gcs
+                if neq.any():
+                    i = neq[neq].index[:3]
+                    bad = (c, list(ocs[i]), list(gcs[i])); break
+        if bad:
+            print(f"FAIL {name}: col {bad[0]} oracle={bad[1]} spark={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(o)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
