@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CdcQueries
+import graft.queries.{CdcQueries, ExtQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[Map[String, (CdcQueries.QFn, String)]] = Seq(
-    CdcQueries.all)
+    CdcQueries.all, ExtQueries.all)
 
   /** Flagship: the full CDC pipeline — change-log → typed envelope →
     * broadcast routing fan-out → serialize-once JSON → Kafka-shaped

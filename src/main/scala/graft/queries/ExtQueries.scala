@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.cdc.ChangeLog
+import graft.dedup.SimHash
+import graft.multimodal.Multimodal
+import graft.sim.Vectors
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference's surface (SURVEY §7
+  * phase E): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), similarity search (brute-force, IVF-pruned, sign-LSH
+  * buckets), text analysis (tokens, quality, language-ID, fingerprints) and
+  * multimodal binary columns.
+  *
+  * Parity design: md5 hex strings are the only hash primitive (identical in
+  * Spark and DuckDB); MinHash minimizes md5 strings lexicographically; all
+  * float outputs are rounded; all counts cast to BIGINT on both sides.
+  *
+  * Scale design notes are on each operator — the LSH family exists exactly so
+  * the O(n²) work never happens: candidates come from equality joins on band
+  * hashes (shuffle on a well-distributed key), and expensive verification
+  * (exact Jaccard) runs only on candidates.
+  */
+object ExtQueries {
+  import CdcQueries.QFn
+
+  private def docs(s: SparkSession, dir: String) = ChangeLog.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = ChangeLog.table(s, dir, "embeddings")
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents)""".stripMargin
+
+  // ---------------- text analysis ----------------
+
+  val textTokens: (QFn, String) = (
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe")),
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+       |FROM documents""".stripMargin)
+
+  val textQuality: (QFn, String) = {
+    val fn: QFn = (s, dir) => {
+      val t = TextAnalysis.tokensCol(col("text"))
+      val nTok = size(t).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+      val stops = TextAnalysis.vocabHits(t, TextAnalysis.Stopwords).cast("long")
+      docs(s, dir).select(
+        col("doc_id"), nChars.as("n_chars"), nTok.as("n_tokens"),
+        round(alpha * lit(1.0) / nChars, 4).as("alpha_ratio"),
+        round(stops * lit(1.0) / nTok, 4).as("stop_ratio"),
+        round(lit(0.25) * (alpha * lit(1.0) / nChars)
+          + lit(0.25) * least(stops * lit(5.0) / nTok, lit(1.0))
+          + lit(0.5) * least(nTok / lit(100.0), lit(1.0)), 4).as("quality"))
+    }
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    (fn,
+      s"""$toksCte
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+         |  round(len(list_filter(t, x -> list_contains($stopList, x))) * 1.0 / len(t), 4) AS stop_ratio,
+         |  round(0.25 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
+         |    + 0.25 * least(len(list_filter(t, x -> list_contains($stopList, x))) * 5.0 / len(t), 1.0)
+         |    + 0.5 * least(len(t) / 100.0, 1.0), 4) AS quality
+         |FROM toks""".stripMargin)
+  }
+
+  val textLangId: (QFn, String) = {
+    val fn: QFn = (s, dir) => {
+      val t = TextAnalysis.tokensCol(col("text"))
+      val scores = TextAnalysis.LangProfiles.map { case (l, ws) =>
+        TextAnalysis.vocabHits(t, ws).cast("long").as(s"s_$l")
+      }
+      val base = docs(s, dir).select(col("doc_id") +: col("lang") +: scores: _*)
+      base.withColumn("pred_lang",
+        when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+    }
+    val profs = TextAnalysis.LangProfiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    (fn,
+      s"""$toksCte, scored AS (
+         |SELECT doc_id, lang, $profs FROM toks)
+         |SELECT doc_id, lang, s_en, s_de, s_fr,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM scored""".stripMargin)
+  }
+
+  val textFingerprint: (QFn, String) = (
+    (s, dir) => {
+      val norm = TextAnalysis.normalizedCol(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(norm).as("fp_norm"),
+        md5(array_join(array_sort(array_distinct(
+          TextAnalysis.tokensCol(col("text")))), " ")).as("fp_tokens"))
+    },
+    s"""$toksCte
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp_norm,
+       |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp_tokens
+       |FROM toks""".stripMargin)
+
+  // ---------------- dedup family ----------------
+
+  // Exact dedup: hash-groupBy on content — one shuffle on md5(text); the
+  // canonical id is the group min (keep-first policy).
+  val dedupExact: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      docs(s, dir).select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).cast("long").as("group_n"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    },
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_n,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents""".stripMargin)
+
+  /** Shared Spark-side shingle set (distinct word-3-shingles, exploded). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesCol(col("t"), 3)).as("s"))
+
+  private val shCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  private val sigCte = {
+    val mins = (1 to 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsCte = {
+    val rows = (1 to 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b - 1} || m${2 * b}) AS h FROM sig")
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  /** Spark-side MinHash signature + LSH bands (8 hashes, 4 bands × 2 rows). */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sig.select(col("doc_id"), explode(array((1 to 4).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b - 1}"), col(s"m${2 * b}"))).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(s, dir)
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // MinHash + LSH near-dup candidates: shingle → 8-way minhash → band hash →
+  // equality self-join on (band, h). The join key is a hash — uniformly
+  // distributed, no skew; candidate count ≪ n² by construction.
+  val dedupMinhashLsh: (QFn, String) = (
+    (s, dir) => lshCandidates(s, dir),
+    s"""$toksCte, $shCte, $sigCte, $bandsCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin)
+
+  // n-gram Jaccard verification over LSH candidates only (the scale path:
+  // exact set similarity never touches non-candidate pairs).
+  val dedupNgramJaccard: (QFn, String) = (
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+      val cand = lshCandidates(s, dir)
+      val common = cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b") && col("sb.s") === col("sa.s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      common
+        .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+        .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_common") * lit(1.0) /
+            (col("za.n") + col("zb.n") - col("n_common")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |           GROUP BY c.doc_a, c.doc_b)
+       |SELECT * FROM (
+       |  SELECT m.doc_a, m.doc_b,
+       |    round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) AS jaccard
+       |  FROM common m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b)
+       |WHERE jaccard >= 0.5""".stripMargin)
+
+  // SimHash: 64-bit per-bit majority over token md5s; near-dups differ in few
+  // bits. One explode + one aggregate — no joins at all.
+  val dedupSimhash: (QFn, String) = {
+    val fn: QFn = (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokensCol(col("text")))).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      val sums = (0 until 64).map(k =>
+        expr(SimHash.bitSumSql(k, spark = true)))
+      th.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), expr(SimHash.hexSql).as("simhash"))
+    }
+    val sumsSql = (0 until 64).map(k => SimHash.bitSumSql(k, spark = false)).mkString(",\n  ")
+    (fn,
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+         |  FROM documents),
+         |th AS (SELECT doc_id, md5(w) AS h FROM tok),
+         |sums AS (SELECT doc_id, $sumsSql FROM th GROUP BY doc_id)
+         |SELECT doc_id, ${SimHash.hexSql} AS simhash FROM sums""".stripMargin)
+  }
+
+  // Embedding cosine near-dup within label blocks (blocked pairwise — the
+  // block is what keeps this from being n² at scale).
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("label"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"))
+
+  val dedupEmbeddingCosine: (QFn, String) = (
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val a = e.select(col("vec_id").as("vid_a"), col("label"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vid_b"), col("label").as("lb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"), col("label"),
+          round(Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+    },
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)
+      |SELECT * FROM (
+      |  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos >= 0.4""".stripMargin)
+
+  // ---------------- similarity search ----------------
+
+  // Brute-force cosine top-k: the exactness baseline. Rank on the ROUNDED
+  // similarity with vec_id tiebreak so ordering is engine-deterministic.
+  val simTopkBruteforce: (QFn, String) = (
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      val scored = q.join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    },
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT qid, cid, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin)
+
+  // IVF-style pruned top-k: `label` is the coarse quantizer cell; search only
+  // the query's cell. At 100 TB this is the difference between scanning the
+  // corpus per query and scanning 1/k of it.
+  val simIvfTopk: (QFn, String) = (
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = q.join(
+        e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+          col("embedding").as("ce"), col("nrm").as("cn")),
+        col("qlabel") === col("clabel") && col("qid") =!= col("cid"))
+        .select(col("qid"), col("qlabel").as("label"), col("cid"),
+          round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    },
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT qid, label, cid, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin)
+
+  // Sign-LSH bucketing: 8 md5-seeded hyperplanes → 8-bit bucket signature.
+  // The bucket is the shuffle key for LSH-ANN; same-bucket pairs are the
+  // candidate set.
+  val simLshBucket: (QFn, String) = (
+    (s, dir) => emb(s, dir).select(col("vec_id"), col("label"),
+      expr(Vectors.lshBucketSql(8, 64, spark = true)).as("bucket")),
+    s"""SELECT vec_id, label,
+       |  ${Vectors.lshBucketSql(8, 64, spark = false)} AS bucket
+       |FROM embeddings""".stripMargin)
+
+  // ---------------- multimodal ----------------
+
+  // Binary-column plumbing: payload bytes + header hex + chunk ("frame")
+  // fingerprints, all computable on the opaque binary without decode.
+  val mmBinaryMeta: (QFn, String) = (
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      upper(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"),
+      md5(substring(col("text"), 1, 64)).as("f1"),
+      md5(substring(col("text"), 129, 64)).as("f2"),
+      md5(substring(col("text"), 257, 64)).as("f3")),
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  upper(hex(encode(substring(text, 1, 8)))) AS header_hex,
+      |  md5(substring(text, 1, 64)) AS f1,
+      |  md5(substring(text, 129, 64)) AS f2,
+      |  md5(substring(text, 257, 64)) AS f3
+      |FROM documents""".stripMargin)
+
+  // Decode path: typed Dataset → mapPartitions (stub codec, real plumbing).
+  // The stub is deterministic from the payload bytes, so even this is
+  // oracle-checkable.
+  val mmDecodeStub: (QFn, String) = (
+    (s, dir) => Multimodal.decodeMeta(Multimodal.mediaTable(docs(s, dir))).toDF(),
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  16 * (1 + ascii(substring(text, 1, 1)) % 8) AS width,
+      |  16 * (1 + ascii(substring(text, 2, 1)) % 8) AS height,
+      |  3 AS channels,
+      |  md5(text) AS px_hash
+      |FROM documents""".stripMargin)
+
+  val all: Map[String, (QFn, String)] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_ivf_topk" -> simIvfTopk,
+    "sim_lsh_bucket" -> simLshBucket,
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_decode_stub" -> mmDecodeStub)
+}
