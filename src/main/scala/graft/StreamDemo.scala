@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Routing
+import graft.source.wal.{WalFixture, WalLog}
+import graft.streaming.StreamingPipeline
+import graft.metrics.{GraftMetrics, GraftQueryListener}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** Runnable end-to-end demo of the streaming CDC path: renders the events
+  * fixture as pgoutput WAL bytes, replays it through the DSv2 micro-batch
+  * source, routes + serializes to per-topic sinks, and reports metrics and
+  * the confirmed LSN. Usage: runMain graft.StreamDemo [sfDir] */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val walDir = Files.createTempDirectory("graft-demo-wal").toString
+    val outDir = Files.createTempDirectory("graft-demo-out").toString
+    val ckptDir = Files.createTempDirectory("graft-demo-ckpt").toString
+
+    val t0 = System.nanoTime()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id")
+      .collect().iterator
+      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val nEvents = WalFixture.writeLog(ev, walDir)
+    println(f"[demo] rendered $nEvents events as pgoutput WAL in ${(System.nanoTime() - t0) / 1e9}%.2f s at $walDir")
+
+    val metrics = new GraftMetrics
+    spark.streams.addListener(new GraftQueryListener(metrics))
+    val t1 = System.nanoTime()
+    val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+      ckptDir, outDir, kafkaBootstrap = None, triggerMs = 100L)
+    q.processAllAvailable()
+    q.stop()
+    val secs = (System.nanoTime() - t1) / 1e9
+
+    val out = spark.read.parquet(outDir)
+    val n = out.count()
+    println(f"[demo] delivered $n kafka frames in $secs%.2f s " +
+      f"(${metrics.eventsProcessed.get() / secs}%.0f events/s), " +
+      s"batches=${metrics.batchesProcessed.get()}, " +
+      s"confirmed_lsn=${WalLog.confirmed(walDir)}/${WalLog.maxLsn(walDir)}")
+    out.groupBy("topic").count().orderBy("topic").show(false)
+    println(metrics.render)
+    spark.stop()
+  }
+}

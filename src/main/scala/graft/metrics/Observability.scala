@@ -1,0 +1,95 @@
+package graft.metrics
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+/** O1/A1/A2 — liveness, lag and throughput metrics with Prometheus text
+  * rendering (reference: src/observability/observability.zig:138-271).
+  *
+  * Spark-native shape: a [[StreamingQueryListener]] consumes the per-batch
+  * `observe("graft", ...)` aggregates — Spark already tallies per batch, so
+  * this is one counter add per micro-batch, mirroring the reference's
+  * per-batch tally design (processor.zig:18-28).
+  */
+final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1000) {
+
+  /** Wire-activity staleness threshold (reference: src/constants.zig:43-53,
+    * stall check processor.zig:393-399). */
+  val LivenessWindowS = 90L
+
+  val eventsProcessed = new AtomicLong(0)
+  val batchesProcessed = new AtomicLong(0)
+  val lagSeconds = new AtomicLong(0)
+  val lastActivityS = new AtomicLong(nowS())
+  val lastError = new AtomicReference[String](null)
+
+  def heartbeat(): Unit = lastActivityS.set(nowS())
+
+  /** Liveness: wire activity within the window (GET /healthz). */
+  def live: Boolean = nowS() - lastActivityS.get() <= LivenessWindowS
+
+  /** Readiness: live and no fatal error (GET /readyz). */
+  def ready: Boolean = live && lastError.get() == null
+
+  def recordBatch(events: Long, maxCommitTs: Option[Long]): Unit = {
+    eventsProcessed.addAndGet(events)
+    batchesProcessed.incrementAndGet()
+    // drained stream ⇒ lag 0 (reference processor.zig:162-166)
+    lagSeconds.set(maxCommitTs.map(ts => math.max(nowS() - ts, 0L)).getOrElse(0L))
+    heartbeat()
+  }
+
+  /** Prometheus text exposition (counter/gauge rendering,
+    * observability.zig:191-271). */
+  def render: String = {
+    val sb = new StringBuilder
+    def metric(name: String, kind: String, v: Long): Unit = {
+      sb.append(s"# TYPE $name $kind\n")
+      sb.append(s"$name $v\n")
+    }
+    metric("graft_events_processed_total", "counter", eventsProcessed.get())
+    metric("graft_batches_processed_total", "counter", batchesProcessed.get())
+    metric("graft_replication_lag_seconds", "gauge", lagSeconds.get())
+    metric("graft_up", "gauge", if (live) 1 else 0)
+    sb.toString
+  }
+}
+
+/** Bridges `observe("graft", count(...) AS events, max(commit_ts) AS
+  * max_commit_ts)` rows into [[GraftMetrics]]. */
+final class GraftQueryListener(metrics: GraftMetrics) extends StreamingQueryListener {
+  override def onQueryStarted(event: QueryStartedEvent): Unit = metrics.heartbeat()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val obs = event.progress.observedMetrics
+    if (obs.containsKey("graft")) {
+      val row = obs.get("graft")
+      val events = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val maxTs = if (row.isNullAt(1)) None else Some(row.getLong(1))
+      metrics.recordBatch(events, maxTs)
+    } else metrics.heartbeat()
+  }
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    event.exception.foreach(metrics.lastError.set)
+  }
+}
+
+/** V1 — pre-flight catalog checks, as the exact SQL the driver runs over
+  * JDBC before starting a query (reference: src/source/postgres/validator.zig:76-179).
+  * Kept as data so deployments without a live Postgres can still unit-test
+  * the contract. */
+object PreflightChecks {
+  /** server_version_num ≥ 120000 (Postgres 12+). */
+  val serverVersion = "SELECT current_setting('server_version_num')::int >= 120000"
+  val walLevel = "SELECT current_setting('wal_level') = 'logical'"
+  def tableExists(resource: String) =
+    s"SELECT to_regclass('$resource') IS NOT NULL"
+  def columnExists(resource: String, column: String) =
+    s"""SELECT EXISTS (SELECT 1 FROM pg_attribute
+       | WHERE attrelid = to_regclass('$resource')
+       |   AND attname = '$column' AND NOT attisdropped)""".stripMargin
+  /** REPLICA IDENTITY FULL required for delete-tracking streams
+    * (validator.zig:151-179). */
+  def replicaIdentityFull(resource: String) =
+    s"SELECT relreplident = 'f' FROM pg_class WHERE oid = to_regclass('$resource')"
+}

@@ -31,22 +31,25 @@ object CdcQueries {
     Routing.route(changelog(s, dir), Routing.streamsDF(s, Routing.fixtureStreams))
 
   /** Serialized envelope payload column for changelog rows (serialize-once,
-    * fan-out-many — reference processor.zig:204-206). */
+    * fan-out-many — reference processor.zig:204-206). `props` is a JSONB
+    * column: per the OID rules it stays a STRING (verbatim text form,
+    * escaped), not inlined JSON — converter.zig:190-191. */
   private def payloadCol = JsonEnvelope.envelopeCol(
     op = col("op"),
     dataJson = JsonEnvelope.objCol(
       JsonEnvelope.numField("id", col("id")),
       JsonEnvelope.numField("user_id", col("user_id")),
       JsonEnvelope.numField("value", col("value")),
-      JsonEnvelope.rawField("props", col("props"))),
+      JsonEnvelope.strField("props", col("props"))),
     resource = col("resource"),
     timestamp = col("commit_ts"),
     lsn = col("lsn"))
 
   private val payloadSql =
     """'{"op":"' || op || '","data":{"id":' || id || ',"user_id":' || user_id ||
-      |',"value":' || CAST(value AS VARCHAR) || ',"props":' || props ||
-      |'},"meta":{"source":"postgres","resource":"' || resource ||
+      |',"value":' || CAST(value AS VARCHAR) || ',"props":"' ||
+      |replace(replace(props, '\', '\\'), '"', '\"') ||
+      |'"},"meta":{"source":"postgres","resource":"' || resource ||
       |'","timestamp":' || commit_ts || ',"lsn":"' || lsn || '"}}'""".stripMargin.replace("\n", " ")
 
   // S1/S3/S5 — scan + decode + typed projection into the envelope.

@@ -1,0 +1,162 @@
+package graft.source.wal
+
+import graft.source.pgoutput.{Converter, PgOutputDecoder, RelationRegistry}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+
+/** S1–S5 + C1 — DataSource V2 micro-batch streaming source over a pgoutput
+  * WAL log.
+  *
+  * `spark.readStream.format("graft.source.wal.PgWalSource").option("path", dir)`
+  *
+  * Offsets are WAL positions (LSN): each micro-batch reads frames in
+  * (start, end], decoding pgoutput bytes and converting to the typed envelope
+  * inside the partition reader — exactly where the reference's
+  * decode/convert pipeline sits (reference: src/source/postgres/source.zig:313-392).
+  * `latestOffset` applies admission control (`maxEventsPerBatch`, default
+  * 5000 — the reference's BATCH_SIZE, src/constants.zig:21).
+  *
+  * `commit(offset)` fires only after Spark has durably completed the batch's
+  * sink writes — the engine-level equivalent of the reference's
+  * flush-then-StandbyStatusUpdate worker (processor.zig:53-108): here it
+  * records the confirmed LSN next to the log; a live deployment sends the
+  * feedback message on the replication connection.
+  *
+  * One input partition by design: a replication slot is a single ordered
+  * stream; scale-out comes from per-stream slots and from downstream stages,
+  * not from parallelizing the slot (SURVEY §7 risks).
+  */
+class PgWalSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgWalSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PgWalTable(properties.get("path"),
+      Option(properties.get("maxEventsPerBatch")).map(_.toInt)
+        .getOrElse(PgWalSource.DefaultBatchSize))
+}
+
+object PgWalSource {
+  /** The fixed envelope schema (flat meta for ergonomic downstream SQL). */
+  val schema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("data", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("resource", StringType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false),
+    StructField("lsn", StringType, nullable = false),
+    StructField("lsn_num", LongType, nullable = false)))
+
+  /** BATCH_SIZE analog (reference src/constants.zig:21-22). */
+  val DefaultBatchSize = 5000
+}
+
+final class PgWalTable(path: String, maxPerBatch: Int) extends Table with SupportsRead {
+  require(path != null, "pgwal source requires .option(\"path\", dir)")
+  override def name(): String = s"pgwal($path)"
+  override def schema(): StructType = PgWalSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = PgWalSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PgWalMicroBatchStream(path, maxPerBatch)
+    }
+}
+
+final case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = s"""{"lsn":$lsn}"""
+}
+
+final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = LsnOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"lsn\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+    LsnOffset(m.group(1).toLong)
+  }
+
+  /** Soft admission control: advance at most `maxPerBatch` frames per
+    * trigger so one giant backlog drains as bounded micro-batches. */
+  override def latestOffset(): Offset = {
+    val last = lastPlanned
+    val frames = WalLog.read(path, last, Long.MaxValue)
+    var n = 0
+    var lsn = last
+    while (n < maxPerBatch && frames.hasNext) { lsn = frames.next().lsn; n += 1 }
+    lastPlanned = lsn
+    LsnOffset(lsn)
+  }
+  private var lastPlanned: Long = 0L
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val e = end.asInstanceOf[LsnOffset].lsn
+    if (e <= s) Array.empty else Array(PgWalInputPartition(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[PgWalInputPartition]
+      new PgWalPartitionReader(p.path, p.afterLsn, p.untilLsn)
+    }
+
+  /** Spark calls this after the batch is durably committed downstream —
+    * at-least-once is preserved because the WAL position only advances after
+    * delivery (the reference's core guarantee). */
+  override def commit(end: Offset): Unit =
+    WalLog.confirm(path, end.asInstanceOf[LsnOffset].lsn)
+
+  override def stop(): Unit = ()
+}
+
+final case class PgWalInputPartition(path: String, afterLsn: Long, untilLsn: Long)
+  extends InputPartition
+
+final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long)
+    extends PartitionReader[InternalRow] {
+
+  // Registry + converter live for the reader's lifetime; RELATION messages
+  // in-stream (re)register schemas exactly as on a live slot.
+  private val registry = new RelationRegistry
+  private val converter = new Converter(registry)
+  private val frames = WalLog.read(path, 0L, untilLsn) // from 0: replay RELATION/BEGIN state
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && frames.hasNext) {
+      val f = frames.next()
+      val ev = converter.convert(PgOutputDecoder.decode(f.payload), f.lsn)
+      // state messages (BEGIN/RELATION) must be replayed from 0, but data
+      // events are emitted only inside the batch's (start, end] range
+      ev.foreach { e =>
+        if (f.lsn > afterLsn) {
+          current = InternalRow(
+            UTF8String.fromString(e.op),
+            UTF8String.fromString(e.data),
+            UTF8String.fromString(e.meta.source),
+            UTF8String.fromString(e.meta.resource),
+            e.meta.timestamp,
+            UTF8String.fromString(e.meta.lsn),
+            f.lsn)
+        }
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

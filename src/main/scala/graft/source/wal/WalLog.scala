@@ -1,0 +1,86 @@
+package graft.source.wal
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+/** Replayable WAL segment files: the harness stand-in for a live walsender
+  * socket. Each segment is a sequence of frames `[lsn:8][len:4][payload]`,
+  * where payload is one raw pgoutput message. Segments are named
+  * `NNNNNNNN.wal` and replayed in name order — the same ordered, resumable
+  * byte stream a replication slot provides, minus the network.
+  */
+object WalLog {
+
+  final case class Frame(lsn: Long, payload: Array[Byte])
+
+  def segmentFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d)
+      try it.filter(p => p.getFileName.toString.endsWith(".wal"))
+        .sorted().iterator().asScala.toVector // ascending segment order
+      finally it.close()
+    }
+  }
+
+  private implicit class JIter[A](val it: java.util.Iterator[A]) extends AnyVal {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  def write(path: Path, frames: IterableOnce[Frame]): Unit = {
+    Files.createDirectories(path.getParent)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path.toFile)))
+    try frames.iterator.foreach { f =>
+      out.writeLong(f.lsn); out.writeInt(f.payload.length); out.write(f.payload)
+    } finally out.close()
+  }
+
+  /** Stream frames with lsn in (afterLsn, untilLsn]. */
+  def read(dir: String, afterLsn: Long, untilLsn: Long): Iterator[Frame] =
+    segmentFiles(dir).iterator.flatMap(readSegment).filter(f =>
+      f.lsn > afterLsn && f.lsn <= untilLsn)
+
+  def readSegment(path: Path): Iterator[Frame] = new Iterator[Frame] {
+    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+    private var nextFrame: Frame = advance()
+    private def advance(): Frame =
+      try {
+        val lsn = in.readLong()
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        Frame(lsn, buf)
+      } catch { case _: EOFException => in.close(); null }
+    def hasNext: Boolean = nextFrame != null
+    def next(): Frame = { val f = nextFrame; nextFrame = advance(); f }
+  }
+
+  def maxLsn(dir: String): Long =
+    segmentFiles(dir).foldLeft(0L)((m, p) =>
+      readSegment(p).foldLeft(m)((mm, f) => math.max(mm, f.lsn)))
+
+  // -- confirmed-LSN file: the standby-status-update analog ------------------
+
+  def confirmedPath(dir: String): Path = Paths.get(dir, "confirmed.lsn")
+
+  /** Durably record the confirmed flush LSN (a live source sends this as a
+    * StandbyStatusUpdate on the replication socket instead — reference
+    * semantics: confirm only after sink delivery is verified,
+    * docs/design/STREAMING_REPLICATION_DESIGN.md:71-89). */
+  def confirm(dir: String, lsn: Long): Unit = {
+    val tmp = Paths.get(dir, ".confirmed.lsn.tmp")
+    Files.writeString(tmp, lsn.toString)
+    Files.move(tmp, confirmedPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def confirmed(dir: String): Long = {
+    val p = confirmedPath(dir)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.config.StreamDef
+import graft.operators.Routing
+import graft.source.wal.PgWalSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** M3 — the steady-state streaming job: WAL source → routing fan-out →
+  * serialize-once → per-stream Kafka frames, with per-batch metrics.
+  *
+  * Spark-native equivalents of the reference's processor loop
+  * (src/processor/processor.zig:347-406):
+  *  - micro-batch cadence  ≈ receiveBatchWithWaitTime (trigger interval +
+  *    source-side admission control)
+  *  - foreachBatch fan-out ≈ matchStreams + per-stream produce
+  *  - checkpointing + source.commit ≈ flushCommitWorker's
+  *    flush-then-confirm-LSN (Spark invokes commit only after the sink
+  *    completes the epoch — the same at-least-once contract)
+  *  - observe() metrics    ≈ tallyEvent / setLag
+  */
+object StreamingPipeline {
+
+  /** Open the WAL change stream (see [[graft.source.wal.PgWalSource]]). */
+  def walStream(spark: SparkSession, walDir: String,
+      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize): DataFrame =
+    spark.readStream
+      .format(classOf[PgWalSource].getName)
+      .option("path", walDir)
+      .option("maxEventsPerBatch", maxEventsPerBatch.toString)
+      .load()
+
+  /** Routed, serialized, Kafka-shaped frame (topic, key, value) from the
+    * envelope stream. Serialize-once happens upstream of the broadcast
+    * fan-out join; the key is extracted from the JSON payload by the
+    * stream's routing_key. */
+  def kafkaFrame(events: DataFrame, streams: Seq[StreamDef]): DataFrame = {
+    val spark = events.sparkSession
+    val serialized = events.withColumn("value",
+      concat(lit("{\"op\":\""), col("op"),
+        lit("\",\"data\":"), col("data"),
+        lit(",\"meta\":{\"source\":\""), col("source"),
+        lit("\",\"resource\":\""), col("resource"),
+        lit("\",\"timestamp\":"), col("commit_ts").cast("string"),
+        lit(",\"lsn\":\""), col("lsn"), lit("\"}}")))
+    val routed = Routing.route(serialized, Routing.streamsDF(spark, streams))
+    // Routing-key extraction from the JSON row payload. The key set is
+    // closed (it comes from config), so this folds into a CASE over constant
+    // JSON paths — codegen-friendly, unlike a dynamic path. A missing key
+    // becomes an empty Kafka key (the strict variant raises,
+    // PartitionKey.requireKey).
+    val keyNames = streams.map(_.routingKey).distinct
+    val keyCol = keyNames.foldLeft(lit(null).cast("string")) { (acc, k) =>
+      when(col("routing_key") === k, get_json_object(col("data"), s"$$.$k"))
+        .otherwise(acc)
+    }
+    routed
+      .withColumn("key", coalesce(keyCol, lit("")))
+      .select("topic", "key", "value", "stream", "lsn", "op", "resource", "commit_ts")
+  }
+
+  /** Start the job with a file sink per topic (Kafka stand-in when no broker
+    * is available) or the real Kafka sink when `kafkaBootstrap` is set. */
+  def start(spark: SparkSession, walDir: String, streams: Seq[StreamDef],
+      checkpointDir: String, outDir: String,
+      kafkaBootstrap: Option[String] = None,
+      triggerMs: Long = 100L,
+      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize): StreamingQuery = {
+    val frame = kafkaFrame(walStream(spark, walDir, maxEventsPerBatch), streams)
+      .observe("graft", count(lit(1)).as("events"),
+        max(col("commit_ts")).as("max_commit_ts"))
+    val writer: DataStreamWriter[Row] = kafkaBootstrap match {
+      case Some(bootstrap) =>
+        frame.selectExpr("topic", "CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value")
+          .writeStream.format("kafka")
+          .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
+      case None =>
+        frame.writeStream.format("parquet")
+          .option("path", outDir)
+          .partitionBy("topic")
+    }
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+  }
+}
