@@ -58,7 +58,8 @@ object StreamingPipeline {
     }
     routed
       .withColumn("key", coalesce(keyCol, lit("")))
-      .select("topic", "key", "value", "stream", "lsn", "op", "resource", "commit_ts")
+      .select("topic", "key", "value", "stream", "lsn", "lsn_num", "op",
+        "resource", "commit_ts")
   }
 
   /** Start the job with a file sink per topic (Kafka stand-in when no broker
@@ -67,19 +68,39 @@ object StreamingPipeline {
       checkpointDir: String, outDir: String,
       kafkaBootstrap: Option[String] = None,
       triggerMs: Long = 100L,
-      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize): StreamingQuery = {
+      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
+      sinkParallelism: Int = 1): StreamingQuery = {
     val frame = kafkaFrame(walStream(spark, walDir, maxEventsPerBatch), streams)
       .observe("graft", count(lit(1)).as("events"),
         max(col("commit_ts")).as("max_commit_ts"))
+
+    // The slot reader is inherently serial (one ordered WAL stream) — sink
+    // fan-out is where parallelism lives. Inside each micro-batch,
+    // hash-partitioning by Kafka key + sorting by LSN within partitions keeps
+    // the per-key delivery order CDC consumers rely on while spreading
+    // serialize+produce over `sinkParallelism` tasks. foreachBatch delivery
+    // is at-least-once on batch retry — the reference's contract; consumers
+    // dedup on meta.lsn.
+    def shape(batch: DataFrame): DataFrame =
+      if (sinkParallelism > 1)
+        batch.repartition(sinkParallelism, col("key"))
+          .sortWithinPartitions("lsn_num")
+      else batch
+
     val writer: DataStreamWriter[Row] = kafkaBootstrap match {
       case Some(bootstrap) =>
-        frame.selectExpr("topic", "CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value")
-          .writeStream.format("kafka")
-          .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
+        frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          shape(batch)
+            .selectExpr("topic", "CAST(key AS BINARY) AS key",
+              "CAST(value AS BINARY) AS value")
+            .write.format("kafka")
+            .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
+            .save()
+        }
       case None =>
-        frame.writeStream.format("parquet")
-          .option("path", outDir)
-          .partitionBy("topic")
+        frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          shape(batch).write.mode("append").partitionBy("topic").parquet(outDir)
+        }
     }
     writer
       .option("checkpointLocation", checkpointDir)
