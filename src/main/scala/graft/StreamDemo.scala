@@ -38,8 +38,12 @@ object StreamDemo {
     val metrics = new GraftMetrics
     spark.streams.addListener(new GraftQueryListener(metrics))
     val t1 = System.nanoTime()
+    val http = new graft.metrics.MetricsHttp(metrics, 0)
+    val port = http.start()
+    println(s"[demo] metrics at http://localhost:$port/metrics")
     val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
-      ckptDir, outDir, kafkaBootstrap = None, triggerMs = 100L)
+      ckptDir, outDir, kafkaBootstrap = None, triggerMs = 100L,
+      tallyTo = Some(metrics))
     q.processAllAvailable()
     q.stop()
     val secs = (System.nanoTime() - t1) / 1e9
@@ -52,6 +56,7 @@ object StreamDemo {
       s"confirmed_lsn=${WalLog.confirmed(walDir)}/${WalLog.maxLsn(walDir)}")
     out.groupBy("topic").count().orderBy("topic").show(false)
     println(metrics.render)
+    http.stop()
     spark.stop()
   }
 }

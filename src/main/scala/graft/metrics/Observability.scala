@@ -32,6 +32,15 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
   /** Readiness: live and no fatal error (GET /readyz). */
   def ready: Boolean = live && lastError.get() == null
 
+  /** Per-(stream, op) event counters — one add per distinct combo per batch
+    * (the reference's tally design, processor.zig:18-28). */
+  val streamOpCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AtomicLong]()
+
+  def tally(stream: String, op: String, n: Long): Unit =
+    streamOpCounts.computeIfAbsent((stream, op), _ => new AtomicLong(0))
+      .addAndGet(n)
+
   def recordBatch(events: Long, maxCommitTs: Option[Long]): Unit = {
     eventsProcessed.addAndGet(events)
     batchesProcessed.incrementAndGet()
@@ -52,6 +61,13 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
     metric("graft_batches_processed_total", "counter", batchesProcessed.get())
     metric("graft_replication_lag_seconds", "gauge", lagSeconds.get())
     metric("graft_up", "gauge", if (live) 1 else 0)
+    if (!streamOpCounts.isEmpty) {
+      sb.append("# TYPE graft_stream_events_total counter\n")
+      streamOpCounts.forEach((k: (String, String), v: AtomicLong) => {
+        sb.append(s"""graft_stream_events_total{stream="${k._1}",op="${k._2}"} ${v.get()}""")
+        sb.append('\n')
+      })
+    }
     sb.toString
   }
 }

@@ -1,0 +1,62 @@
+package graft.source.postgres
+
+/** S2 — replication session management as driver-side SQL/command builders.
+  *
+  * The reference opens a replication-mode connection and issues these
+  * commands directly (reference: src/source/postgres/replication_protocol.zig:114-374,
+  * slot state machine source.zig:178-197). In the Spark build they run over a
+  * plain JDBC connection during the source's bootstrap (driver side), so the
+  * engine keeps them as pure command text + a tiny state machine — testable
+  * without a server, verbatim against one.
+  */
+object Replication {
+
+  /** Publication management (pgoutput requires one). The reference creates
+    * FOR ALL TABLES (replication_protocol.zig:155-172); per-table publications
+    * push table filtering into Postgres — the load stand uses that form
+    * (tests/load/postgres/init.sql:13-17) and so do we: filter pushdown to
+    * the source is free row filtering before bytes ever leave the server. */
+  def createPublication(name: String, tables: Seq[String]): String =
+    if (tables.isEmpty) s"CREATE PUBLICATION $name FOR ALL TABLES"
+    else s"CREATE PUBLICATION $name FOR TABLE ${tables.mkString(", ")}"
+
+  def dropPublication(name: String): String =
+    s"DROP PUBLICATION IF EXISTS $name"
+
+  def publicationExists(name: String): String =
+    s"SELECT 1 FROM pg_publication WHERE pubname = '$name'"
+
+  /** Slot creation on a replication connection; the result row carries
+    * `consistent_point` (the stream start LSN) and `snapshot_name` (the
+    * exported snapshot the initial table scan must run under — only valid
+    * while this session stays open, snapshot.zig:31-36). */
+  def createSlot(slot: String): String =
+    s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput"
+
+  def dropSlot(slot: String): String =
+    s"DROP_REPLICATION_SLOT $slot WAIT"
+
+  def slotExists(slot: String): String =
+    s"SELECT 1 FROM pg_replication_slots WHERE slot_name = '$slot'"
+
+  /** Begin CopyBoth streaming from the consistent point. */
+  def startReplication(slot: String, publication: String, startLsn: String): String =
+    s"START_REPLICATION SLOT $slot LOGICAL $startLsn " +
+      s"""(proto_version '1', publication_names '$publication')"""
+
+  /** Snapshot session setup: the initial scan must see exactly the slot's
+    * consistent point (snapshot.zig:75-100). */
+  def snapshotSessionSql(snapshotName: String): Seq[String] = Seq(
+    "BEGIN ISOLATION LEVEL REPEATABLE READ",
+    s"SET TRANSACTION SNAPSHOT '$snapshotName'")
+
+  /** Cursor-batched table scan for the snapshot phase (snapshot.zig:144-152).
+    * At cluster scale the equivalent is a partitioned `spark.read.jdbc` with
+    * predicate ranges on the PK — same transaction-snapshot pin per
+    * partition connection. */
+  def declareCursor(cursor: String, resource: String): String =
+    s"DECLARE $cursor CURSOR FOR SELECT * FROM $resource"
+
+  def fetchForward(cursor: String, n: Int): String =
+    s"FETCH FORWARD $n FROM $cursor"
+}

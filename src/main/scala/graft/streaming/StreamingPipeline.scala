@@ -69,7 +69,8 @@ object StreamingPipeline {
       kafkaBootstrap: Option[String] = None,
       triggerMs: Long = 100L,
       maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
-      sinkParallelism: Int = 1): StreamingQuery = {
+      sinkParallelism: Int = 1,
+      tallyTo: Option[graft.metrics.GraftMetrics] = None): StreamingQuery = {
     val frame = kafkaFrame(walStream(spark, walDir, maxEventsPerBatch), streams)
       .observe("graft", count(lit(1)).as("events"),
         max(col("commit_ts")).as("max_commit_ts"))
@@ -81,25 +82,36 @@ object StreamingPipeline {
     // serialize+produce over `sinkParallelism` tasks. foreachBatch delivery
     // is at-least-once on batch retry — the reference's contract; consumers
     // dedup on meta.lsn.
-    def shape(batch: DataFrame): DataFrame =
+    def shape(batch: DataFrame): DataFrame = {
+      val b0 = if (tallyTo.isDefined) batch.persist() else batch
+      // per-(stream, op) tally — a tiny aggregate per micro-batch, counted
+      // once on the driver (A1; reference processor.zig:174-183)
+      tallyTo.foreach { m =>
+        b0.groupBy("stream", "op").count().collect().foreach { r =>
+          m.tally(r.getString(0), r.getString(1), r.getLong(2))
+        }
+      }
       if (sinkParallelism > 1)
-        batch.repartition(sinkParallelism, col("key"))
+        b0.repartition(sinkParallelism, col("key"))
           .sortWithinPartitions("lsn_num")
-      else batch
+      else b0
+    }
 
     val writer: DataStreamWriter[Row] = kafkaBootstrap match {
       case Some(bootstrap) =>
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          shape(batch)
+          try shape(batch)
             .selectExpr("topic", "CAST(key AS BINARY) AS key",
               "CAST(value AS BINARY) AS value")
             .write.format("kafka")
             .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
             .save()
+          finally if (tallyTo.isDefined) batch.unpersist()
         }
       case None =>
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          shape(batch).write.mode("append").partitionBy("topic").parquet(outDir)
+          try shape(batch).write.mode("append").partitionBy("topic").parquet(outDir)
+          finally if (tallyTo.isDefined) batch.unpersist()
         }
     }
     writer

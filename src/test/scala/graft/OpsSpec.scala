@@ -1,0 +1,117 @@
+package graft
+
+import graft.config.StreamDef
+import graft.metrics.{GraftMetrics, MetricsHttp}
+import graft.source.postgres.{Replication, SnapshotBootstrap}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+class OpsSpec extends AnyFunSuite {
+
+  // ---- S2: replication session SQL ----
+  test("replication command text matches the protocol forms") {
+    assert(Replication.createPublication("pub", Seq("public.users", "public.orders"))
+      == "CREATE PUBLICATION pub FOR TABLE public.users, public.orders")
+    assert(Replication.createPublication("pub", Nil)
+      == "CREATE PUBLICATION pub FOR ALL TABLES")
+    assert(Replication.createSlot("s") == "CREATE_REPLICATION_SLOT s LOGICAL pgoutput")
+    assert(Replication.startReplication("s", "pub", "0/1A2B3C") ==
+      "START_REPLICATION SLOT s LOGICAL 0/1A2B3C " +
+        "(proto_version '1', publication_names 'pub')")
+    assert(Replication.snapshotSessionSql("snap_1").head
+      .contains("REPEATABLE READ"))
+    assert(Replication.fetchForward("c", 5000) == "FETCH FORWARD 5000 FROM c")
+  }
+
+  // ---- S7: bootstrap state machine over a fake catalog ----
+  private class FakeCatalog extends SnapshotBootstrap.Catalog {
+    val log = mutable.Buffer.empty[String]
+    var marker = false
+    var slot = false
+    var snapshotValid = false
+    def markerExists(m: String): Boolean = marker
+    def createMarker(m: String): Unit = { marker = true; log += "createMarker" }
+    def dropMarker(m: String): Unit = { marker = false; log += "dropMarker" }
+    def slotExists(s: String): Boolean = slot
+    def createSlot(s: String): (Long, String) = {
+      slot = true; snapshotValid = true; log += "createSlot"; (1000L, "snap_x")
+    }
+    def dropSlot(s: String): Unit = { slot = false; log += "dropSlot" }
+    def snapshotResource(r: String, snap: String, lsn: Long): Unit = {
+      assert(snapshotValid && snap == "snap_x" && lsn == 1000L)
+      log += s"snapshot:$r"
+    }
+    def flushSink(): Unit = log += "flush"
+  }
+
+  private val readStream = StreamDef("s1", "users", Seq("insert", "read"), "t1")
+  private val readStream2 = StreamDef("s2", "public.users", Seq("read"), "t2")
+  private val plainStream = StreamDef("s3", "orders", Seq("insert"), "t3")
+
+  test("fresh bootstrap: marker before slot, snapshot deduped, flush before marker drop") {
+    val cat = new FakeCatalog
+    val out = SnapshotBootstrap.run(cat, "slot1",
+      Seq(readStream, readStream2, plainStream))
+    assert(out == SnapshotBootstrap.Snapshotted(1000L, Seq("public.users")))
+    // order IS the contract: durable flag → slot → snapshot → flush → unflag
+    assert(cat.log == Seq("createMarker", "createSlot",
+      "snapshot:public.users", "flush", "dropMarker"))
+  }
+
+  test("clean restart with existing slot resumes without snapshot") {
+    val cat = new FakeCatalog
+    cat.slot = true
+    assert(SnapshotBootstrap.run(cat, "slot1", Seq(readStream)) ==
+      SnapshotBootstrap.Resumed)
+    assert(cat.log.isEmpty)
+  }
+
+  test("interrupted snapshot (marker present) drops orphaned slot and redoes") {
+    val cat = new FakeCatalog
+    cat.marker = true
+    cat.slot = true
+    val out = SnapshotBootstrap.run(cat, "slot1", Seq(readStream))
+    assert(out == SnapshotBootstrap.Snapshotted(1000L, Seq("public.users")))
+    assert(cat.log.take(2) == Seq("dropSlot", "dropMarker"))
+  }
+
+  test("no read-opted streams: slot only, no snapshot phase") {
+    val cat = new FakeCatalog
+    assert(SnapshotBootstrap.run(cat, "slot1", Seq(plainStream)) ==
+      SnapshotBootstrap.NoSnapshotNeeded(1000L))
+    assert(cat.log == Seq("createSlot"))
+  }
+
+  // ---- O1: HTTP endpoints, driven over a real socket ----
+  test("metrics HTTP server serves /metrics /healthz /readyz") {
+    var now = 1000L
+    val m = new GraftMetrics(() => now)
+    m.recordBatch(42, Some(990L))
+    m.tally("s_click", "INSERT", 40)
+    m.tally("s_click", "UPDATE", 2)
+    val http = new MetricsHttp(m, 0)
+    val port = http.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val c = new java.net.URL(s"http://localhost:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        val body = new String(is.readAllBytes())
+        (code, body)
+      }
+      val (mc, mb) = get("/metrics")
+      assert(mc == 200)
+      assert(mb.contains("graft_events_processed_total 42"))
+      assert(mb.contains("graft_replication_lag_seconds 10"))
+      assert(mb.contains("graft_stream_events_total{stream=\"s_click\",op=\"INSERT\"} 40"))
+      assert(get("/healthz")._1 == 200)
+      assert(get("/readyz")._1 == 200)
+      // stale wire activity past the 90 s window flips liveness (O1 stall)
+      now += 200
+      assert(get("/healthz")._1 == 503)
+      assert(get("/readyz")._1 == 503)
+      assert(get("/metrics")._2.contains("graft_up 0"))
+    } finally http.stop()
+  }
+}
