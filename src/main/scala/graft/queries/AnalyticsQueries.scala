@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.cdc.ChangeLog
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed/sessionized event analytics and OLAP-style aggregations — the
+  * general-purpose query surface layered on the same engine.
+  *
+  * Parity notes: event time is µs (nanos truncated — DuckDB's timestamp is
+  * µs-precision, so µs is the largest common unit); money aggregates are
+  * summed as DECIMAL(18,2) (exact, order-independent — a double sum's value
+  * depends on partition order and cannot hash-match across engines at 600k
+  * rows); ranks break ties on a deterministic column.
+  */
+object AnalyticsQueries {
+  import CdcQueries.QFn
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ChangeLog.table(s, dir, "events")
+  }
+
+  /** Event ts in µs as a long (nanosAsLong gives ns; integer div keeps
+    * precision; DuckDB side is epoch_us). */
+  private def tsUs = expr("ts div 1000")
+
+  // Tumbling 1-hour windows per event type: the batch shape of the streaming
+  // watermarked aggregation (same groupBy(window, key) plan Catalyst builds
+  // for `groupBy(window($"ts", "1 hour"), ...)`).
+  val eventsWindowAgg: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select((tsUs - (tsUs % lit(3600000000L))).as("window_start_us"),
+        col("event_type"), col("value"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value")),
+    """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin)
+
+  // Sessionization: per-user sessions split on >30 min inactivity gaps —
+  // lag + running sum of boundary flags, the classic shuffle-once pattern
+  // (one hash partition per user key, same as mapGroupsWithState state
+  // partitioning in the streaming variant).
+  val eventsSessionize: (QFn, String) = (
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+    },
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |    THEN 1 ELSE 0 END AS is_new FROM t),
+      |sess AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM f)
+      |SELECT user_id, session_idx, min(ts_us) AS session_start_us,
+      |  max(ts_us) AS session_end_us, CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, session_idx""".stripMargin)
+
+  // TPC-H Q1-shaped pricing summary: partial-aggregate-friendly groupBy over
+  // the fact table; decimal sums are exact and order-independent.
+  val olapPricingSummary: (QFn, String) = (
+    (s, dir) => ChangeLog.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(28,4))) AS sum_disc_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+
+  // Join + top-k: broadcast the dimension (customer), shuffle only the
+  // aggregate; rank with a deterministic tiebreak.
+  val olapTopCustomers: (QFn, String) = (
+    (s, dir) => {
+      val orders = ChangeLog.table(s, dir, "orders")
+      val customer = ChangeLog.table(s, dir, "customer")
+      val agg = orders.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val joined = agg.join(broadcast(customer),
+        agg("o_custkey") === customer("c_custkey"))
+      val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
+      joined.select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("n_orders"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    },
+    """WITH agg AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey, c_name, revenue, n_orders, rank FROM (
+      |  SELECT c.c_custkey, c.c_name, a.revenue, a.n_orders,
+      |    CAST(row_number() OVER (ORDER BY a.revenue DESC, c.c_custkey) AS BIGINT) AS rank
+      |  FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey)
+      |WHERE rank <= 10""".stripMargin)
+
+  // Star-chain rollup: dims broadcast in size order, one shuffle for the
+  // final group — region(5) ← nation(25) ← customer ← orders.
+  val olapRegionRevenue: (QFn, String) = (
+    (s, dir) => {
+      val region = ChangeLog.table(s, dir, "region")
+      val nation = ChangeLog.table(s, dir, "nation")
+      val customer = ChangeLog.table(s, dir, "customer")
+      val orders = ChangeLog.table(s, dir, "orders")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r_name""".stripMargin)
+
+  val all: Map[String, (QFn, String)] = Map(
+    "events_window_agg" -> eventsWindowAgg,
+    "events_sessionize" -> eventsSessionize,
+    "olap_pricing_summary" -> olapPricingSummary,
+    "olap_top_customers" -> olapTopCustomers,
+    "olap_region_revenue" -> olapRegionRevenue)
+}

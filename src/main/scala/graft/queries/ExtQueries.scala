@@ -233,6 +233,58 @@ object ExtQueries {
        |  JOIN sizes zb ON zb.doc_id = m.doc_b)
        |WHERE jaccard >= 0.5""".stripMargin)
 
+  // MinHash Jaccard ESTIMATOR: fraction of agreeing minhash components per
+  // LSH candidate pair — the sketch-only estimate that at scale replaces
+  // exact verification when signatures already live in the shuffle.
+  val dedupMinhashEstimate: (QFn, String) = (
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val cand = lshCandidates(s, dir)
+      val agree = (1 to 8).map(j =>
+        when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (agree.cast("double") / 8.0).as("est_jaccard"))
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(${(1 to 8).map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sig a ON a.doc_id = c.doc_a
+       |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin)
+
+  // Corpus n-gram statistics: top-5 word bigrams per language — groupBy over
+  // exploded n-grams + per-group top-k window, deterministic tiebreak.
+  val textNgramTopk: (QFn, String) = (
+    (s, dir) => {
+      val t = TextAnalysis.tokensCol(col("text"))
+      val bi = docs(s, dir)
+        .select(col("lang"), explode(TextAnalysis.shinglesCol(t, 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+      bi.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    },
+    s"""$toksCte, bi AS (
+       |  SELECT lang,
+       |    unnest(list_distinct(list_transform(generate_series(1, len(t)-1),
+       |      i -> t[i] || ' ' || t[i+1]))) AS bigram
+       |  FROM toks WHERE len(t) >= 2),
+       |counts AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+       |           FROM bi GROUP BY lang, bigram)
+       |SELECT lang, bigram, n, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY n DESC, bigram) AS BIGINT) AS rank FROM counts)
+       |WHERE rank <= 5""".stripMargin)
+
   // SimHash: 64-bit per-bit majority over token md5s; near-dups differ in few
   // bits. One explode + one aggregate — no joins at all.
   val dedupSimhash: (QFn, String) = {
@@ -400,6 +452,8 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_estimate" -> dedupMinhashEstimate,
+    "text_ngram_topk" -> textNgramTopk,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Watermarked windowed aggregation over the live change stream — the
+  * streaming twin of the batch `events_window_agg` query. */
+class StreamingAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("watermarked tumbling-window counts over the WAL stream match batch") {
+    import graft.source.wal.WalFixture
+    val walDir = Files.createTempDirectory("graft-aggwal").toString
+    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      .orderBy("event_id").collect().iterator
+      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    WalFixture.writeLog(ev, walDir)
+
+    val stream = StreamingPipeline.walStream(spark, walDir)
+      .withColumn("event_time", col("commit_ts").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("resource"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("window.start").cast("long").as("w"), col("resource"), col("n"))
+      val batch = graft.cdc.ChangeLog.changelog(spark, SparkTestBase.sf)
+        .groupBy((col("commit_ts") - col("commit_ts") % 3600).as("w"), col("resource"))
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+}
