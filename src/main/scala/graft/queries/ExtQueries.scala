@@ -265,9 +265,11 @@ object ExtQueries {
   // exploded n-grams + per-group top-k window, deterministic tiebreak.
   val textNgramTopk: (QFn, String) = (
     (s, dir) => {
-      val t = TextAnalysis.tokensCol(col("text"))
+      // materialize the token array before the shingle lambda — passing the
+      // raw split() expression would re-evaluate it per element_at reference
       val bi = docs(s, dir)
-        .select(col("lang"), explode(TextAnalysis.shinglesCol(t, 2)).as("bigram"))
+        .select(col("lang"), TextAnalysis.tokensCol(col("text")).as("t"))
+        .select(col("lang"), explode(TextAnalysis.shinglesCol(col("t"), 2)).as("bigram"))
         .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
       bi.withColumn("rank", row_number().over(w).cast("long"))

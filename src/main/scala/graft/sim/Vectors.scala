@@ -15,12 +15,23 @@ object Vectors {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product in index order. */
+  /** Sequential-fold dot product in index order (works for any dims, but
+    * higher-order functions evaluate interpreted — see [[dotN]]). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Flat `a[1]*b[1] + … + a[n]*b[n]` variant — measured SLOWER than the
+    * fold at 64 dims (the 128-term tree exceeds codegen method limits), kept
+    * as documentation of the experiment; prefer [[dot]]. */
+  def dotN(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normN(a: Column, dims: Int): Column = sqrt(dotN(a, a, dims))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -138,11 +138,14 @@ final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long)
     current = null
     while (current == null && frames.hasNext) {
       val f = frames.next()
-      val ev = converter.convert(PgOutputDecoder.decode(f.payload), f.lsn)
-      // state messages (BEGIN/RELATION) must be replayed from 0, but data
-      // events are emitted only inside the batch's (start, end] range
-      ev.foreach { e =>
-        if (f.lsn > afterLsn) {
+      // State messages (RELATION/BEGIN) must be replayed from 0 so the
+      // registry and commit-time are correct at the batch boundary, but
+      // pre-boundary DATA frames need no decode at all — dispatch on the tag
+      // byte and skip them. Turns state replay from O(events) decode work
+      // into O(relations + transactions).
+      if (f.lsn > afterLsn) {
+        val ev = converter.convert(PgOutputDecoder.decode(f.payload), f.lsn)
+        ev.foreach { e =>
           current = InternalRow(
             UTF8String.fromString(e.op),
             UTF8String.fromString(e.data),
@@ -152,6 +155,9 @@ final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long)
             UTF8String.fromString(e.meta.lsn),
             f.lsn)
         }
+      } else if (f.payload.nonEmpty &&
+        (f.payload(0) == 'R' || f.payload(0) == 'B')) {
+        converter.convert(PgOutputDecoder.decode(f.payload), f.lsn)
       }
     }
     current != null
