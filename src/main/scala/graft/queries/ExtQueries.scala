@@ -311,21 +311,19 @@ object ExtQueries {
   }
 
   // Embedding cosine near-dup within label blocks (blocked pairwise — the
-  // block is what keeps this from being n² at scale).
-  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), col("label"), col("embedding"),
-      Vectors.norm(col("embedding")).as("nrm"))
-
+  // block is what keeps this from being n² at scale). Cosine is the native
+  // codegen'd expression (graft.functions.CosineSimilarity): one fused loop
+  // per pair, bit-identical to the sequential fold.
   val dedupEmbeddingCosine: (QFn, String) = (
     (s, dir) => {
-      val e = embWithNorm(s, dir)
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
       val a = e.select(col("vec_id").as("vid_a"), col("label"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+        col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vid_b"), col("label").as("lb"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
+        col("embedding").as("eb"))
       a.join(b, col("label") === col("lb") && col("vid_a") < col("vid_b"))
         .select(col("vid_a"), col("vid_b"), col("label"),
-          round(Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+          round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
         .filter(col("cos") >= 0.4)
     },
     """WITH e AS (
@@ -345,14 +343,13 @@ object ExtQueries {
   // similarity with vec_id tiebreak so ordering is engine-deterministic.
   val simTopkBruteforce: (QFn, String) = (
     (s, dir) => {
-      val e = embWithNorm(s, dir)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 10).select(
-        col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
+        col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val scored = q.join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+          round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
@@ -376,16 +373,16 @@ object ExtQueries {
   // corpus per query and scanning 1/k of it.
   val simIvfTopk: (QFn, String) = (
     (s, dir) => {
-      val e = embWithNorm(s, dir)
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
       val q = e.filter(col("vec_id") < 10).select(
         col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("embedding").as("qe"), col("nrm").as("qn"))
+        col("embedding").as("qe"))
       val scored = q.join(
         e.select(col("vec_id").as("cid"), col("label").as("clabel"),
-          col("embedding").as("ce"), col("nrm").as("cn")),
+          col("embedding").as("ce")),
         col("qlabel") === col("clabel") && col("qid") =!= col("cid"))
         .select(col("qid"), col("qlabel").as("label"), col("cid"),
-          round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+          round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
