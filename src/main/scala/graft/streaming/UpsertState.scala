@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming consumer-side upsert materialization — the stateful-streaming
+  * twin of the batch `cdc_upsert_state` query.
+  *
+  * Semantics (reference: src/processor/processor.zig:300-304 — READ is an
+  * upsert; UPDATE carries the new row; a final DELETE removes the row;
+  * out-of-order redelivery is resolved by LSN, the at-least-once dedup key):
+  * keyed state per (resource, id) holding the latest (lsn, op, row); each
+  * micro-batch emits the keys whose state changed.
+  *
+  * Scale shape: `groupByKey` hash-partitions by the state key — the same
+  * partitioning the batch window uses — and the state store holds one small
+  * record per live row. At 100 TB the state is bounded by live-row
+  * cardinality, not stream length; RocksDB state store + watermark eviction
+  * slot in without code changes.
+  */
+object UpsertState {
+
+  final case class Change(resource: String, id: Long, op: String,
+      lsn_num: Long, data: String)
+
+  /** Row state + tombstone marker (deleted rows emit op=DELETE once). */
+  final case class RowState(resource: String, id: Long, last_op: String,
+      lsn_num: Long, data: String, live: Boolean)
+
+  /** Project the WAL envelope stream to typed changes (id from the JSON
+    * payload via the routing key column `id`). */
+  def changes(events: DataFrame): Dataset[Change] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col("resource"),
+      get_json_object(col("data"), "$.id").cast("long").as("id"),
+      col("op"), col("lsn_num"), col("data"))
+      .as[Change]
+  }
+
+  def upsert(key: (String, Long), batch: Iterator[Change],
+      state: GroupState[RowState]): Iterator[RowState] = {
+    // apply in LSN order; stale redeliveries (lsn ≤ state.lsn) are no-ops
+    val sorted = batch.toSeq.sortBy(_.lsn_num)
+    var cur = state.getOption.orNull
+    sorted.foreach { c =>
+      if (cur == null || c.lsn_num > cur.lsn_num) {
+        cur = RowState(c.resource, c.id, c.op, c.lsn_num, c.data,
+          live = c.op != "DELETE")
+      }
+    }
+    if (cur == null) Iterator.empty
+    else {
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Materialized state stream: one output row per changed key per batch. */
+  def materialize(events: DataFrame): Dataset[RowState] = {
+    import events.sparkSession.implicits._
+    changes(events)
+      .groupByKey(c => (c.resource, c.id))
+      .flatMapGroupsWithState[RowState, RowState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(upsert)
+  }
+}
