@@ -66,24 +66,30 @@ object Bench {
         WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
           r.getString(3), r.getDouble(4), r.getString(5))
       val (prime, backlog) = rows.splitAt(1000)
-      val seen = scala.collection.mutable.Set.empty[String]
-      graft.source.wal.WalLog.write(
-        java.nio.file.Paths.get(walDir, "00000000.wal"),
-        prime.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
+      // each segment re-announces its relations (fresh `seen`) — required by
+      // the reader's segment pruning, and what a walsender does per session
+      def writeSegment(idx: Int, seg: Array[org.apache.spark.sql.Row]): Unit = {
+        val seen = scala.collection.mutable.Set.empty[String]
+        graft.source.wal.WalLog.write(
+          java.nio.file.Paths.get(walDir, f"$idx%08d.wal"),
+          seg.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
+      }
+      writeSegment(0, prime)
       val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
         ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
         maxEventsPerBatch = Int.MaxValue)
       q.processAllAvailable() // prime: startup + first segment
-      graft.source.wal.WalLog.write(
-        java.nio.file.Paths.get(walDir, "00000001.wal"),
-        backlog.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
+      // one continuous backlog drain, like the reference's 70 s load-stand
+      // measurement (micro-batch fixed costs amortize over the full backlog)
+      writeSegment(1, backlog)
       val t0 = System.nanoTime()
-      q.processAllAvailable() // timed: drain the backlog
+      q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
       results("wal_drain") = secs
       System.err.println(
-        f"[bench] wal_drain: ${backlog.length} events in $secs%.2f s = ${backlog.length / secs}%.0f events/s")
+        f"[bench] wal_drain: ${backlog.length} events in $secs%.2f s = " +
+          f"${backlog.length / secs}%.0f events/s")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }

@@ -91,7 +91,8 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
     * trigger so one giant backlog drains as bounded micro-batches. */
   override def latestOffset(): Offset = {
     val last = lastPlanned
-    val frames = WalLog.read(path, last, Long.MaxValue)
+    val frames = WalLog.readForBatch(path, last, Long.MaxValue)
+      .filter(_.lsn > last)
     var n = 0
     var lsn = last
     while (n < maxPerBatch && frames.hasNext) { lsn = frames.next().lsn; n += 1 }
@@ -128,10 +129,13 @@ final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long)
     extends PartitionReader[InternalRow] {
 
   // Registry + converter live for the reader's lifetime; RELATION messages
-  // in-stream (re)register schemas exactly as on a live slot.
+  // in-stream (re)register schemas exactly as on a live slot. Segments
+  // re-announce their relations, so only the boundary-containing segment's
+  // prefix is replayed (tag-dispatch decodes just RELATION/BEGIN there) —
+  // fully-drained segments are pruned without reading a byte.
   private val registry = new RelationRegistry
   private val converter = new Converter(registry)
-  private val frames = WalLog.read(path, 0L, untilLsn) // from 0: replay RELATION/BEGIN state
+  private val frames = WalLog.readForBatch(path, afterLsn, untilLsn)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -66,11 +66,16 @@ object WalFixture {
   }
 
   /** Write the whole events fixture as WAL segments (segmentSize events per
-    * segment file). Driver-side, once per test/bench setup. */
+    * segment file). Driver-side, once per test/bench setup.
+    *
+    * Every segment RE-ANNOUNCES its relations before first use (fresh `seen`
+    * per segment) — the same guarantee a walsender gives each session. This
+    * is what lets the reader prune whole segments below a batch boundary
+    * instead of replaying the log from LSN 0 for registry state. */
   def writeLog(events: Iterator[Ev], dir: String, segmentSize: Int = 20000): Long = {
-    val seen = scala.collection.mutable.Set.empty[String]
     var n = 0L
     events.grouped(segmentSize).zipWithIndex.foreach { case (chunk, i) =>
+      val seen = scala.collection.mutable.Set.empty[String]
       val fs = chunk.flatMap(e => frames(e, seen))
       WalLog.write(Paths.get(dir, f"$i%08d.wal"), fs)
       n += chunk.size

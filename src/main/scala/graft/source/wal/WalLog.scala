@@ -44,6 +44,33 @@ object WalLog {
     segmentFiles(dir).iterator.flatMap(readSegment).filter(f =>
       f.lsn > afterLsn && f.lsn <= untilLsn)
 
+  /** First frame's lsn of a segment (12-byte peek), or Long.MaxValue for an
+    * empty segment. */
+  def segmentStartLsn(path: Path): Long = {
+    val it = readSegment(path)
+    if (it.hasNext) it.next().lsn else Long.MaxValue
+    // note: readSegment closes its stream on EOF; early abandonment leaks a
+    // descriptor until GC — acceptable for the 12-byte peek, files are few
+  }
+
+  /** Frames of all segments that may contain data past `afterLsn` —
+    * segments wholly below the boundary are pruned without reading them
+    * (frames ascend across segment files, so segment k is prunable when
+    * segment k+1 starts at or below afterLsn+1). Frames below the boundary
+    * inside the FIRST surviving segment are still yielded so the caller can
+    * replay that segment's RELATION/BEGIN state cheaply. */
+  def readForBatch(dir: String, afterLsn: Long, untilLsn: Long): Iterator[Frame] = {
+    val files = segmentFiles(dir)
+    if (files.isEmpty) return Iterator.empty
+    val starts = files.map(segmentStartLsn)
+    // keep segment k unless the next segment starts at/below the boundary+1
+    val keep = files.indices.filter(k =>
+      k == files.length - 1 || starts(k + 1) > afterLsn + 1)
+    val firstKept = keep.headOption.getOrElse(files.length - 1)
+    files.drop(firstKept).iterator.flatMap(readSegment)
+      .filter(_.lsn <= untilLsn)
+  }
+
   def readSegment(path: Path): Iterator[Frame] = new Iterator[Frame] {
     private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
     private var nextFrame: Frame = advance()

@@ -109,8 +109,11 @@ object StreamingPipeline {
           finally if (tallyTo.isDefined) batch.unpersist()
         }
       case None =>
+        // Kafka stand-in: plain parquet append with `topic` as a column —
+        // partitionBy would force a per-batch sort on the partition column
+        // for no delivery-semantics gain.
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          try shape(batch).write.mode("append").partitionBy("topic").parquet(outDir)
+          try shape(batch).write.mode("append").parquet(outDir)
           finally if (tallyTo.isDefined) batch.unpersist()
         }
     }
