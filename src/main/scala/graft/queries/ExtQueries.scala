@@ -139,13 +139,18 @@ object ExtQueries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents""".stripMargin)
 
-  /** Shared Spark-side shingle set (distinct word-3-shingles, exploded). */
+  /** Shared Spark-side shingle set (distinct word-3-shingles, exploded).
+    * Persisted: the LSH family (candidates, estimator, exact Jaccard) reuses
+    * this subtree several times within and across queries, and Spark's cache
+    * manager matches it by canonicalized plan. Small relative to the corpus
+    * (≈80 shingles/doc). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesCol(col("t"), 3)).as("s"))
+      .persist()
 
   private val shCte =
     """sh AS (
@@ -165,12 +170,15 @@ object ExtQueries {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
-  /** Spark-side MinHash signature + LSH bands (8 hashes, 4 bands × 2 rows). */
-  private def lshBands(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** MinHash signatures (8 hashes), persisted for the same reuse reason. */
+  private def sigDF(s: SparkSession, dir: String): DataFrame = {
     val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    sig.select(col("doc_id"), explode(array((1 to 4).map(b =>
+    shingles(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
+  }
+
+  /** Spark-side LSH bands (4 bands × 2 rows) over the signatures. */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    sigDF(s, dir).select(col("doc_id"), explode(array((1 to 4).map(b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"m${2 * b - 1}"), col(s"m${2 * b}"))).as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
@@ -238,9 +246,7 @@ object ExtQueries {
   // exact verification when signatures already live in the shuffle.
   val dedupMinhashEstimate: (QFn, String) = (
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
-      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val sig = sigDF(s, dir)
       val cand = lshCandidates(s, dir)
       val agree = (1 to 8).map(j =>
         when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
