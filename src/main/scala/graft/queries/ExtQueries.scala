@@ -374,6 +374,40 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 5""".stripMargin)
 
+  // Same result via the custom heap aggregate (graft.functions.TopKByScore):
+  // no per-group sort, map-side partial top-k before the shuffle — the
+  // operator shape that survives 100× candidate growth. Oracle: identical to
+  // the window formulation.
+  val simTopkAgg: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val scored = q.join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4).as("cos"))
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(col("cos"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+    // identical result contract to sim_topk_bruteforce
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT qid, cid, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin)
+
   // IVF-style pruned top-k: `label` is the coarse quantizer cell; search only
   // the query's cell. At 100 TB this is the difference between scanning the
   // corpus per query and scanning 1/k of it.
@@ -463,6 +497,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_lsh_bucket" -> simLshBucket,
     "mm_binary_meta" -> mmBinaryMeta,
