@@ -50,6 +50,10 @@ object ExtQueries {
        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
        |FROM documents""".stripMargin)
 
+  // Ratios and the composite score are INTEGER per-million values — a
+  // rounded double composite sits on round-at-boundary cases where Spark
+  // (HALF_UP on the exact binary value) and DuckDB (scaled-double rounding)
+  // disagree by one ulp; integer floor-division arithmetic is exact in both.
   val textQuality: (QFn, String) = {
     val fn: QFn = (s, dir) => {
       val t = TextAnalysis.tokensCol(col("text"))
@@ -57,25 +61,32 @@ object ExtQueries {
       val nChars = length(col("text")).cast("long")
       val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
       val stops = TextAnalysis.vocabHits(t, TextAnalysis.Stopwords).cast("long")
-      docs(s, dir).select(
-        col("doc_id"), nChars.as("n_chars"), nTok.as("n_tokens"),
-        round(alpha * lit(1.0) / nChars, 4).as("alpha_ratio"),
-        round(stops * lit(1.0) / nTok, 4).as("stop_ratio"),
-        round(lit(0.25) * (alpha * lit(1.0) / nChars)
-          + lit(0.25) * least(stops * lit(5.0) / nTok, lit(1.0))
-          + lit(0.5) * least(nTok / lit(100.0), lit(1.0)), 4).as("quality"))
+      docs(s, dir)
+        .select(col("doc_id"), nChars.as("n_chars"), nTok.as("n_tokens"),
+          alpha.as("alpha"), stops.as("stops"))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"),
+          expr("alpha * 1000000 div n_chars").as("alpha_pm"),
+          expr("stops * 1000000 div n_tokens").as("stop_pm"),
+          (expr("alpha * 250000 div n_chars")
+            + expr("least(stops * 5, n_tokens) * 250000 div n_tokens")
+            + expr("least(n_tokens, 100) * 500000 div 100")).as("quality_pm"))
     }
     val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     (fn,
-      s"""$toksCte
-         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(t) AS BIGINT) AS n_tokens,
-         |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
-         |  round(len(list_filter(t, x -> list_contains($stopList, x))) * 1.0 / len(t), 4) AS stop_ratio,
-         |  round(0.25 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
-         |    + 0.25 * least(len(list_filter(t, x -> list_contains($stopList, x))) * 5.0 / len(t), 1.0)
-         |    + 0.5 * least(len(t) / 100.0, 1.0), 4) AS quality
-         |FROM toks""".stripMargin)
+      s"""$toksCte, m AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS BIGINT) AS stops
+         |  FROM toks)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  alpha * 1000000 // n_chars AS alpha_pm,
+         |  stops * 1000000 // n_tokens AS stop_pm,
+         |  (alpha * 250000 // n_chars)
+         |    + (least(stops * 5, n_tokens) * 250000 // n_tokens)
+         |    + (least(n_tokens, 100) * 500000 // 100) AS quality_pm
+         |FROM m""".stripMargin)
   }
 
   val textLangId: (QFn, String) = {
