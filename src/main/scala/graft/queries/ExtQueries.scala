@@ -462,6 +462,38 @@ object ExtQueries {
        |  ${Vectors.lshBucketSql(8, 64, spark = false)} AS bucket
        |FROM embeddings""".stripMargin)
 
+  // End-to-end LSH-ANN: candidates are same-bucket pairs (the bucket is the
+  // shuffle key — no all-pairs work anywhere), verified with exact cosine,
+  // best neighbor per vector kept. The 100 TB shape: bucket-join → verify →
+  // per-key top-1, all hash-partitioned.
+  val simLshAnn: (QFn, String) = (
+    (s, dir) => {
+      val b = emb(s, dir).select(col("vec_id"), col("embedding"),
+        expr(Vectors.lshBucketSql(8, 64, spark = true)).as("bucket"))
+      val cand = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"),
+          col("a.bucket").as("bucket"),
+          round(graft.functions.CosineSimilarity(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("nid"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") === 1).drop("rank")
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${Vectors.lshBucketSql(8, 64, spark = false)} AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS vid, b.vec_id AS nid, a.bucket AS bucket,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vid, nid, bucket, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rank
+       |  FROM cand)
+       |WHERE rank = 1""".stripMargin)
+
   // ---------------- multimodal ----------------
 
   // Binary-column plumbing: payload bytes + header hex + chunk ("frame")
@@ -511,6 +543,7 @@ object ExtQueries {
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_lsh_bucket" -> simLshBucket,
+    "sim_lsh_ann" -> simLshAnn,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub)
 }
