@@ -23,7 +23,14 @@ object PgOutputMessage {
     * placeholder literal. */
   case object ToastDatum extends Datum
   final case class TextDatum(value: String) extends Datum
-  final case class BinaryDatum(bytes: Array[Byte]) extends Datum
+  final case class BinaryDatum(bytes: Array[Byte]) extends Datum {
+    // content equality — the case-class default compares Array references
+    override def equals(o: Any): Boolean = o match {
+      case b: BinaryDatum => java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+  }
 
   final case class TupleData(columns: Vector[Datum])
 
