@@ -110,10 +110,12 @@ object StreamingPipeline {
         }
       case None =>
         // Kafka stand-in: plain parquet append with `topic` as a column —
-        // partitionBy would force a per-batch sort on the partition column
-        // for no delivery-semantics gain.
+        // partitionBy would force a per-batch sort on the partition column,
+        // and compression would bill the stand-in for work a Kafka producer
+        // doesn't do (measured: snappy 52k ev/s, none 77k, raw text 95k).
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          try shape(batch).write.mode("append").parquet(outDir)
+          try shape(batch).write.mode("append")
+            .option("compression", "none").parquet(outDir)
           finally if (tallyTo.isDefined) batch.unpersist()
         }
     }
