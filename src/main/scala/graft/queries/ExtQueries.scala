@@ -305,17 +305,18 @@ object ExtQueries {
        |WHERE rank <= 5""".stripMargin)
 
   // SimHash: 64-bit per-bit majority over token md5s; near-dups differ in few
-  // bits. One explode + one aggregate — no joins at all.
+  // bits. One explode + ONE custom aggregate (graft.functions.SimHashAgg,
+  // 64-int vote buffer with map-side partials) — no joins at all. The oracle
+  // is the engine-neutral generated SQL from graft.dedup.SimHash; both
+  // formulations produce identical hex.
   val dedupSimhash: (QFn, String) = {
     val fn: QFn = (s, dir) => {
       val th = docs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokensCol(col("text")))).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
-      val sums = (0 until 64).map(k =>
-        expr(SimHash.bitSumSql(k, spark = true)))
-      th.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), expr(SimHash.hexSql).as("simhash"))
+      th.groupBy("doc_id")
+        .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
     }
     val sumsSql = (0 until 64).map(k => SimHash.bitSumSql(k, spark = false)).mkString(",\n  ")
     (fn,
