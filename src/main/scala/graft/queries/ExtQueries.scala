@@ -355,6 +355,78 @@ object ExtQueries {
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       |WHERE cos >= 0.4""".stripMargin)
 
+  // The composed training-data cleaning pass — what the operators above
+  // exist FOR: quality gate → exact-dup removal → near-dup removal (LSH
+  // candidates verified by Jaccard ≥ 0.9, canonical = smallest doc_id).
+  // One declarative plan; every stage is shuffle-partitioned on a
+  // well-distributed key (content hash / band hash).
+  val pipelineCleanCorpus: (QFn, String) = (
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokensCol(col("text")).as("t"), col("text"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("alpha",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        .withColumn("stops",
+          TextAnalysis.vocabHits(col("t"), TextAnalysis.Stopwords).cast("long"))
+        .withColumn("quality_pm",
+          expr("alpha * 250000 div length(text)")
+            + expr("least(stops * 5, n_tokens) * 250000 div n_tokens")
+            + expr("least(n_tokens, 100) * 500000 div 100"))
+      val qualityOk = base.filter(col("quality_pm") >= 600000)
+      val exactCanonical = qualityOk
+        .withColumn("canonical",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("canonical"))
+        .select(col("doc_id"), col("lang"), col("quality_pm"))
+      val nearDupLosers = {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+        lshCandidates(s, dir)
+          .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+          .join(sh.as("sb"), col("sb.doc_id") === col("doc_b") && col("sb.s") === col("sa.s"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).cast("long").as("n_common"))
+          .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+          .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+          .filter(round(col("n_common") * lit(1.0) /
+            (col("za.n") + col("zb.n") - col("n_common")), 4) >= 0.9)
+          .select(col("doc_b").as("loser")).distinct()
+      }
+      exactCanonical.join(nearDupLosers,
+        exactCanonical("doc_id") === nearDupLosers("loser"), "left_anti")
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |losers AS (
+       |  SELECT DISTINCT m.doc_b AS loser FROM (
+       |    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |    FROM cand c
+       |    JOIN sh a ON a.doc_id = c.doc_a
+       |    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |    GROUP BY c.doc_a, c.doc_b) m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b
+       |  WHERE round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) >= 0.9),
+       |quality AS (
+       |  SELECT doc_id, lang, text,
+       |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 250000 // length(text))
+       |    + (least(CAST(len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x))) AS BIGINT) * 5, len(t)) * 250000 // len(t))
+       |    + (least(CAST(len(t) AS BIGINT), 100) * 500000 // 100) AS quality_pm
+       |  FROM toks),
+       |kept AS (
+       |  SELECT doc_id, lang, quality_pm FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+       |    FROM quality WHERE quality_pm >= 600000)
+       |  WHERE doc_id = canonical)
+       |SELECT k.doc_id, k.lang, k.quality_pm FROM kept k
+       |LEFT JOIN losers l ON k.doc_id = l.loser
+       |WHERE l.loser IS NULL""".stripMargin)
+
   // ---------------- similarity search ----------------
 
   // Brute-force cosine top-k: the exactness baseline. Rank on the ROUNDED
@@ -540,6 +612,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,

@@ -6,6 +6,7 @@ import graft.source.pgoutput.PgOutputMessage._
 import graft.source.pgoutput.PgOutputMessages._
 import graft.source.postgres.JdbcSnapshot
 import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -70,6 +71,35 @@ class HardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unknown message tag") ||
       (ex.getCause != null))
     q.stop()
+  }
+
+  // ---- at-least-once resend: a slot resend replays the SAME LSNs; the
+  // source's monotone offsets mean re-delivered positions are never re-read,
+  // so consumers see no duplicates (the reference's check-gaps.sh contract) ----
+  test("re-appended WAL content with already-processed LSNs is not re-delivered") {
+    import graft.source.wal.{WalFixture, WalLog}
+    val walDir = Files.createTempDirectory("graft-resend-wal").toString
+    def events(n: Int) = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      .orderBy("event_id").limit(n).collect().iterator
+      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    WalFixture.writeLog(events(100), walDir)
+    val out = Files.createTempDirectory("graft-resend-out").toString
+    val ckpt = Files.createTempDirectory("graft-resend-ckpt").toString
+    val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+      ckpt, out, None, 50L)
+    q.processAllAvailable()
+    val n1 = spark.read.parquet(out).count()
+    // "resend": write the same 100 events again as a NEW segment (same LSNs)
+    val seen = scala.collection.mutable.Set.empty[String]
+    graft.source.wal.WalLog.write(
+      java.nio.file.Paths.get(walDir, "00000009.wal"),
+      events(100).flatMap(e => WalFixture.frames(e, seen)).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.read.parquet(out)
+    assert(after.count() == n1, "resent LSNs must not duplicate deliveries")
+    assert(after.groupBy("lsn").count().filter(col("count") > 1).count() == 0)
   }
 
   // ---- S6 scale path: partitioned snapshot predicates ----
