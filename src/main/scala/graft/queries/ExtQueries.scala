@@ -530,7 +530,7 @@ object ExtQueries {
   // candidate set.
   val simLshBucket: (QFn, String) = (
     (s, dir) => emb(s, dir).select(col("vec_id"), col("label"),
-      expr(Vectors.lshBucketSql(8, 64, spark = true)).as("bucket")),
+      Vectors.lshBucketCol(col("embedding"), 8, 64).as("bucket")),
     s"""SELECT vec_id, label,
        |  ${Vectors.lshBucketSql(8, 64, spark = false)} AS bucket
        |FROM embeddings""".stripMargin)
@@ -542,7 +542,7 @@ object ExtQueries {
   val simLshAnn: (QFn, String) = (
     (s, dir) => {
       val b = emb(s, dir).select(col("vec_id"), col("embedding"),
-        expr(Vectors.lshBucketSql(8, 64, spark = true)).as("bucket"))
+        Vectors.lshBucketCol(col("embedding"), 8, 64).as("bucket"))
       val cand = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"),

@@ -59,4 +59,30 @@ object Vectors {
   def lshBucketSql(nPlanes: Int, dims: Int, spark: Boolean): String =
     (1 to nPlanes).map(p => lshBitSql(p, dims, spark))
       .mkString("concat(", ", ", ")")
+
+  /** The hyperplane sign constants, computed once at plan-build time —
+    * identical values to the in-SQL md5 derivation (same hash, same rule),
+    * but evaluated 8×64 times total instead of per row. */
+  def planeSigns(nPlanes: Int, dims: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to nPlanes).map { p =>
+      (1 to dims).map { i =>
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val d = Character.digit(hex.charAt(0), 16)
+        (((d >> 3) & 1) * 2 - 1).toDouble
+      }.toArray
+    }
+  }
+
+  /** Spark-side bucket column with the signs inlined as literal arrays (the
+    * SQL-generated form recomputes md5 per row·dim·plane — ~1M hashes per
+    * 2000 vectors; this is the constant-folded equivalent). */
+  def lshBucketCol(embedding: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = planeSigns(nPlanes, dims).map { signs =>
+      val signArr = array(signs.map(lit).toIndexedSeq: _*)
+      when(dot(embedding, signArr) > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
 }
