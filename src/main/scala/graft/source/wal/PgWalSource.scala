@@ -87,30 +87,59 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
     LsnOffset(m.group(1).toLong)
   }
 
+  // Driver-side scan cursor + harvested state: the admission-control scan
+  // sees every frame exactly once (payloads skipped, not allocated; only
+  // rare RELATION/BEGIN payloads read). At each planned boundary it snapshots
+  // (seek position, relation payloads, last BEGIN) so the executor reader
+  // seeks STRAIGHT to the boundary byte — no prefix re-read, no replay. This
+  // is what keeps per-micro-batch cost flat over a long backlog.
+  private var lastPlanned: Long = 0L
+  private var scanSeg: java.nio.file.Path = _
+  private var scanOffset: Long = 0L
+  private val relationPayloads =
+    scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+  private var lastBeginPayload: Array[Byte] = _
+  private val boundaryState =
+    scala.collection.mutable.Map.empty[Long, PgWalSeek]
+
   /** Soft admission control: advance at most `maxPerBatch` frames per
     * trigger so one giant backlog drains as bounded micro-batches. */
   override def latestOffset(): Offset = {
-    val last = lastPlanned
-    val frames = WalLog.readForBatch(path, last, Long.MaxValue)
-      .filter(_.lsn > last)
+    val it = WalLog.scanFrames(path, scanSeg, scanOffset)
     var n = 0
-    var lsn = last
-    while (n < maxPerBatch && frames.hasNext) { lsn = frames.next().lsn; n += 1 }
-    lastPlanned = lsn
-    LsnOffset(lsn)
+    while (n < maxPerBatch && it.hasNext) {
+      val e = it.next()
+      if (e.statePayload != null) {
+        if (e.tag == 'R') {
+          graft.source.pgoutput.PgOutputDecoder.decode(e.statePayload) match {
+            case r: graft.source.pgoutput.PgOutputMessages.Relation =>
+              relationPayloads.update(r.relationId, e.statePayload)
+            case _ => ()
+          }
+        } else lastBeginPayload = e.statePayload
+      }
+      scanSeg = e.segment
+      scanOffset = e.nextByteOffset
+      if (e.lsn > lastPlanned) { lastPlanned = e.lsn; n += 1 }
+    }
+    boundaryState.update(lastPlanned, PgWalSeek(
+      if (scanSeg == null) null else scanSeg.toString, scanOffset,
+      relationPayloads.values.toVector, lastBeginPayload))
+    LsnOffset(lastPlanned)
   }
-  private var lastPlanned: Long = 0L
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
-    if (e <= s) Array.empty else Array(PgWalInputPartition(path, s, e))
+    boundaryState.keys.filter(_ < s).toSeq.foreach(boundaryState.remove)
+    if (e <= s) Array.empty
+    else Array(PgWalInputPartition(path, s, e, boundaryState.get(s).orNull))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[PgWalInputPartition]
-      new PgWalPartitionReader(p.path, p.afterLsn, p.untilLsn)
+      new PgWalPartitionReader(p.path, p.afterLsn, p.untilLsn, Option(p.seek))
     }
 
   /** Spark calls this after the batch is durably committed downstream —
@@ -122,20 +151,40 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
   override def stop(): Unit = ()
 }
 
-final case class PgWalInputPartition(path: String, afterLsn: Long, untilLsn: Long)
-  extends InputPartition
+/** Boundary snapshot handed from the driver scan to the executor reader:
+  * exact byte seek + the RELATION payloads and last BEGIN in effect at the
+  * boundary (raw pgoutput bytes — the reader replays them through the normal
+  * converter path). */
+final case class PgWalSeek(segment: String, byteOffset: Long,
+    relationPayloads: Seq[Array[Byte]], beginPayload: Array[Byte])
 
-final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long)
-    extends PartitionReader[InternalRow] {
+final case class PgWalInputPartition(path: String, afterLsn: Long,
+    untilLsn: Long, seek: PgWalSeek) extends InputPartition
+
+final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long,
+    seekOpt: Option[PgWalSeek]) extends PartitionReader[InternalRow] {
 
   // Registry + converter live for the reader's lifetime; RELATION messages
-  // in-stream (re)register schemas exactly as on a live slot. Segments
-  // re-announce their relations, so only the boundary-containing segment's
-  // prefix is replayed (tag-dispatch decodes just RELATION/BEGIN there) —
-  // fully-drained segments are pruned without reading a byte.
+  // in-stream (re)register schemas exactly as on a live slot.
+  //
+  // With a driver snapshot (steady state): seed state from the snapshot's
+  // raw RELATION/BEGIN payloads and seek straight to the boundary byte.
+  // Without one (first batch after restart): segments re-announce their
+  // relations, so replay only the boundary segment's prefix (tag-dispatch
+  // decodes just RELATION/BEGIN below the boundary) — fully-drained segments
+  // are pruned without reading a byte.
   private val registry = new RelationRegistry
   private val converter = new Converter(registry)
-  private val frames = WalLog.readForBatch(path, afterLsn, untilLsn)
+  private val frames = seekOpt match {
+    case Some(seek) if seek.segment != null =>
+      seek.relationPayloads.foreach(p =>
+        converter.convert(PgOutputDecoder.decode(p), 0L))
+      if (seek.beginPayload != null)
+        converter.convert(PgOutputDecoder.decode(seek.beginPayload), 0L)
+      WalLog.readFrom(path, java.nio.file.Paths.get(seek.segment),
+        seek.byteOffset, untilLsn)
+    case _ => WalLog.readForBatch(path, afterLsn, untilLsn)
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -90,6 +90,89 @@ object WalLog {
     segmentFiles(dir).foldLeft(0L)((m, p) =>
       readSegment(p).foldLeft(m)((mm, f) => math.max(mm, f.lsn)))
 
+  /** Lightweight frame scan for driver-side admission control: yields
+    * (lsn, segment path, byte offset of the NEXT frame, payload tag,
+    * payload bytes only for RELATION/BEGIN frames — data payloads are
+    * skipped, not allocated). One sequential pass, no Frame objects. */
+  final case class ScanEntry(lsn: Long, segment: Path, nextByteOffset: Long,
+      tag: Byte, statePayload: Array[Byte])
+
+  def scanFrames(dir: String, fromSegment: Path = null,
+      fromOffset: Long = 0L): Iterator[ScanEntry] = {
+    val files0 = segmentFiles(dir)
+    val files = if (fromSegment == null) files0
+      else files0.dropWhile(_.compareTo(fromSegment) < 0)
+    files.iterator.zipWithIndex.flatMap { case (p, idx) =>
+      val skipTo = if (idx == 0 && fromSegment != null) fromOffset else 0L
+      new Iterator[ScanEntry] {
+        private val in = new DataInputStream(new BufferedInputStream(
+          new FileInputStream(p.toFile)))
+        private var pos = 0L
+        locally {
+          var toSkip = skipTo
+          while (toSkip > 0) { val s = in.skip(toSkip); if (s <= 0) toSkip = 0 else { pos += s; toSkip -= s } }
+        }
+        private var nextEntry: ScanEntry = advance()
+        private def advance(): ScanEntry =
+          try {
+            val lsn = in.readLong()
+            val len = in.readInt()
+            val tag = in.readByte()
+            val state =
+              if (tag == 'R' || tag == 'B') {
+                val rest = new Array[Byte](len - 1)
+                in.readFully(rest)
+                val full = new Array[Byte](len)
+                full(0) = tag
+                System.arraycopy(rest, 0, full, 1, len - 1)
+                full
+              } else {
+                var toSkip = (len - 1).toLong
+                while (toSkip > 0) {
+                  val s = in.skip(toSkip)
+                  if (s <= 0) { in.readByte(); toSkip -= 1 } else toSkip -= s
+                }
+                null
+              }
+            pos += 12L + len
+            ScanEntry(lsn, p, pos, tag, state)
+          } catch { case _: EOFException => in.close(); null }
+        def hasNext: Boolean = nextEntry != null
+        def next(): ScanEntry = { val e = nextEntry; nextEntry = advance(); e }
+      }
+    }
+  }
+
+  /** Frames from an exact (segment, byteOffset) position onward (the seek
+    * handed to readers by driver-side admission control), capped at
+    * untilLsn. */
+  def readFrom(dir: String, segment: Path, byteOffset: Long,
+      untilLsn: Long): Iterator[Frame] = {
+    val files = segmentFiles(dir).dropWhile(_.compareTo(segment) < 0)
+    files.iterator.zipWithIndex.flatMap { case (p, idx) =>
+      if (idx == 0) readSegmentFrom(p, byteOffset) else readSegment(p)
+    }.filter(_.lsn <= untilLsn)
+  }
+
+  private def readSegmentFrom(path: Path, byteOffset: Long): Iterator[Frame] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+    var toSkip = byteOffset
+    while (toSkip > 0) { val s = in.skip(toSkip); if (s <= 0) toSkip = 0 else toSkip -= s }
+    new Iterator[Frame] {
+      private var nextFrame: Frame = advance()
+      private def advance(): Frame =
+        try {
+          val lsn = in.readLong()
+          val len = in.readInt()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          Frame(lsn, buf)
+        } catch { case _: EOFException => in.close(); null }
+      def hasNext: Boolean = nextFrame != null
+      def next(): Frame = { val f = nextFrame; nextFrame = advance(); f }
+    }
+  }
+
   // -- confirmed-LSN file: the standby-status-update analog ------------------
 
   def confirmedPath(dir: String): Path = Paths.get(dir, "confirmed.lsn")
