@@ -394,7 +394,8 @@ object ExtQueries {
             (col("za.n") + col("zb.n") - col("n_common")), 4) >= 0.9)
           .select(col("doc_b").as("loser")).distinct()
       }
-      exactCanonical.join(nearDupLosers,
+      // the loser set is ≪ corpus by construction — broadcast the anti-join
+      exactCanonical.join(broadcast(nearDupLosers),
         exactCanonical("doc_id") === nearDupLosers("loser"), "left_anti")
     },
     s"""$toksCte, $shCte, $sigCte, $bandsCte,
