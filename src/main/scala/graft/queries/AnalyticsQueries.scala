@@ -88,15 +88,19 @@ object AnalyticsQueries {
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("decimal(28,4)")).as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
-        count(lit(1)).as("count_order")),
+        // exact integer micro-units: a rounded double AVG depends on Spark's
+        // partial-agg order and can flip a rounding boundary vs the oracle
+        sum(floor(col("l_discount") * 1000000).cast("long")).as("sum_disc_e6"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_disc_e6", expr("sum_disc_e6 div count_order"))
+      .drop("sum_disc_e6"),
     """SELECT l_returnflag, l_linestatus,
       |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
       |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
       |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
       |      AS DECIMAL(28,4))) AS sum_disc_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(sum(CAST(floor(l_discount * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_e6,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
 
