@@ -109,8 +109,9 @@ object WalLog {
           new FileInputStream(p.toFile)))
         private var pos = 0L
         locally {
-          var toSkip = skipTo
-          while (toSkip > 0) { val s = in.skip(toSkip); if (s <= 0) toSkip = 0 else { pos += s; toSkip -= s } }
+          // skipNBytes: exact positioning (plain skip() may return 0
+          // transiently, which a naive loop would misread as EOF)
+          if (skipTo > 0) { in.skipNBytes(skipTo); pos = skipTo }
         }
         private var nextEntry: ScanEntry = advance()
         private def advance(): ScanEntry =
@@ -127,11 +128,7 @@ object WalLog {
                 System.arraycopy(rest, 0, full, 1, len - 1)
                 full
               } else {
-                var toSkip = (len - 1).toLong
-                while (toSkip > 0) {
-                  val s = in.skip(toSkip)
-                  if (s <= 0) { in.readByte(); toSkip -= 1 } else toSkip -= s
-                }
+                in.skipNBytes((len - 1).toLong)
                 null
               }
             pos += 12L + len
@@ -156,8 +153,7 @@ object WalLog {
 
   private def readSegmentFrom(path: Path, byteOffset: Long): Iterator[Frame] = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
-    var toSkip = byteOffset
-    while (toSkip > 0) { val s = in.skip(toSkip); if (s <= 0) toSkip = 0 else toSkip -= s }
+    if (byteOffset > 0) in.skipNBytes(byteOffset)
     new Iterator[Frame] {
       private var nextFrame: Frame = advance()
       private def advance(): Frame =

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Consumer-side streaming dedup with dropDuplicatesWithinWatermark — the
+  * SURVEY §7E at-least-once consumer pattern: redelivered envelopes (same
+  * meta.lsn) inside the watermark horizon collapse to one, with bounded
+  * state (the watermark evicts old keys — the property that makes LSN dedup
+  * viable on an unbounded stream). */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("redelivered envelopes dedup by lsn within the watermark") {
+    // changelog + its last 10% again = an at-least-once delivery trace
+    val cl = graft.cdc.ChangeLog.changelog(spark, SparkTestBase.sf)
+      .withColumn("event_time", col("commit_ts").cast("timestamp"))
+    val maxLsn = cl.agg(max("lsn_num")).head().getLong(0)
+    val redelivered = cl.unionAll(cl.filter(col("lsn_num") >= maxLsn * 9 / 10))
+    val dir = Files.createTempDirectory("graft-dedup-src").toString
+    redelivered.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(redelivered.schema).parquet(dir)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("lsn"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+      assert(got.count() == cl.count(), "each LSN delivered exactly once")
+      assert(got.groupBy("lsn").count().filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+}
