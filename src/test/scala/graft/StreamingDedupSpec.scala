@@ -13,15 +13,21 @@ class StreamingDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("redelivered envelopes dedup by lsn within the watermark") {
-    // changelog + its last 10% again = an at-least-once delivery trace
+    // changelog, then its last 10% AGAIN as a separate file — with
+    // maxFilesPerTrigger=1 the redelivery arrives in a LATER micro-batch, so
+    // dedup must happen across batches through the watermark state store
+    // (within one batch any batch-local distinct would pass vacuously)
     val cl = graft.cdc.ChangeLog.changelog(spark, SparkTestBase.sf)
       .withColumn("event_time", col("commit_ts").cast("timestamp"))
     val maxLsn = cl.agg(max("lsn_num")).head().getLong(0)
-    val redelivered = cl.unionAll(cl.filter(col("lsn_num") >= maxLsn * 9 / 10))
     val dir = Files.createTempDirectory("graft-dedup-src").toString
-    redelivered.write.mode("overwrite").parquet(dir)
+    cl.coalesce(1).write.mode("append").parquet(dir)
+    cl.filter(col("lsn_num") >= maxLsn * 9 / 10)
+      .coalesce(1).write.mode("append").parquet(dir)
 
-    val stream = spark.readStream.schema(redelivered.schema).parquet(dir)
+    val stream = spark.readStream.schema(cl.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("lsn"))
     val q = stream.writeStream.outputMode("append")
