@@ -1,0 +1,72 @@
+package graft
+
+import graft.config.ConfigLoader
+import graft.metrics.{GraftMetrics, GraftQueryListener, MetricsHttp}
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Application entry point — the reference's `main` flow
+  * (reference: src/main.zig:42-177): load config → validate → wire source,
+  * sink, metrics → run until signalled.
+  *
+  * {{{
+  *   runMain graft.Main <config.json> <walDir> <checkpointDir> [outDir]
+  * }}}
+  *
+  * With `sink.type=kafka` and GRAFT_KAFKA_BOOTSTRAP set, frames go to Kafka
+  * with the reference's producer semantics; otherwise the file sink stands
+  * in. Metrics HTTP (/metrics /healthz /readyz) serves on GRAFT_HTTP_PORT
+  * (default: ephemeral).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.Main <config.json> <walDir> <checkpointDir> [outDir]")
+    val Array(configPath, walDir, ckptDir) = args.take(3)
+    val outDir = args.lift(3).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-out").toString)
+
+    // config load + validation is fail-fast, before any connection is made
+    val config = ConfigLoader.fromJsonFile(configPath)
+
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(sys.env.getOrElse("SPARK_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val metrics = new GraftMetrics
+    spark.streams.addListener(new GraftQueryListener(metrics))
+    val http = new MetricsHttp(metrics,
+      sys.env.getOrElse("GRAFT_HTTP_PORT", "0").toInt)
+    val port = http.start()
+    println(s"[graft] metrics on :$port — streams: " +
+      config.streams.map(s => s"${s.name}(${s.resource}→${s.destination})")
+        .mkString(", "))
+
+    val query = StreamingPipeline.start(
+      spark, walDir, config.streams, ckptDir, outDir,
+      kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),
+      triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong,
+      tallyTo = Some(metrics))
+
+    sys.addShutdownHook { query.stop(); http.stop() }
+    if (sys.env.contains("GRAFT_DRAIN_AND_EXIT")) {
+      query.processAllAvailable()
+      query.stop()
+      println(s"[graft] drained; events=${metrics.eventsProcessed.get()} " +
+        s"batches=${metrics.batchesProcessed.get()}")
+      http.stop()
+      spark.stop()
+    } else {
+      query.awaitTermination()
+    }
+  }
+}
