@@ -116,6 +116,26 @@ object ExtQueries {
          |FROM scored""".stripMargin)
   }
 
+  // Corpus vocabulary statistics: document frequency, total term frequency
+  // and df-rank per token — the integer core of tf-idf (log-free: libm
+  // differences between engines make ln() outputs unsafe to hash-compare).
+  val textVocabStats: (QFn, String) = (
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      val w = Window.orderBy(col("df").desc, col("w"))
+      tf.withColumn("df_rank", row_number().over(w).cast("long"))
+    },
+    s"""$toksCte, tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tf AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY w)
+       |SELECT w, df, tf,
+       |  CAST(row_number() OVER (ORDER BY df DESC, w) AS BIGINT) AS df_rank
+       |FROM tf""".stripMargin)
+
   val textFingerprint: (QFn, String) = (
     (s, dir) => {
       val norm = TextAnalysis.normalizedCol(col("text"))
@@ -568,6 +588,55 @@ object ExtQueries {
        |  FROM cand)
        |WHERE rank = 1""".stripMargin)
 
+  // ANN quality evaluation: recall@1 of the LSH-ANN best neighbor against
+  // the exact brute-force best neighbor — the measurement that justifies a
+  // bucketing scheme before pointing it at 100 TB. Integer per-million.
+  val simAnnRecall: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+      val allPairs = a.join(b, col("vid") =!= col("nid"))
+        .select(col("vid"), col("nid"),
+          round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("nid"))
+      val truth = allPairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("nid").as("true_nid"))
+      val lsh = simLshAnn._1(s, dir).select(col("vid"), col("nid").as("lsh_nid"))
+      lsh.join(truth, "vid")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("lsh_nid") === col("true_nid"), 1L).otherwise(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pm", expr("n_hits * 1000000 div n_eval"))
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${Vectors.lshBucketSql(8, 64, spark = false)} AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |allp AS (
+       |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |truth AS (
+       |  SELECT vid, nid AS true_nid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rn
+       |    FROM allp) WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |lsh AS (
+       |  SELECT vid, nid AS lsh_nid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rn
+       |    FROM cand) WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(CASE WHEN l.lsh_nid = t.true_nid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN l.lsh_nid = t.true_nid THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_pm
+       |FROM lsh l JOIN truth t ON l.vid = t.vid""".stripMargin)
+
   // ---------------- multimodal ----------------
 
   // Binary-column plumbing: payload bytes + header hex + chunk ("frame")
@@ -610,6 +679,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "text_ngram_topk" -> textNgramTopk,
+    "text_vocab_stats" -> textVocabStats,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -619,6 +689,7 @@ object ExtQueries {
     "sim_ivf_topk" -> simIvfTopk,
     "sim_lsh_bucket" -> simLshBucket,
     "sim_lsh_ann" -> simLshAnn,
+    "sim_ann_recall" -> simAnnRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub)
 }
