@@ -44,17 +44,21 @@ object Bench {
     // min of 2 runs per query — the reference's component baseline is
     // min-of-5 (tests/benchmarks/baseline/components.json); min absorbs GC
     // and machine-contention spikes
+    spark.catalog.clearCache() // drop warm-up-SF caches before timing
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try runToNoop(fn(spark, sfDir))
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      results(name) = times.min
+      // a failed query must not masquerade as a fast success
+      results(name) = if (failed) -1.0 else times.min
     }
 
     // CDC drain: the reference's headline workload — steady-state backlog

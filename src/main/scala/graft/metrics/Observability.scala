@@ -75,7 +75,12 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
 /** Bridges `observe("graft", count(...) AS events, max(commit_ts) AS
   * max_commit_ts)` rows into [[GraftMetrics]]. */
 final class GraftQueryListener(metrics: GraftMetrics) extends StreamingQueryListener {
-  override def onQueryStarted(event: QueryStartedEvent): Unit = metrics.heartbeat()
+  override def onQueryStarted(event: QueryStartedEvent): Unit = {
+    // a (re)started query is a recovery attempt: clear the sticky fatal
+    // error so /readyz reflects the CURRENT run, not a past crash
+    metrics.lastError.set(null)
+    metrics.heartbeat()
+  }
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val obs = event.progress.observedMetrics
     if (obs.containsKey("graft")) {

@@ -115,11 +115,15 @@ object AnalyticsQueries {
           count(lit(1)).as("n_orders"))
       val joined = agg.join(broadcast(customer),
         agg("o_custkey") === customer("c_custkey"))
+      // orderBy+limit plans as TakeOrderedAndProject — a distributed
+      // partial top-k, unlike a global row_number window which funnels every
+      // row through one partition; the rank window then runs on 10 rows
+      val top = joined.select(col("c_custkey"), col("c_name"),
+        col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
       val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
-      joined.select(col("c_custkey"), col("c_name"), col("revenue"),
-        col("n_orders"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     },
     """WITH agg AS (
       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,

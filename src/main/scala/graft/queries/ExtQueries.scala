@@ -66,10 +66,10 @@ object ExtQueries {
           alpha.as("alpha"), stops.as("stops"))
         .select(
           col("doc_id"), col("n_chars"), col("n_tokens"),
-          expr("alpha * 1000000 div n_chars").as("alpha_pm"),
-          expr("stops * 1000000 div n_tokens").as("stop_pm"),
-          (expr("alpha * 250000 div n_chars")
-            + expr("least(stops * 5, n_tokens) * 250000 div n_tokens")
+          expr("alpha * 1000000 div greatest(n_chars, 1)").as("alpha_pm"),
+          expr("stops * 1000000 div greatest(n_tokens, 1)").as("stop_pm"),
+          (expr("alpha * 250000 div greatest(n_chars, 1)")
+            + expr("least(stops * 5, n_tokens) * 250000 div greatest(n_tokens, 1)")
             + expr("least(n_tokens, 100) * 500000 div 100")).as("quality_pm"))
     }
     val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -81,10 +81,10 @@ object ExtQueries {
          |    CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS BIGINT) AS stops
          |  FROM toks)
          |SELECT doc_id, n_chars, n_tokens,
-         |  alpha * 1000000 // n_chars AS alpha_pm,
-         |  stops * 1000000 // n_tokens AS stop_pm,
-         |  (alpha * 250000 // n_chars)
-         |    + (least(stops * 5, n_tokens) * 250000 // n_tokens)
+         |  alpha * 1000000 // greatest(n_chars, 1) AS alpha_pm,
+         |  stops * 1000000 // greatest(n_tokens, 1) AS stop_pm,
+         |  (alpha * 250000 // greatest(n_chars, 1))
+         |    + (least(stops * 5, n_tokens) * 250000 // greatest(n_tokens, 1))
          |    + (least(n_tokens, 100) * 500000 // 100) AS quality_pm
          |FROM m""".stripMargin)
   }
@@ -391,8 +391,8 @@ object ExtQueries {
         .withColumn("stops",
           TextAnalysis.vocabHits(col("t"), TextAnalysis.Stopwords).cast("long"))
         .withColumn("quality_pm",
-          expr("alpha * 250000 div length(text)")
-            + expr("least(stops * 5, n_tokens) * 250000 div n_tokens")
+          expr("alpha * 250000 div greatest(length(text), 1)")
+            + expr("least(stops * 5, n_tokens) * 250000 div greatest(n_tokens, 1)")
             + expr("least(n_tokens, 100) * 500000 div 100"))
       val qualityOk = base.filter(col("quality_pm") >= 600000)
       val exactCanonical = qualityOk
@@ -435,8 +435,8 @@ object ExtQueries {
        |  WHERE round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) >= 0.9),
        |quality AS (
        |  SELECT doc_id, lang, text,
-       |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 250000 // length(text))
-       |    + (least(CAST(len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x))) AS BIGINT) * 5, len(t)) * 250000 // len(t))
+       |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 250000 // greatest(length(text), 1))
+       |    + (least(CAST(len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x))) AS BIGINT) * 5, len(t)) * 250000 // greatest(len(t), 1))
        |    + (least(CAST(len(t) AS BIGINT), 100) * 500000 // 100) AS quality_pm
        |  FROM toks),
        |kept AS (

@@ -84,7 +84,15 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
   override def deserializeOffset(json: String): Offset = {
     val m = "\"lsn\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
-    LsnOffset(m.group(1).toLong)
+    val o = LsnOffset(m.group(1).toLong)
+    // Restart safety: Spark restores offsets from the checkpoint through
+    // this method, but latestOffset() derives from in-memory scan state that
+    // starts at 0 in a fresh stream instance. Returning an offset BELOW the
+    // restored one would regress the offset log (Spark's new-data check is
+    // an inequality) and re-deliver the whole committed backlog. Clamp the
+    // planning floor to every offset the checkpoint hands us.
+    if (o.lsn > lastPlanned) lastPlanned = o.lsn
+    o
   }
 
   // Driver-side scan cursor + harvested state: the admission-control scan
@@ -93,7 +101,9 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
   // (seek position, relation payloads, last BEGIN) so the executor reader
   // seeks STRAIGHT to the boundary byte — no prefix re-read, no replay. This
   // is what keeps per-micro-batch cost flat over a long backlog.
-  private var lastPlanned: Long = 0L
+  // Planning floor: seeded from the durable confirmed LSN (≤ the checkpoint
+  // offset by at most one epoch) and raised by deserializeOffset on restore.
+  private var lastPlanned: Long = WalLog.confirmed(path)
   private var scanSeg: java.nio.file.Path = _
   private var scanOffset: Long = 0L
   private val relationPayloads =
@@ -120,7 +130,12 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
       }
       scanSeg = e.segment
       scanOffset = e.nextByteOffset
-      if (e.lsn > lastPlanned) { lastPlanned = e.lsn; n += 1 }
+      if (e.lsn > lastPlanned) {
+        lastPlanned = e.lsn
+        // admission control counts data EVENTS (the reference's BATCH_SIZE
+        // is events) — BEGIN/COMMIT/RELATION frames ride along free
+        if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') n += 1
+      }
     }
     boundaryState.update(lastPlanned, PgWalSeek(
       if (scanSeg == null) null else scanSeg.toString, scanOffset,

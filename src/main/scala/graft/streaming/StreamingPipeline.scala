@@ -38,13 +38,13 @@ object StreamingPipeline {
     * stream's routing_key. */
   def kafkaFrame(events: DataFrame, streams: Seq[StreamDef]): DataFrame = {
     val spark = events.sparkSession
+    // one envelope formatter for the whole engine (JsonEnvelope owns the
+    // field order and escaping rules; the stream's `source` is the constant
+    // the envelope hardcodes)
     val serialized = events.withColumn("value",
-      concat(lit("{\"op\":\""), col("op"),
-        lit("\",\"data\":"), col("data"),
-        lit(",\"meta\":{\"source\":\""), col("source"),
-        lit("\",\"resource\":\""), col("resource"),
-        lit("\",\"timestamp\":"), col("commit_ts").cast("string"),
-        lit(",\"lsn\":\""), col("lsn"), lit("\"}}")))
+      graft.serialization.JsonEnvelope.envelopeCol(
+        op = col("op"), dataJson = col("data"), resource = col("resource"),
+        timestamp = col("commit_ts"), lsn = col("lsn")))
     val routed = Routing.route(serialized, Routing.streamsDF(spark, streams))
     // Routing-key extraction from the JSON row payload. The key set is
     // closed (it comes from config), so this folds into a CASE over constant

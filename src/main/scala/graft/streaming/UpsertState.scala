@@ -15,9 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale shape: `groupByKey` hash-partitions by the state key — the same
   * partitioning the batch window uses — and the state store holds one small
-  * record per live row. At 100 TB the state is bounded by live-row
-  * cardinality, not stream length; RocksDB state store + watermark eviction
-  * slot in without code changes.
+  * record per touched row (DELETE leaves an LSN-guard tombstone; see
+  * [[upsert]]). At 100 TB the state is bounded by touched-key cardinality,
+  * not stream length; RocksDB state store + a timeout evicting tombstones
+  * past the redelivery horizon slot in without structural changes.
   */
 object UpsertState {
 
@@ -42,16 +43,23 @@ object UpsertState {
   def upsert(key: (String, Long), batch: Iterator[Change],
       state: GroupState[RowState]): Iterator[RowState] = {
     // apply in LSN order; stale redeliveries (lsn ≤ state.lsn) are no-ops
+    // and — like a batch containing only them — must not re-emit or rewrite
+    // unchanged state
     val sorted = batch.toSeq.sortBy(_.lsn_num)
-    var cur = state.getOption.orNull
+    val prior = state.getOption.orNull
+    var cur = prior
     sorted.foreach { c =>
       if (cur == null || c.lsn_num > cur.lsn_num) {
         cur = RowState(c.resource, c.id, c.op, c.lsn_num, c.data,
           live = c.op != "DELETE")
       }
     }
-    if (cur == null) Iterator.empty
+    if (cur == null || (cur eq prior)) Iterator.empty
     else {
+      // DELETE keeps a tombstone (not state.remove): the LSN guard must
+      // survive so a late redelivered INSERT cannot resurrect the row. State
+      // is therefore bounded by touched-key cardinality; production evicts
+      // tombstones past the redelivery horizon with a state timeout.
       state.update(cur)
       Iterator.single(cur)
     }

@@ -87,6 +87,30 @@ class WalStreamSpec extends AnyFunSuite {
     assert(n1 == n2, "restart must not re-deliver committed batches")
   }
 
+  test("restart with a multi-batch backlog never regresses offsets or re-delivers") {
+    // regression guard: a fresh stream instance scans from LSN 0; if
+    // latestOffset could return an offset below the checkpointed one, Spark
+    // would rewrite the offset log backwards and replay the committed
+    // backlog (found in review; fixed by clamping in deserializeOffset)
+    val out = Files.createTempDirectory("graft-reg-out").toString
+    val ckpt = Files.createTempDirectory("graft-reg-ckpt").toString
+    val q1 = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+      ckpt, out, None, 20L, maxEventsPerBatch = 100) // many batches
+    q1.processAllAvailable()
+    q1.stop()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // new source instance, same checkpoint — in-memory scan state is gone
+    val q2 = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+      ckpt, out, None, 20L, maxEventsPerBatch = 100)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(out)
+    assert(after.count() == n1, "restart re-delivered committed batches")
+    assert(after.groupBy("topic", "lsn").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("kafka sink config carries the reference's delivery semantics") {
     val opts = graft.sink.KafkaSinkConfig.producerOptions("broker:9092")
     assert(opts("kafka.enable.idempotence") == "true")
