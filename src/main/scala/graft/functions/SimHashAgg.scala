@@ -24,9 +24,14 @@ final class SimHashVotes {
   val votes = new Array[Int](64)
   def addHash(hexMd5: UTF8String): Unit = {
     val s = hexMd5.toString
+    // the type check can only enforce StringType; enforce the md5-hex
+    // contract here with a clear error rather than an out-of-bounds crash
+    // (short input) or a silent all-ones bias (Character.digit == -1)
+    require(s.length >= 16, s"simhash expects an md5 hex string, got '$s'")
     var k = 0
     while (k < 64) {
       val digit = Character.digit(s.charAt(k / 4), 16)
+      require(digit >= 0, s"simhash expects an md5 hex string, got '$s'")
       val bit = (digit >> (3 - k % 4)) & 1
       votes(k) += (if (bit == 1) 1 else -1)
       k += 1

@@ -105,7 +105,9 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
+    // NaN would poison the heap: weaker() is false for every NaN comparison,
+    // so an admitted NaN could never be evicted — skip it like null
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

@@ -11,38 +11,47 @@ package graft.source.postgres
   */
 object Replication {
 
+  /** Identifiers are interpolated into command text — restrict them to the
+    * unquoted-identifier charset so a mixed-case/reserved/quoted name cannot
+    * silently fold to a different object or inject into the command. */
+  private[postgres] def ident(name: String): String = {
+    require(name.matches("[a-z_][a-z0-9_]*(\\.[a-z_][a-z0-9_]*)?"),
+      s"invalid identifier: '$name' (lowercase unquoted identifiers only)")
+    name
+  }
+
   /** Publication management (pgoutput requires one). The reference creates
     * FOR ALL TABLES (replication_protocol.zig:155-172); per-table publications
     * push table filtering into Postgres — the load stand uses that form
     * (tests/load/postgres/init.sql:13-17) and so do we: filter pushdown to
     * the source is free row filtering before bytes ever leave the server. */
   def createPublication(name: String, tables: Seq[String]): String =
-    if (tables.isEmpty) s"CREATE PUBLICATION $name FOR ALL TABLES"
-    else s"CREATE PUBLICATION $name FOR TABLE ${tables.mkString(", ")}"
+    if (tables.isEmpty) s"CREATE PUBLICATION ${ident(name)} FOR ALL TABLES"
+    else s"CREATE PUBLICATION ${ident(name)} FOR TABLE ${tables.map(ident).mkString(", ")}"
 
   def dropPublication(name: String): String =
-    s"DROP PUBLICATION IF EXISTS $name"
+    s"DROP PUBLICATION IF EXISTS ${ident(name)}"
 
   def publicationExists(name: String): String =
-    s"SELECT 1 FROM pg_publication WHERE pubname = '$name'"
+    s"SELECT 1 FROM pg_publication WHERE pubname = '${ident(name)}'"
 
   /** Slot creation on a replication connection; the result row carries
     * `consistent_point` (the stream start LSN) and `snapshot_name` (the
     * exported snapshot the initial table scan must run under — only valid
     * while this session stays open, snapshot.zig:31-36). */
   def createSlot(slot: String): String =
-    s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput"
+    s"CREATE_REPLICATION_SLOT ${ident(slot)} LOGICAL pgoutput"
 
   def dropSlot(slot: String): String =
-    s"DROP_REPLICATION_SLOT $slot WAIT"
+    s"DROP_REPLICATION_SLOT ${ident(slot)} WAIT"
 
   def slotExists(slot: String): String =
-    s"SELECT 1 FROM pg_replication_slots WHERE slot_name = '$slot'"
+    s"SELECT 1 FROM pg_replication_slots WHERE slot_name = '${ident(slot)}'"
 
   /** Begin CopyBoth streaming from the consistent point. */
   def startReplication(slot: String, publication: String, startLsn: String): String =
-    s"START_REPLICATION SLOT $slot LOGICAL $startLsn " +
-      s"""(proto_version '1', publication_names '$publication')"""
+    s"START_REPLICATION SLOT ${ident(slot)} LOGICAL $startLsn " +
+      s"""(proto_version '1', publication_names '${ident(publication)}')"""
 
   /** Snapshot session setup: the initial scan must see exactly the slot's
     * consistent point (snapshot.zig:75-100). */
@@ -55,8 +64,8 @@ object Replication {
     * predicate ranges on the PK — same transaction-snapshot pin per
     * partition connection. */
   def declareCursor(cursor: String, resource: String): String =
-    s"DECLARE $cursor CURSOR FOR SELECT * FROM $resource"
+    s"DECLARE ${ident(cursor)} CURSOR FOR SELECT * FROM ${ident(resource)}"
 
   def fetchForward(cursor: String, n: Int): String =
-    s"FETCH FORWARD $n FROM $cursor"
+    s"FETCH FORWARD $n FROM ${ident(cursor)}"
 }

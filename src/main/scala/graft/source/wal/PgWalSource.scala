@@ -37,10 +37,13 @@ class PgWalSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PgWalSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new PgWalTable(properties.get("path"),
-      Option(properties.get("maxEventsPerBatch")).map(_.toInt)
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by contract
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PgWalTable(opts.get("path"),
+      Option(opts.get("maxEventsPerBatch")).map(_.toInt)
         .getOrElse(PgWalSource.DefaultBatchSize))
+  }
 }
 
 object PgWalSource {
@@ -116,6 +119,11 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
     * trigger so one giant backlog drains as bounded micro-batches. */
   override def latestOffset(): Offset = {
     val it = WalLog.scanFrames(path, scanSeg, scanOffset)
+    try latestOffsetFrom(it)
+    finally it.close() // the scan stops mid-segment when the budget is hit
+  }
+
+  private def latestOffsetFrom(it: WalLog.FrameScan): Offset = {
     var n = 0
     while (n < maxPerBatch && it.hasNext) {
       val e = it.next()
@@ -232,5 +240,5 @@ final class PgWalPartitionReader(path: String, afterLsn: Long, untilLsn: Long,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = frames.close() // killed tasks must not leak FDs
 }

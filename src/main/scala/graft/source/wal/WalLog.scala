@@ -2,12 +2,19 @@ package graft.source.wal
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Replayable WAL segment files: the harness stand-in for a live walsender
   * socket. Each segment is a sequence of frames `[lsn:8][len:4][payload]`,
   * where payload is one raw pgoutput message. Segments are named
   * `NNNNNNNN.wal` and replayed in name order — the same ordered, resumable
   * byte stream a replication slot provides, minus the network.
+  *
+  * Frame LSNs ascend across the whole log; every reader here exploits that:
+  * upper bounds are takeWhile (stop at the boundary — NOT a filter, which
+  * would drain the entire remaining log per batch), and iterators are
+  * closeable so admission-control scans that stop mid-segment don't leak
+  * file descriptors.
   */
 object WalLog {
 
@@ -18,16 +25,9 @@ object WalLog {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val it = Files.list(d)
-      try it.filter(p => p.getFileName.toString.endsWith(".wal"))
-        .sorted().iterator().asScala.toVector // ascending segment order
+      try it.iterator().asScala.filter(_.getFileName.toString.endsWith(".wal"))
+        .toVector.sorted // ascending segment order
       finally it.close()
-    }
-  }
-
-  private implicit class JIter[A](val it: java.util.Iterator[A]) extends AnyVal {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
     }
   }
 
@@ -39,18 +39,59 @@ object WalLog {
     } finally out.close()
   }
 
+  /** Sequential frame iterator over a file chain — ONE stream open at a
+    * time; `close()` releases the current one (abandonment-safe), and the
+    * `untilLsn` bound stops (and closes) at the first frame past it. */
+  final class FrameIterator(files: Seq[Path], firstOffset: Long, untilLsn: Long)
+      extends Iterator[Frame] with AutoCloseable {
+    private var fileIdx = 0
+    private var in: DataInputStream = _
+    private var nextFrame: Frame = advance()
+
+    private def openNext(): Boolean = {
+      close()
+      if (fileIdx >= files.length) false
+      else {
+        in = new DataInputStream(new BufferedInputStream(
+          new FileInputStream(files(fileIdx).toFile)))
+        if (fileIdx == 0 && firstOffset > 0) in.skipNBytes(firstOffset)
+        fileIdx += 1
+        true
+      }
+    }
+
+    private def advance(): Frame = {
+      while (true) {
+        if (in == null && !openNext()) return null
+        try {
+          val lsn = in.readLong()
+          val len = in.readInt()
+          if (lsn > untilLsn) { close(); return null } // ascending ⇒ done
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          return Frame(lsn, buf)
+        } catch { case _: EOFException => close() }
+      }
+      null
+    }
+
+    def hasNext: Boolean = nextFrame != null
+    def next(): Frame = { val f = nextFrame; nextFrame = advance(); f }
+    override def close(): Unit = { if (in != null) { in.close(); in = null } }
+  }
+
+  def readSegment(path: Path): FrameIterator =
+    new FrameIterator(Seq(path), 0L, Long.MaxValue)
+
   /** Stream frames with lsn in (afterLsn, untilLsn]. */
   def read(dir: String, afterLsn: Long, untilLsn: Long): Iterator[Frame] =
-    segmentFiles(dir).iterator.flatMap(readSegment).filter(f =>
-      f.lsn > afterLsn && f.lsn <= untilLsn)
+    new FrameIterator(segmentFiles(dir), 0L, untilLsn).filter(_.lsn > afterLsn)
 
-  /** First frame's lsn of a segment (12-byte peek), or Long.MaxValue for an
-    * empty segment. */
+  /** First frame's lsn of a segment (12-byte peek), or Long.MaxValue. */
   def segmentStartLsn(path: Path): Long = {
     val it = readSegment(path)
-    if (it.hasNext) it.next().lsn else Long.MaxValue
-    // note: readSegment closes its stream on EOF; early abandonment leaks a
-    // descriptor until GC — acceptable for the 12-byte peek, files are few
+    try { if (it.hasNext) it.next().lsn else Long.MaxValue }
+    finally it.close()
   }
 
   /** Frames of all segments that may contain data past `afterLsn` —
@@ -59,114 +100,91 @@ object WalLog {
     * segment k+1 starts at or below afterLsn+1). Frames below the boundary
     * inside the FIRST surviving segment are still yielded so the caller can
     * replay that segment's RELATION/BEGIN state cheaply. */
-  def readForBatch(dir: String, afterLsn: Long, untilLsn: Long): Iterator[Frame] = {
+  def readForBatch(dir: String, afterLsn: Long, untilLsn: Long): FrameIterator = {
     val files = segmentFiles(dir)
-    if (files.isEmpty) return Iterator.empty
+    if (files.isEmpty) return new FrameIterator(Seq.empty, 0L, untilLsn)
     val starts = files.map(segmentStartLsn)
-    // keep segment k unless the next segment starts at/below the boundary+1
-    val keep = files.indices.filter(k =>
-      k == files.length - 1 || starts(k + 1) > afterLsn + 1)
-    val firstKept = keep.headOption.getOrElse(files.length - 1)
-    files.drop(firstKept).iterator.flatMap(readSegment)
-      .filter(_.lsn <= untilLsn)
-  }
-
-  def readSegment(path: Path): Iterator[Frame] = new Iterator[Frame] {
-    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
-    private var nextFrame: Frame = advance()
-    private def advance(): Frame =
-      try {
-        val lsn = in.readLong()
-        val len = in.readInt()
-        val buf = new Array[Byte](len)
-        in.readFully(buf)
-        Frame(lsn, buf)
-      } catch { case _: EOFException => in.close(); null }
-    def hasNext: Boolean = nextFrame != null
-    def next(): Frame = { val f = nextFrame; nextFrame = advance(); f }
-  }
-
-  def maxLsn(dir: String): Long =
-    segmentFiles(dir).foldLeft(0L)((m, p) =>
-      readSegment(p).foldLeft(m)((mm, f) => math.max(mm, f.lsn)))
-
-  /** Lightweight frame scan for driver-side admission control: yields
-    * (lsn, segment path, byte offset of the NEXT frame, payload tag,
-    * payload bytes only for RELATION/BEGIN frames — data payloads are
-    * skipped, not allocated). One sequential pass, no Frame objects. */
-  final case class ScanEntry(lsn: Long, segment: Path, nextByteOffset: Long,
-      tag: Byte, statePayload: Array[Byte])
-
-  def scanFrames(dir: String, fromSegment: Path = null,
-      fromOffset: Long = 0L): Iterator[ScanEntry] = {
-    val files0 = segmentFiles(dir)
-    val files = if (fromSegment == null) files0
-      else files0.dropWhile(_.compareTo(fromSegment) < 0)
-    files.iterator.zipWithIndex.flatMap { case (p, idx) =>
-      val skipTo = if (idx == 0 && fromSegment != null) fromOffset else 0L
-      new Iterator[ScanEntry] {
-        private val in = new DataInputStream(new BufferedInputStream(
-          new FileInputStream(p.toFile)))
-        private var pos = 0L
-        locally {
-          // skipNBytes: exact positioning (plain skip() may return 0
-          // transiently, which a naive loop would misread as EOF)
-          if (skipTo > 0) { in.skipNBytes(skipTo); pos = skipTo }
-        }
-        private var nextEntry: ScanEntry = advance()
-        private def advance(): ScanEntry =
-          try {
-            val lsn = in.readLong()
-            val len = in.readInt()
-            val tag = in.readByte()
-            val state =
-              if (tag == 'R' || tag == 'B') {
-                val rest = new Array[Byte](len - 1)
-                in.readFully(rest)
-                val full = new Array[Byte](len)
-                full(0) = tag
-                System.arraycopy(rest, 0, full, 1, len - 1)
-                full
-              } else {
-                in.skipNBytes((len - 1).toLong)
-                null
-              }
-            pos += 12L + len
-            ScanEntry(lsn, p, pos, tag, state)
-          } catch { case _: EOFException => in.close(); null }
-        def hasNext: Boolean = nextEntry != null
-        def next(): ScanEntry = { val e = nextEntry; nextEntry = advance(); e }
-      }
-    }
+    val firstKept = files.indices
+      .find(k => k == files.length - 1 || starts(k + 1) > afterLsn + 1)
+      .getOrElse(files.length - 1)
+    new FrameIterator(files.drop(firstKept), 0L, untilLsn)
   }
 
   /** Frames from an exact (segment, byteOffset) position onward (the seek
     * handed to readers by driver-side admission control), capped at
     * untilLsn. */
   def readFrom(dir: String, segment: Path, byteOffset: Long,
-      untilLsn: Long): Iterator[Frame] = {
-    val files = segmentFiles(dir).dropWhile(_.compareTo(segment) < 0)
-    files.iterator.zipWithIndex.flatMap { case (p, idx) =>
-      if (idx == 0) readSegmentFrom(p, byteOffset) else readSegment(p)
-    }.filter(_.lsn <= untilLsn)
+      untilLsn: Long): FrameIterator =
+    new FrameIterator(segmentFiles(dir).dropWhile(_.compareTo(segment) < 0),
+      byteOffset, untilLsn)
+
+  def maxLsn(dir: String): Long = {
+    val it = new FrameIterator(segmentFiles(dir), 0L, Long.MaxValue)
+    try it.foldLeft(0L)((m, f) => math.max(m, f.lsn)) finally it.close()
   }
 
-  private def readSegmentFrom(path: Path, byteOffset: Long): Iterator[Frame] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
-    if (byteOffset > 0) in.skipNBytes(byteOffset)
-    new Iterator[Frame] {
-      private var nextFrame: Frame = advance()
-      private def advance(): Frame =
+  /** Lightweight frame scan for driver-side admission control: yields
+    * (lsn, segment path, byte offset of the NEXT frame, payload tag,
+    * payload bytes only for RELATION/BEGIN frames — data payloads are
+    * skipped, not allocated). One stream open at a time; close() safe on
+    * mid-segment abandonment. */
+  final case class ScanEntry(lsn: Long, segment: Path, nextByteOffset: Long,
+      tag: Byte, statePayload: Array[Byte])
+
+  final class FrameScan(files: Seq[Path], firstOffset: Long)
+      extends Iterator[ScanEntry] with AutoCloseable {
+    private var fileIdx = 0
+    private var in: DataInputStream = _
+    private var pos = 0L
+    private var cur: Path = _
+    private var nextEntry: ScanEntry = advance()
+
+    private def openNext(): Boolean = {
+      close()
+      if (fileIdx >= files.length) false
+      else {
+        cur = files(fileIdx)
+        in = new DataInputStream(new BufferedInputStream(
+          new FileInputStream(cur.toFile)))
+        pos = 0L
+        if (fileIdx == 0 && firstOffset > 0) { in.skipNBytes(firstOffset); pos = firstOffset }
+        fileIdx += 1
+        true
+      }
+    }
+
+    private def advance(): ScanEntry = {
+      while (true) {
+        if (in == null && !openNext()) return null
         try {
           val lsn = in.readLong()
           val len = in.readInt()
-          val buf = new Array[Byte](len)
-          in.readFully(buf)
-          Frame(lsn, buf)
-        } catch { case _: EOFException => in.close(); null }
-      def hasNext: Boolean = nextFrame != null
-      def next(): Frame = { val f = nextFrame; nextFrame = advance(); f }
+          val tag = in.readByte()
+          val state =
+            if (tag == 'R' || tag == 'B') {
+              val full = new Array[Byte](len)
+              full(0) = tag
+              in.readFully(full, 1, len - 1)
+              full
+            } else { in.skipNBytes((len - 1).toLong); null }
+          pos += 12L + len
+          return ScanEntry(lsn, cur, pos, tag, state)
+        } catch { case _: EOFException => close() }
+      }
+      null
     }
+
+    def hasNext: Boolean = nextEntry != null
+    def next(): ScanEntry = { val e = nextEntry; nextEntry = advance(); e }
+    override def close(): Unit = { if (in != null) { in.close(); in = null } }
+  }
+
+  def scanFrames(dir: String, fromSegment: Path = null,
+      fromOffset: Long = 0L): FrameScan = {
+    val files0 = segmentFiles(dir)
+    val files = if (fromSegment == null) files0
+      else files0.dropWhile(_.compareTo(fromSegment) < 0)
+    new FrameScan(files, if (fromSegment == null) 0L else fromOffset)
   }
 
   // -- confirmed-LSN file: the standby-status-update analog ------------------

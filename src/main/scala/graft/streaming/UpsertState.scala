@@ -30,12 +30,19 @@ object UpsertState {
       lsn_num: Long, data: String, live: Boolean)
 
   /** Project the WAL envelope stream to typed changes (id from the JSON
-    * payload via the routing key column `id`). */
+    * payload via the routing key column `id`). A row without the key column
+    * cannot be materialized and is a hard error, matching the reference's
+    * missing-routing-key semantics (processor.zig:247-251) — silently
+    * keying on null would merge unrelated rows. */
   def changes(events: DataFrame): Dataset[Change] = {
     import events.sparkSession.implicits._
+    val id = get_json_object(col("data"), "$.id").cast("long")
     events.select(
       col("resource"),
-      get_json_object(col("data"), "$.id").cast("long").as("id"),
+      when(id.isNull,
+        raise_error(concat(lit("upsert state: row has no 'id' key: "), col("data")))
+          .cast("long"))
+        .otherwise(id).as("id"),
       col("op"), col("lsn_num"), col("data"))
       .as[Change]
   }
