@@ -63,39 +63,42 @@ object Bench {
 
     // CDC drain: the reference's headline workload — steady-state backlog
     // drain (tests/load/README.md measures a 70 s drain of a pre-built WAL
-    // backlog, excluding process startup). We mirror that: prime the running
-    // query on a small first segment (absorbs stream/codegen startup), then
-    // time the drain of the real backlog appended behind it.
+    // backlog, excluding process startup). Prime the running query on a
+    // small first segment (absorbs stream/codegen startup), then time the
+    // drain of the real backlog appended behind it. min-of-2 full cycles —
+    // the box this runs on shows 2x contention swings.
     try {
-      val walDir = Files.createTempDirectory("graft-bench-wal").toString
-      val outDir = Files.createTempDirectory("graft-bench-out").toString
-      val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
       val rows = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id")
         .collect()
       def toEv(r: org.apache.spark.sql.Row) =
         WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
           r.getString(3), r.getDouble(4), r.getString(5))
       val (prime, backlog) = rows.splitAt(1000)
-      // each segment re-announces its relations (fresh `seen`) — required by
-      // the reader's segment pruning, and what a walsender does per session
-      def writeSegment(idx: Int, seg: Array[org.apache.spark.sql.Row]): Unit = {
-        val seen = scala.collection.mutable.Set.empty[String]
-        graft.source.wal.WalLog.write(
-          java.nio.file.Paths.get(walDir, f"$idx%08d.wal"),
-          seg.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
+      def oneDrain(): Double = {
+        val walDir = Files.createTempDirectory("graft-bench-wal").toString
+        val outDir = Files.createTempDirectory("graft-bench-out").toString
+        val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
+        // each segment re-announces its relations (fresh `seen`) — required
+        // by the reader's segment pruning, as a walsender does per session
+        def writeSegment(idx: Int, seg: Array[org.apache.spark.sql.Row]): Unit = {
+          val seen = scala.collection.mutable.Set.empty[String]
+          graft.source.wal.WalLog.write(
+            java.nio.file.Paths.get(walDir, f"$idx%08d.wal"),
+            seg.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
+        }
+        writeSegment(0, prime)
+        val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+          ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
+          maxEventsPerBatch = Int.MaxValue)
+        q.processAllAvailable() // prime: startup + first segment
+        writeSegment(1, backlog)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        secs
       }
-      writeSegment(0, prime)
-      val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
-        ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
-        maxEventsPerBatch = Int.MaxValue)
-      q.processAllAvailable() // prime: startup + first segment
-      // one continuous backlog drain, like the reference's 70 s load-stand
-      // measurement (micro-batch fixed costs amortize over the full backlog)
-      writeSegment(1, backlog)
-      val t0 = System.nanoTime()
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
+      val secs = math.min(oneDrain(), oneDrain())
       results("wal_drain") = secs
       System.err.println(
         f"[bench] wal_drain: ${backlog.length} events in $secs%.2f s = " +
