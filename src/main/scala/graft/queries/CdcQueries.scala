@@ -91,6 +91,38 @@ object CdcQueries {
        |FROM changelog c JOIN $streamsSql s
        |  ON c.resource = s.s_resource AND lower(c.op) = s.s_op""".stripMargin)
 
+  // F1 fan-OUT multiplicity: one event may match N streams and must be
+  // delivered to each (reference: processor.zig:31-51 returns ALL matches;
+  // routing_integration_test.zig). Overlapping subscriptions on
+  // public.purchase: the firehose stream gets every op, the audit stream
+  // only deletes — a DELETE fans out to BOTH topics.
+  val cdcMultiSubscriber: (QFn, String) = {
+    import graft.config.StreamDef
+    val streams = Seq(
+      StreamDef("s_purchase_all", "public.purchase",
+        Seq("insert", "update", "delete"), "cdc.purchase"),
+      StreamDef("s_purchase_audit", "public.purchase", Seq("delete"),
+        "audit.purchase"),
+      StreamDef("s_click_ins", "public.click", Seq("insert"), "cdc.click"))
+    val streamsSqlLocal = streams.flatMap { s =>
+      val n = s.normalized
+      n.operations.map(op =>
+        s"('${n.name}','${n.resource}','$op','${n.routingKey}','${n.destination}')")
+    }.mkString(
+      "(SELECT * FROM (VALUES ", ", ",
+      ") AS t(stream, s_resource, s_op, routing_key, topic))")
+    ((s: SparkSession, dir: String) =>
+      Routing.route(changelog(s, dir), Routing.streamsDF(s, streams))
+        .groupBy(col("resource"), col("op"))
+        .agg(count(lit(1)).as("deliveries"),
+          countDistinct(col("lsn_num")).as("distinct_events")),
+      s"""$cte SELECT resource, op, CAST(count(*) AS BIGINT) AS deliveries,
+         |  CAST(count(DISTINCT lsn_num) AS BIGINT) AS distinct_events
+         |FROM changelog c JOIN $streamsSqlLocal s
+         |  ON c.resource = s.s_resource AND lower(c.op) = s.s_op
+         |GROUP BY resource, op""".stripMargin)
+  }
+
   // P1 — routing-key extraction: the Kafka message key as CAST(col AS STRING).
   val cdcPartitionKey: (QFn, String) = (
     (s, dir) => routed(s, dir).select(
@@ -261,6 +293,7 @@ object CdcQueries {
     "cdc_changelog" -> cdcChangelog,
     "cdc_type_promotion" -> cdcTypePromotion,
     "cdc_route_fanout" -> cdcRouteFanout,
+    "cdc_multi_subscriber" -> cdcMultiSubscriber,
     "cdc_partition_key" -> cdcPartitionKey,
     "cdc_serialize_json" -> cdcSerializeJson,
     "cdc_kafka_messages" -> cdcKafkaMessages,
