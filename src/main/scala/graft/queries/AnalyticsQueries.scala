@@ -159,7 +159,58 @@ object AnalyticsQueries {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r_name""".stripMargin)
 
+  // Date-range priority counts: the predicate reaches the parquet scan as a
+  // pushed filter (epoch-µs comparison avoids timestamp-literal timezone
+  // parity hazards between engines).
+  val olapOrderPriority: (QFn, String) = (
+    (s, dir) => {
+      val od = ChangeLog.table(s, dir, "orders")
+      od.select(col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+        .filter(col("od_us") >= lit(852076800000000L) && // 1997-01-01 UTC
+          col("od_us") < lit(915148800000000L))          // 1999-01-01 UTC
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE epoch_us(o_orderdate) >= 852076800000000
+      |  AND epoch_us(o_orderdate) < 915148800000000
+      |GROUP BY o_orderpriority""".stripMargin)
+
+  // Conversion funnel: users who signed up AND later purchased — left-semi
+  // join (EXISTS) with an event-time ordering condition, counted per event
+  // type cohort.
+  val eventsFunnel: (QFn, String) = (
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        col("event_type"), tsUs.as("ts_us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("first_signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_us"))
+      val converted = signups.join(purchases,
+        signups("user_id") === purchases("p_user") &&
+          purchases("p_us") > signups("first_signup_us"), "left_semi")
+      signups.agg(count(lit(1)).as("n_signup_users")).crossJoin(
+        converted.agg(count(lit(1)).as("n_converted")))
+        .withColumn("conversion_pm", expr("n_converted * 1000000 div greatest(n_signup_users, 1)"))
+    },
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |conv AS (
+      |  SELECT s.user_id FROM s WHERE EXISTS (
+      |    SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+      |      AND p.user_id = s.user_id AND epoch_us(p.ts) > s.first_signup_us))
+      |SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup_users,
+      |  CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+      |  CAST((SELECT count(*) FROM conv) * 1000000 //
+      |    greatest((SELECT count(*) FROM s), 1) AS BIGINT) AS conversion_pm""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_order_priority" -> olapOrderPriority,
+    "events_funnel" -> eventsFunnel,
     "events_window_agg" -> eventsWindowAgg,
     "events_sessionize" -> eventsSessionize,
     "olap_pricing_summary" -> olapPricingSummary,
