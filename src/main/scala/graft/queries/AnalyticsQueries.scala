@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Parity notes: event time is µs (nanos truncated — DuckDB's timestamp is
   * µs-precision, so µs is the largest common unit); money aggregates are
-  * summed as DECIMAL(18,2) (exact, order-independent — a double sum's value
-  * depends on partition order and cannot hash-match across engines at 600k
-  * rows); ranks break ties on a deterministic column.
+  * summed as scaled integers — `sum(floor(x * 1e6) as long)` — because an
+  * IEEE double multiply + floor is bit-identical across engines, while both
+  * a double sum (partition-order-dependent) and a double→DECIMAL cast
+  * (Spark rounds the shortest decimal string, DuckDB rounds the binary
+  * value — a boundary like 2.675 flips the last cent) break exact-hash
+  * parity; ranks break ties on a deterministic column.
   */
 object AnalyticsQueries {
   import CdcQueries.QFn
@@ -36,10 +39,12 @@ object AnalyticsQueries {
         col("event_type"), col("value"))
       .groupBy("window_start_us", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value")),
+        // exact integer micro-units (see class Scaladoc): double→decimal
+        // casts round differently across engines on last-cent boundaries
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_e6")),
     """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
       |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
       |FROM events GROUP BY 1, 2""".stripMargin)
 
   // Sessionization: per-user sessions split on >30 min inactivity gaps —
@@ -78,16 +83,19 @@ object AnalyticsQueries {
       |FROM sess GROUP BY user_id, session_idx""".stripMargin)
 
   // TPC-H Q1-shaped pricing summary: partial-aggregate-friendly groupBy over
-  // the fact table; decimal sums are exact and order-independent.
+  // the fact table. All money sums are floor-scaled integer units (cents /
+  // e4) — exact, order-independent, and bit-identical across engines because
+  // both sides evaluate the same IEEE double multiply before the floor.
+  // The disc-price product is floored AFTER the full double multiply chain
+  // (left-associated in both engines) so the two plans share every bit.
   val olapPricingSummary: (QFn, String) = (
     (s, dir) => ChangeLog.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)")).as("sum_disc_price"),
+        sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_e2"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_e2"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")).as("sum_disc_price_e4"),
         // exact integer micro-units: a rounded double AVG depends on Spark's
         // partial-agg order and can flip a rounding boundary vs the oracle
         sum(floor(col("l_discount") * 1000000).cast("long")).as("sum_disc_e6"),
@@ -95,11 +103,9 @@ object AnalyticsQueries {
       .withColumn("avg_disc_e6", expr("sum_disc_e6 div count_order"))
       .drop("sum_disc_e6"),
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      |      AS DECIMAL(28,4))) AS sum_disc_price,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
       |  CAST(sum(CAST(floor(l_discount * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_e6,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
@@ -111,7 +117,7 @@ object AnalyticsQueries {
       val orders = ChangeLog.table(s, dir, "orders")
       val customer = ChangeLog.table(s, dir, "customer")
       val agg = orders.groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_e2"),
           count(lit(1)).as("n_orders"))
       val joined = agg.join(broadcast(customer),
         agg("o_custkey") === customer("c_custkey"))
@@ -119,19 +125,19 @@ object AnalyticsQueries {
       // partial top-k, unlike a global row_number window which funnels every
       // row through one partition; the rank window then runs on 10 rows
       val top = joined.select(col("c_custkey"), col("c_name"),
-        col("revenue"), col("n_orders"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        col("revenue_e2"), col("n_orders"))
+        .orderBy(col("revenue_e2").desc, col("c_custkey"))
         .limit(10)
-      val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
+      val w = Window.orderBy(col("revenue_e2").desc, col("c_custkey"))
       top.withColumn("rank", row_number().over(w).cast("long"))
     },
     """WITH agg AS (
-      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
       |    CAST(count(*) AS BIGINT) AS n_orders
       |  FROM orders GROUP BY o_custkey)
-      |SELECT c_custkey, c_name, revenue, n_orders, rank FROM (
-      |  SELECT c.c_custkey, c.c_name, a.revenue, a.n_orders,
-      |    CAST(row_number() OVER (ORDER BY a.revenue DESC, c.c_custkey) AS BIGINT) AS rank
+      |SELECT c_custkey, c_name, revenue_e2, n_orders, rank FROM (
+      |  SELECT c.c_custkey, c.c_name, a.revenue_e2, a.n_orders,
+      |    CAST(row_number() OVER (ORDER BY a.revenue_e2 DESC, c.c_custkey) AS BIGINT) AS rank
       |  FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey)
       |WHERE rank <= 10""".stripMargin)
 
@@ -148,10 +154,10 @@ object AnalyticsQueries {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_e2"),
           count(lit(1)).as("n_orders"))
     },
-    """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+    """SELECT r_name, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
       |  CAST(count(*) AS BIGINT) AS n_orders
       |FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey
