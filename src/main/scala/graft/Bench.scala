@@ -87,9 +87,11 @@ object Bench {
             seg.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
         }
         writeSegment(0, prime)
+        // sliceEvents splits the batch into ~32 parallel decode partitions
+        // (99k-event backlog / 3000 ≈ one slice per core on this box)
         val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
           ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
-          maxEventsPerBatch = Int.MaxValue)
+          maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
         q.processAllAvailable() // prime: startup + first segment
         writeSegment(1, backlog)
         val t0 = System.nanoTime()

@@ -43,7 +43,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val metrics = new GraftMetrics
-    spark.streams.addListener(new GraftQueryListener(metrics))
+    spark.streams.addListener(new GraftQueryListener(metrics, config.streams))
     val http = new MetricsHttp(metrics,
       sys.env.getOrElse("GRAFT_HTTP_PORT", "0").toInt)
     val port = http.start()
@@ -54,8 +54,7 @@ object Main {
     val query = StreamingPipeline.start(
       spark, walDir, config.streams, ckptDir, outDir,
       kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),
-      triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong,
-      tallyTo = Some(metrics))
+      triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong)
 
     sys.addShutdownHook { query.stop(); http.stop() }
     if (sys.env.contains("GRAFT_DRAIN_AND_EXIT")) {

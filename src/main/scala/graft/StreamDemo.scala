@@ -36,14 +36,14 @@ object StreamDemo {
     println(f"[demo] rendered $nEvents events as pgoutput WAL in ${(System.nanoTime() - t0) / 1e9}%.2f s at $walDir")
 
     val metrics = new GraftMetrics
-    spark.streams.addListener(new GraftQueryListener(metrics))
+    spark.streams.addListener(new GraftQueryListener(metrics, Routing.fixtureStreams))
     val t1 = System.nanoTime()
     val http = new graft.metrics.MetricsHttp(metrics, 0)
     val port = http.start()
     println(s"[demo] metrics at http://localhost:$port/metrics")
     val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
       ckptDir, outDir, kafkaBootstrap = None, triggerMs = 100L,
-      tallyTo = Some(metrics))
+      sliceEvents = 2000)
     q.processAllAvailable()
     q.stop()
     val secs = (System.nanoTime() - t1) / 1e9

@@ -42,7 +42,8 @@ class PgWalSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new PgWalTable(opts.get("path"),
       Option(opts.get("maxEventsPerBatch")).map(_.toInt)
-        .getOrElse(PgWalSource.DefaultBatchSize))
+        .getOrElse(PgWalSource.DefaultBatchSize),
+      Option(opts.get("sliceEvents")).map(_.toInt).getOrElse(0))
   }
 }
 
@@ -61,7 +62,8 @@ object PgWalSource {
   val DefaultBatchSize = 5000
 }
 
-final class PgWalTable(path: String, maxPerBatch: Int) extends Table with SupportsRead {
+final class PgWalTable(path: String, maxPerBatch: Int, sliceEvents: Int)
+    extends Table with SupportsRead {
   require(path != null, "pgwal source requires .option(\"path\", dir)")
   override def name(): String = s"pgwal($path)"
   override def schema(): StructType = PgWalSource.schema
@@ -71,7 +73,7 @@ final class PgWalTable(path: String, maxPerBatch: Int) extends Table with Suppor
     () => new Scan {
       override def readSchema(): StructType = PgWalSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new PgWalMicroBatchStream(path, maxPerBatch)
+        new PgWalMicroBatchStream(path, maxPerBatch, sliceEvents)
     }
 }
 
@@ -79,8 +81,16 @@ final case class LsnOffset(lsn: Long) extends Offset {
   override def json(): String = s"""{"lsn":$lsn}"""
 }
 
-final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
-    extends MicroBatchStream {
+/** @param sliceEvents when > 0, the admission scan snapshots a byte-exact
+  *   seek every `sliceEvents` data events, and each micro-batch is planned
+  *   as one input partition PER SLICE — decode/convert/serialize then run in
+  *   parallel across executor cores instead of a single ordered task. Rows
+  *   still carry `lsn_num`, so per-key delivery order is restored downstream
+  *   (repartition by key + sortWithinPartitions) where a sink needs it; the
+  *   default 0 keeps the strictly-ordered single-partition behavior of a
+  *   live replication slot. */
+final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
+    sliceEvents: Int = 0) extends MicroBatchStream {
 
   override def initialOffset(): Offset = LsnOffset(0L)
 
@@ -125,6 +135,10 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
 
   private def latestOffsetFrom(it: WalLog.FrameScan): Offset = {
     var n = 0
+    var sinceSlice = 0
+    def snapshot(): Unit = boundaryState.update(lastPlanned, PgWalSeek(
+      if (scanSeg == null) null else scanSeg.toString, scanOffset,
+      relationPayloads.values.toVector, lastBeginPayload))
     while (n < maxPerBatch && it.hasNext) {
       val e = it.next()
       if (e.statePayload != null) {
@@ -142,12 +156,19 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
         lastPlanned = e.lsn
         // admission control counts data EVENTS (the reference's BATCH_SIZE
         // is events) — BEGIN/COMMIT/RELATION frames ride along free
-        if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') n += 1
+        if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') {
+          n += 1
+          sinceSlice += 1
+          // intermediate slice cut: same snapshot the batch boundary gets,
+          // so each slice's reader seeks straight to its first byte
+          if (sliceEvents > 0 && sinceSlice >= sliceEvents) {
+            snapshot()
+            sinceSlice = 0
+          }
+        }
       }
     }
-    boundaryState.update(lastPlanned, PgWalSeek(
-      if (scanSeg == null) null else scanSeg.toString, scanOffset,
-      relationPayloads.values.toVector, lastBeginPayload))
+    snapshot()
     LsnOffset(lastPlanned)
   }
 
@@ -156,7 +177,16 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int)
     val e = end.asInstanceOf[LsnOffset].lsn
     boundaryState.keys.filter(_ < s).toSeq.foreach(boundaryState.remove)
     if (e <= s) Array.empty
-    else Array(PgWalInputPartition(path, s, e, boundaryState.get(s).orNull))
+    else {
+      // one partition per recorded slice cut in (s, e); with sliceEvents=0
+      // there are no inner cuts and this is the single ordered partition
+      val cuts = boundaryState.keysIterator.filter(k => k > s && k < e).toVector.sorted
+      val bounds = (s +: cuts) :+ e
+      bounds.iterator.sliding(2).map { pair =>
+        PgWalInputPartition(path, pair.head, pair(1),
+          boundaryState.get(pair.head).orNull)
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

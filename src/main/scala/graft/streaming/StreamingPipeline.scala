@@ -23,13 +23,18 @@ import org.apache.spark.sql.Row
   */
 object StreamingPipeline {
 
-  /** Open the WAL change stream (see [[graft.source.wal.PgWalSource]]). */
+  /** Open the WAL change stream (see [[graft.source.wal.PgWalSource]]).
+    * `sliceEvents > 0` splits each micro-batch into one input partition per
+    * `sliceEvents` data events for parallel decode (order restored downstream
+    * by lsn_num where a sink needs it). */
   def walStream(spark: SparkSession, walDir: String,
-      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize): DataFrame =
+      maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
+      sliceEvents: Int = 0): DataFrame =
     spark.readStream
       .format(classOf[PgWalSource].getName)
       .option("path", walDir)
       .option("maxEventsPerBatch", maxEventsPerBatch.toString)
+      .option("sliceEvents", sliceEvents.toString)
       .load()
 
   /** Routed, serialized, Kafka-shaped frame (topic, key, value) from the
@@ -62,62 +67,78 @@ object StreamingPipeline {
         "resource", "commit_ts")
   }
 
+  /** The per-(stream, op) tally pairs, in the fixed order the observe()
+    * columns are emitted (A1; reference processor.zig:174-183). The stream
+    * set is closed config, so the tally is a handful of codegen'd
+    * conditional-sum aggregates riding the existing observation — zero extra
+    * jobs, zero driver-side collect. [[graft.metrics.GraftQueryListener]]
+    * reads them back positionally through this same function. */
+  def tallyPairs(streams: Seq[StreamDef]): Seq[(String, String)] =
+    streams.flatMap { s =>
+      val n = s.normalized
+      n.operations.map(op => (n.name, op))
+    }
+
+  private def observed(frame: DataFrame, streams: Seq[StreamDef]): DataFrame = {
+    val tallies = tallyPairs(streams).zipWithIndex.map { case ((st, op), i) =>
+      sum(when(col("stream") === st && lower(col("op")) === op, 1L)
+        .otherwise(0L)).as(s"tally_$i")
+    }
+    frame.observe("graft",
+      count(lit(1)).as("events"),
+      (max(col("commit_ts")).as("max_commit_ts") +: tallies): _*)
+  }
+
   /** Start the job with a file sink per topic (Kafka stand-in when no broker
-    * is available) or the real Kafka sink when `kafkaBootstrap` is set. */
+    * is available) or the real Kafka sink when `kafkaBootstrap` is set.
+    *
+    * Per-batch metrics (event count, lag, per-(stream,op) tallies) all ride
+    * the `observe()` aggregates — consume them by attaching a
+    * [[graft.metrics.GraftQueryListener]] built with the same `streams`.
+    *
+    * Sink shape: the stand-in path writes through Spark's native streaming
+    * parquet sink — no foreachBatch, so each micro-batch reuses the
+    * incremental plan instead of re-deriving a batch write plan (~0.3 s per
+    * batch back). The Kafka path keeps foreachBatch (no kafka connector in
+    * this build's jars); there, hash-partitioning by Kafka key + sorting by
+    * LSN within partitions restores the per-key delivery order CDC consumers
+    * rely on while spreading produce over `sinkParallelism` tasks. Delivery
+    * is at-least-once on batch retry — the reference's contract; consumers
+    * dedup on meta.lsn. */
   def start(spark: SparkSession, walDir: String, streams: Seq[StreamDef],
       checkpointDir: String, outDir: String,
       kafkaBootstrap: Option[String] = None,
       triggerMs: Long = 100L,
       maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
       sinkParallelism: Int = 1,
-      tallyTo: Option[graft.metrics.GraftMetrics] = None): StreamingQuery = {
-    val frame = kafkaFrame(walStream(spark, walDir, maxEventsPerBatch), streams)
-      .observe("graft", count(lit(1)).as("events"),
-        max(col("commit_ts")).as("max_commit_ts"))
-
-    // The slot reader is inherently serial (one ordered WAL stream) — sink
-    // fan-out is where parallelism lives. Inside each micro-batch,
-    // hash-partitioning by Kafka key + sorting by LSN within partitions keeps
-    // the per-key delivery order CDC consumers rely on while spreading
-    // serialize+produce over `sinkParallelism` tasks. foreachBatch delivery
-    // is at-least-once on batch retry — the reference's contract; consumers
-    // dedup on meta.lsn.
-    def shape(batch: DataFrame): DataFrame = {
-      val b0 = if (tallyTo.isDefined) batch.persist() else batch
-      // per-(stream, op) tally — a tiny aggregate per micro-batch, counted
-      // once on the driver (A1; reference processor.zig:174-183)
-      tallyTo.foreach { m =>
-        b0.groupBy("stream", "op").count().collect().foreach { r =>
-          m.tally(r.getString(0), r.getString(1), r.getLong(2))
-        }
-      }
-      if (sinkParallelism > 1)
-        b0.repartition(sinkParallelism, col("key"))
-          .sortWithinPartitions("lsn_num")
-      else b0
-    }
+      sliceEvents: Int = 0): StreamingQuery = {
+    val frame = observed(
+      kafkaFrame(walStream(spark, walDir, maxEventsPerBatch, sliceEvents), streams),
+      streams)
 
     val writer: DataStreamWriter[Row] = kafkaBootstrap match {
       case Some(bootstrap) =>
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          try shape(batch)
+          val shaped =
+            if (sinkParallelism > 1)
+              batch.repartition(sinkParallelism, col("key"))
+                .sortWithinPartitions("lsn_num")
+            else batch
+          shaped
             .selectExpr("topic", "CAST(key AS BINARY) AS key",
               "CAST(value AS BINARY) AS value")
             .write.format("kafka")
             .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
             .save()
-          finally if (tallyTo.isDefined) batch.unpersist()
         }
       case None =>
-        // Kafka stand-in: plain parquet append with `topic` as a column —
-        // partitionBy would force a per-batch sort on the partition column,
-        // and compression would bill the stand-in for work a Kafka producer
-        // doesn't do (measured: snappy 52k ev/s, none 77k, raw text 95k).
-        frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          try shape(batch).write.mode("append")
-            .option("compression", "none").parquet(outDir)
-          finally if (tallyTo.isDefined) batch.unpersist()
-        }
+        // Kafka stand-in: the native streaming parquet sink, `topic` as a
+        // column — partitionBy would force a per-batch sort on the partition
+        // column, and compression would bill the stand-in for work a Kafka
+        // producer doesn't do (measured: snappy 52k ev/s, none 77k).
+        frame.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("compression", "none")
     }
     writer
       .option("checkpointLocation", checkpointDir)

@@ -111,6 +111,42 @@ class WalStreamSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("sliced parallel decode delivers the identical frame set (and tallies via observe)") {
+    // sliceEvents splits each micro-batch into one input partition per slice
+    // — decode/convert/serialize run in parallel; the delivered set, dedup
+    // guarantee, and confirmed LSN must be indistinguishable from the
+    // single-partition plan
+    val out = Files.createTempDirectory("graft-sl-out").toString
+    val ckpt = Files.createTempDirectory("graft-sl-ckpt").toString
+    val metrics = new GraftMetrics
+    val listener = new GraftQueryListener(metrics, Routing.fixtureStreams)
+    spark.streams.addListener(listener)
+    try {
+      val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+        ckpt, out, kafkaBootstrap = None, triggerMs = 50L,
+        maxEventsPerBatch = 1000, sliceEvents = 97) // ~10 slices per batch
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+      val expected = graft.queries.CdcQueries.cdcKafkaMessages._1(spark, SparkTestBase.sf)
+      assert(got.count() == expected.count())
+      assert(got.groupBy("topic", "lsn").count().filter(col("count") > 1).count() == 0)
+      def stripLsn(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("topic"),
+        regexp_replace(col("value"), "\"lsn\":\"[0-9A-F/]+\"", "\"lsn\":\"\"").as("v"))
+      assert(stripLsn(got).distinct().exceptAll(stripLsn(expected).distinct()).count() == 0)
+      assert(stripLsn(expected).distinct().exceptAll(stripLsn(got).distinct()).count() == 0)
+      // per-(stream, op) tallies now ride observe(): totals must equal the
+      // delivered per-stream counts
+      val perStream = got.groupBy("stream").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      var sums = Map.empty[String, Long].withDefaultValue(0L)
+      metrics.streamOpCounts.forEach((k: (String, String), v: java.util.concurrent.atomic.AtomicLong) =>
+        sums = sums.updated(k._1, sums(k._1) + v.get()))
+      assert(sums == perStream)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("kafka sink config carries the reference's delivery semantics") {
     val opts = graft.sink.KafkaSinkConfig.producerOptions("broker:9092")
     assert(opts("kafka.enable.idempotence") == "true")

@@ -44,6 +44,12 @@ object DrainBreakdown {
     timed("full->parquet") { (wal, ckpt) =>
       StreamingPipeline.start(spark, wal, Routing.fixtureStreams, ckpt,
         Files.createTempDirectory("bdout").toString, None, 0L, Int.MaxValue) }
+    Seq(750, 1500, 3000, 6000).foreach { se =>
+      timed(s"full->parquet sliced($se)") { (wal, ckpt) =>
+        StreamingPipeline.start(spark, wal, Routing.fixtureStreams, ckpt,
+          Files.createTempDirectory("bdout").toString, None, 0L, Int.MaxValue,
+          sliceEvents = se) }
+    }
     timed("frame->count") { (wal, ckpt) =>
       StreamingPipeline.kafkaFrame(StreamingPipeline.walStream(spark, wal, Int.MaxValue), Routing.fixtureStreams)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
