@@ -154,4 +154,151 @@ object TopKByScore {
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** String-keyed variant: `topKStr(col("n").cast("double"), col("bigram"), 5)`. */
+  def topKStr(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKStrByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}
+
+/** [[TopKBuffer]] twin with string ids. Tie ordering matches the engine's
+  * rank queries: higher score wins, ties break toward the BINARY-smaller
+  * string — the same ordering Spark (UTF8String binary compare) and DuckDB
+  * (default binary collation) use for `ORDER BY score DESC, id ASC`. */
+final class TopKStrBuffer(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  var size = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+
+  @inline private def weaker(s1: Double, i1: UTF8String,
+      s2: Double, i2: UTF8String): Boolean =
+    s1 < s2 || (s1 == s2 && i1.compareTo(i2) > 0)
+
+  private def siftUp(pos0: Int): Unit = {
+    var pos = pos0
+    while (pos > 0) {
+      val parent = (pos - 1) / 2
+      if (weaker(scores(pos), ids(pos), scores(parent), ids(parent))) {
+        swap(pos, parent); pos = parent
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var pos = 0
+    while (true) {
+      val l = 2 * pos + 1; val r = l + 1
+      var m = pos
+      if (l < size && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == pos) return
+      swap(pos, m); pos = m
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+  }
+
+  def add(score: Double, id: UTF8String): Unit =
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1; siftUp(size - 1)
+    } else if (weaker(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id; siftDown()
+    }
+
+  def merge(other: TopKStrBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  def sortedDesc: Array[(Double, UTF8String)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0))
+}
+
+/** Top-k by score with STRING ids (corpus stats: top tokens / n-grams per
+  * group). Same scale rationale as [[TopKByScore]]: map-side partial top-k,
+  * k rows per partition cross the shuffle, no per-group sort. */
+case class TopKStrByScore(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == StringType && k > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_str_by_score(score: double, id: string, k > 0); got " +
+        s"${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString}, k=$k")
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      // clone: the incoming UTF8String may be backed by a reused row buffer
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(buf: TopKStrBuffer, other: TopKStrBuffer): TopKStrBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: TopKStrBuffer): Any =
+    new GenericArrayData(buf.sortedDesc.map { case (s, i) =>
+      InternalRow(s, i)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = {
+    val payloads = (0 until buf.size).map(i => buf.ids(i).getBytes)
+    val bb = ByteBuffer.allocate(8 + buf.size * 12 + payloads.map(_.length).sum)
+    bb.putInt(buf.k).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i)).putInt(payloads(i).length).put(payloads(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKStrBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble()
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.add(s, UTF8String.fromBytes(b))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKStrByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKStrByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrByScore =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+  override def prettyName: String = "top_k_str_by_score"
 }

@@ -117,24 +117,31 @@ object ExtQueries {
   }
 
   // Corpus vocabulary statistics: document frequency, total term frequency
-  // and df-rank per token — the integer core of tf-idf (log-free: libm
-  // differences between engines make ln() outputs unsafe to hash-compare).
+  // and df-rank for the TOP 100 tokens — the integer core of tf-idf
+  // (log-free: libm differences between engines make ln() outputs unsafe to
+  // hash-compare). The orderBy+limit plans as TakeOrderedAndProject — a
+  // distributed partial top-k where each partition forwards at most 100
+  // rows — and the rank window then runs on 100 rows. (The previous form
+  // ranked the WHOLE vocabulary through one unpartitioned window task — a
+  // single-task global sort of 10^8+ rows on a real corpus.)
   val textVocabStats: (QFn, String) = (
     (s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("w"))
         .groupBy("w")
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      val top = tf.orderBy(col("df").desc, col("w")).limit(100)
       val w = Window.orderBy(col("df").desc, col("w"))
-      tf.withColumn("df_rank", row_number().over(w).cast("long"))
+      top.withColumn("df_rank", row_number().over(w).cast("long"))
     },
     s"""$toksCte, tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
        |tf AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        |         CAST(count(*) AS BIGINT) AS tf
-       |       FROM tok GROUP BY w)
+       |       FROM tok GROUP BY w),
+       |top AS (SELECT * FROM tf ORDER BY df DESC, w LIMIT 100)
        |SELECT w, df, tf,
        |  CAST(row_number() OVER (ORDER BY df DESC, w) AS BIGINT) AS df_rank
-       |FROM tf""".stripMargin)
+       |FROM top""".stripMargin)
 
   val textFingerprint: (QFn, String) = (
     (s, dir) => {
@@ -170,18 +177,28 @@ object ExtQueries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents""".stripMargin)
 
+  /** Persist-once registry for the shared LSH subtrees, keyed by (session,
+    * kind, dir): repeat invocations of the query family reuse the SAME
+    * cached DataFrame instead of re-persisting a fresh copy per call — the
+    * per-invocation `.persist()` this replaces leaked one cached plan per
+    * query run in a long-lived session. Entries are bounded by the number of
+    * distinct data dirs the session touches. */
+  private val subtreeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Shared Spark-side shingle set (distinct word-3-shingles, exploded).
     * Persisted: the LSH family (candidates, estimator, exact Jaccard) reuses
     * this subtree several times within and across queries, and Spark's cache
     * manager matches it by canonicalized plan. Small relative to the corpus
     * (≈80 shingles/doc). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(TextAnalysis.shinglesCol(col("t"), 3)).as("s"))
-      .persist()
+    subtreeCache.getOrElseUpdate((s, "shingles", dir),
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(TextAnalysis.shinglesCol(col("t"), 3)).as("s"))
+        .persist())
 
   private val shCte =
     """sh AS (
@@ -202,10 +219,11 @@ object ExtQueries {
   }
 
   /** MinHash signatures (8 hashes), persisted for the same reuse reason. */
-  private def sigDF(s: SparkSession, dir: String): DataFrame = {
-    val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
-    shingles(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
-  }
+  private def sigDF(s: SparkSession, dir: String): DataFrame =
+    subtreeCache.getOrElseUpdate((s, "sig", dir), {
+      val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+      shingles(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
+    })
 
   /** Spark-side LSH bands (4 bands × 2 rows) over the signatures. */
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
@@ -299,7 +317,11 @@ object ExtQueries {
        |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin)
 
   // Corpus n-gram statistics: top-5 word bigrams per language — groupBy over
-  // exploded n-grams + per-group top-k window, deterministic tiebreak.
+  // exploded n-grams, then the bounded heap aggregate (TopKStrByScore):
+  // map-side partial top-5, 5 rows per partition cross the shuffle, no sort
+  // of each language's full bigram set (the window form sorted ALL bigrams
+  // per language; a real corpus has 10^8+ per language). Count→double is
+  // exact below 2^53.
   val textNgramTopk: (QFn, String) = (
     (s, dir) => {
       // materialize the token array before the shingle lambda — passing the
@@ -308,9 +330,13 @@ object ExtQueries {
         .select(col("lang"), TextAnalysis.tokensCol(col("text")).as("t"))
         .select(col("lang"), explode(TextAnalysis.shinglesCol(col("t"), 2)).as("bigram"))
         .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
-      bi.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
+      bi.groupBy(col("lang"))
+        .agg(graft.functions.TopKByScore.topKStr(
+          col("n").cast("double"), col("bigram"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), col("t.id").as("bigram"),
+          col("t.score").cast("long").as("n"),
+          (col("pos") + 1).cast("long").as("rank"))
     },
     s"""$toksCte, bi AS (
        |  SELECT lang,
@@ -591,10 +617,15 @@ object ExtQueries {
   // ANN quality evaluation: recall@1 of the LSH-ANN best neighbor against
   // the exact brute-force best neighbor — the measurement that justifies a
   // bucketing scheme before pointing it at 100 TB. Integer per-million.
+  // The exact-truth side runs over a DETERMINISTIC SAMPLE of query vectors
+  // (vec_id % 20 = 0): recall is an estimate by nature, and an unsampled
+  // truth side is an O(n²) all-pairs join over the whole corpus — the one
+  // plan shape that cannot survive scale. Sample × corpus stays linear in n.
   val simAnnRecall: (QFn, String) = (
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val a = e.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+      val a = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("vid"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"))
       val allPairs = a.join(b, col("vid") =!= col("nid"))
         .select(col("vid"), col("nid"),
@@ -618,7 +649,7 @@ object ExtQueries {
        |  SELECT a.vec_id AS vid, b.vec_id AS nid,
        |    round(list_sum(list_transform(generate_series(1, 64),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
-       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |  FROM e a JOIN e b ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
        |truth AS (
        |  SELECT vid, nid AS true_nid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rn
