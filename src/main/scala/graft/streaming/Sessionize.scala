@@ -52,8 +52,17 @@ object Sessionize {
         }
       }
       state.update(open)
-      // close the session once the watermark passes its end + gap
-      state.setTimeoutTimestamp(open.session_end_us / 1000L + GapUs / 1000L)
+      // close the session once the watermark passes its end + gap. Clamp to
+      // just above the current watermark: an event admitted by the late
+      // filter (previous batch's watermark) can still sit more than `gap`
+      // behind the CURRENT watermark — e.g. an out-of-order backlog drain
+      // with watermarkDelay > gap — and Spark throws if the timeout
+      // timestamp is not strictly later than the watermark, killing the
+      // whole query. The clamped session times out at the next batch, which
+      // is exactly when the unclamped one would have fired anyway.
+      val wmMs = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(
+        math.max(open.session_end_us / 1000L + GapUs / 1000L, wmMs + 1L))
     }
     closed.result().iterator
   }

@@ -41,4 +41,47 @@ class SessionizeSpec extends AnyFunSuite {
       assert(batch.exceptAll(gotReal).count() == 0)
     } finally q.stop()
   }
+
+  test("an admitted event far behind the eviction watermark must not kill the query") {
+    // Spark 3.4+ splits the watermark: late-event filtering uses the
+    // PREVIOUS batch's value, state eviction the CURRENT one. An event can
+    // therefore be admitted while sitting more than `gap` behind the
+    // eviction watermark — session_end + gap is then EARLIER than the
+    // watermark, and an unclamped setTimeoutTimestamp throws, failing the
+    // whole query. Repro: batch 1 pushes the watermark 3h ahead (user 2),
+    // batch 2 delivers a user-1 event only 10min in (admitted — the late
+    // filter still holds batch 0's watermark), batch 3's sentinel closes
+    // everything.
+    import spark.implicits._
+    val t0 = 1700000000L * 1000000L // arbitrary epoch µs
+    val h = 3600L * 1000000L
+    val dir = Files.createTempDirectory("graft-sess-clamp").toString
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "ts_us").coalesce(1).write.mode("append").parquet(dir)
+    // both files exist BEFORE the query starts: batch 1 (user 2, t0+3h)
+    // advances the eviction watermark, batch 2 (user 1, t0+10min) is still
+    // admitted because the late filter lags one batch behind
+    writeBatch(Seq((2L, t0 + 3 * h)))
+    writeBatch(Seq((1L, t0 + 600L * 1000000L)))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts_us", "long")
+    val stream = Sessionize.sessions(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false").parquet(dir),
+      watermarkDelay = "1 minute")
+    val q = stream.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_clamp").start()
+    try {
+      q.processAllAvailable() // unclamped: IllegalArgumentException here
+      writeBatch(Seq((3L, t0 + 30 * h))) // sentinel: close everything
+      q.processAllAvailable()
+      val got = spark.table("sessions_clamp")
+      // user 2's session closed; user 1's was either admitted (clamped
+      // timeout, closed by the sentinel) or legitimately late-filtered —
+      // but the query itself must survive either way
+      assert(got.filter(col("user_id") === 2L).count() == 1)
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
 }
