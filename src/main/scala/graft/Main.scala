@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.ConfigLoader
-import graft.metrics.{GraftMetrics, GraftQueryListener, MetricsHttp}
+import graft.metrics.{GraftMetrics, GraftQueryListener, MetricsHttp, StallWatchdog}
 import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.SparkSession
 
@@ -56,16 +56,26 @@ object Main {
       kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),
       triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong)
 
+    // stall fail-fast: silent wire past the liveness window stops the query
+    // and we exit nonzero so the supervisor restarts from the checkpoint
+    val watchdog = StallWatchdog(metrics, query).start()
+
     sys.addShutdownHook { query.stop(); http.stop() }
     if (sys.env.contains("GRAFT_DRAIN_AND_EXIT")) {
       query.processAllAvailable()
       query.stop()
+      watchdog.close()
       println(s"[graft] drained; events=${metrics.eventsProcessed.get()} " +
         s"batches=${metrics.batchesProcessed.get()}")
       http.stop()
       spark.stop()
     } else {
       query.awaitTermination()
+      watchdog.close()
+      if (watchdog.stalled) {
+        System.err.println(s"[graft] ${metrics.lastError.get()}")
+        sys.exit(1)
+      }
     }
   }
 }

@@ -114,4 +114,31 @@ class OpsSpec extends AnyFunSuite {
       assert(get("/metrics")._2.contains("graft_up 0"))
     } finally http.stop()
   }
+
+  test("stall watchdog stops the query once the wire is silent past the window") {
+    var now = 1000L
+    val m = new GraftMetrics(() => now)
+    m.heartbeat()
+    var active = true
+    var stops = 0
+    val wd = new graft.metrics.StallWatchdog(m, () => active,
+      () => { active = false; stops += 1 })
+    // live wire: no action
+    assert(!wd.check() && active && m.lastError.get() == null)
+    // wire goes silent but still inside the 90 s window: no action
+    now += m.LivenessWindowS
+    assert(!wd.check() && active)
+    // past the window: stop exactly once, stall recorded, readiness false
+    now += 1
+    assert(wd.check())
+    assert(!active && stops == 1)
+    assert(m.lastError.get() != null && m.lastError.get().contains("stalled"))
+    assert(!m.ready)
+    assert(wd.check() && stops == 1) // idempotent: no double stop
+    // an inactive (already stopped) query is never "stalled"
+    val m2 = new GraftMetrics(() => now)
+    m2.lastActivityS.set(0) // ancient activity
+    val wd2 = new graft.metrics.StallWatchdog(m2, () => false, () => fail("must not stop"))
+    assert(!wd2.check())
+  }
 }
