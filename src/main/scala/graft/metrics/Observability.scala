@@ -104,6 +104,13 @@ final class GraftQueryListener(metrics: GraftMetrics,
       }
     } else metrics.heartbeat()
   }
+  /** A no-data trigger posts QueryIdleEvent (not QueryProgressEvent) on
+    * Spark 3.4+. The source successfully polling the WAL and finding it
+    * drained IS wire-side liveness — the reference only trips its stall
+    * check when keepalives stop (processor.zig:393-399), so a quiet-but-
+    * healthy stream must keep the heartbeat fresh or [[StallWatchdog]]
+    * would kill every low-traffic source after the liveness window. */
+  override def onQueryIdle(event: QueryIdleEvent): Unit = metrics.heartbeat()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     event.exception.foreach(metrics.lastError.set)
   }

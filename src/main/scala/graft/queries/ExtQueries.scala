@@ -374,32 +374,58 @@ object ExtQueries {
          |SELECT doc_id, ${SimHash.hexSql} AS simhash FROM sums""".stripMargin)
   }
 
-  // Embedding cosine near-dup within label blocks (blocked pairwise — the
-  // block is what keeps this from being n² at scale). Cosine is the native
-  // codegen'd expression (graft.functions.CosineSimilarity): one fused loop
-  // per pair, bit-identical to the sequential fold.
+  // Embedding cosine near-dup, blocked by (label, sign-LSH band bucket).
+  // A label-only block is all-pairs WITHIN the block — one hot label (real
+  // corpora: "en", "web") reintroduces n² as a straggler task. The join key
+  // therefore always includes an LSH bucket: a 9-plane signature is split
+  // into three 3-plane bands (minhash-style banding — a near-dup pair only
+  // needs ONE band to collide), each band is an equi-join key, and the
+  // candidate sets are unioned + deduped. Hot labels split across 8 buckets
+  // per band, so candidates stay near-linear regardless of label skew;
+  // 3 bands keep collision probability high where it matters (≈0.95 at
+  // cos 0.9, ≈0.8 at cos 0.7) while blocking the n² bulk.
+  // Cosine is the native codegen'd expression (graft.functions
+  // .CosineSimilarity): one fused loop per pair, bit-identical to the
+  // sequential fold.
   val dedupEmbeddingCosine: (QFn, String) = (
     (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val a = e.select(col("vec_id").as("vid_a"), col("label"),
-        col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vid_b"), col("label").as("lb"),
-        col("embedding").as("eb"))
-      a.join(b, col("label") === col("lb") && col("vid_a") < col("vid_b"))
-        .select(col("vid_a"), col("vid_b"), col("label"),
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.lshBucketCol(col("embedding"), 9, 64).as("sig"))
+      def side(p: String) = e.select(
+        col("vec_id").as(s"vid_$p"), col("label").as(s"label_$p"),
+        col("embedding").as(s"e$p"),
+        substring(col("sig"), 1, 3).as(s"b1_$p"),
+        substring(col("sig"), 4, 3).as(s"b2_$p"),
+        substring(col("sig"), 7, 3).as(s"b3_$p"))
+      val a = side("a")
+      val b = side("b")
+      // one hash-partitioned equi-join per band — never an OR-join (Spark
+      // would fall back to a nested-loop build, which is the n² we're
+      // removing)
+      def band(k: Int) = a.join(b,
+          col(s"b${k}_a") === col(s"b${k}_b") &&
+          col("label_a") === col("label_b") &&
+          col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"), col("label_a").as("label"),
           round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+      band(1).unionByName(band(2)).unionByName(band(3))
         .filter(col("cos") >= 0.4)
+        .distinct() // a pair colliding in several bands appears once
     },
-    """WITH e AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings)
-      |SELECT * FROM (
-      |  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
-      |    round(list_sum(list_transform(generate_series(1, 64),
-      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |WHERE cos >= 0.4""".stripMargin)
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${Vectors.lshBucketSql(9, 64, spark = false)} AS sig,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT *, substr(sig, 1, 3) AS b1, substr(sig, 4, 3) AS b2,
+       |  substr(sig, 7, 3) AS b3 FROM e),
+       |cand AS (
+       |  SELECT x.vec_id AS vid_a, y.vec_id AS vid_b, x.label AS label,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) / (x.nrm * y.nrm), 4) AS cos
+       |  FROM b x JOIN b y ON x.label = y.label AND x.vec_id < y.vec_id
+       |    AND (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+       |SELECT DISTINCT vid_a, vid_b, label, cos FROM cand WHERE cos >= 0.4""".stripMargin)
 
   // The composed training-data cleaning pass — what the operators above
   // exist FOR: quality gate → exact-dup removal → near-dup removal (LSH

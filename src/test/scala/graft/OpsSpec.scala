@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.StreamDef
-import graft.metrics.{GraftMetrics, MetricsHttp}
+import graft.metrics.{GraftMetrics, GraftQueryListener, MetricsHttp}
 import graft.source.postgres.{Replication, SnapshotBootstrap}
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
@@ -140,5 +140,27 @@ class OpsSpec extends AnyFunSuite {
     m2.lastActivityS.set(0) // ancient activity
     val wd2 = new graft.metrics.StallWatchdog(m2, () => false, () => fail("must not stop"))
     assert(!wd2.check())
+  }
+
+  test("idle (no-data) triggers keep liveness fresh — quiet-but-healthy never stalls") {
+    // Spark 3.4+ posts QueryIdleEvent instead of QueryProgressEvent on
+    // no-data triggers; the listener must treat a successful empty poll as
+    // wire activity or the watchdog would crash-loop low-traffic sources.
+    var now = 1000L
+    val m = new GraftMetrics(() => now)
+    m.heartbeat()
+    val listener = new GraftQueryListener(m)
+    var active = true
+    val wd = new graft.metrics.StallWatchdog(m, () => active, () => active = false)
+    // stream stays idle across several windows, posting only idle events
+    (1 to 3).foreach { _ =>
+      now += m.LivenessWindowS // at the edge of the window each time
+      listener.onQueryIdle(null) // payload unused; ctor is private[sql]
+      assert(!wd.check() && active, "idle heartbeat must prevent a stall")
+    }
+    assert(m.live && m.ready)
+    // but if idle events STOP arriving (query thread wedged), stall fires
+    now += m.LivenessWindowS + 1
+    assert(wd.check() && !active)
   }
 }

@@ -38,6 +38,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the deterministic vec_id % 20 query sample in:\n$p")
   }
 
+  test("dedup_embedding_cosine joins on (label, LSH band bucket), never label alone") {
+    val p = plan("dedup_embedding_cosine")
+    // every equi-join line must carry a band-bucket key next to the label:
+    // a label-only block is all-pairs within the block and goes n² on a
+    // hot label (AQE wraps the plan, so assert on the string form)
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("label_a")).toList
+    assert(joinLines.nonEmpty, s"expected band-bucket equi-joins in:\n$p")
+    joinLines.foreach { l =>
+      assert(l.matches(".*\\bb\\d+_.*") || l.contains("substring"),
+        s"join keyed on label only — LSH band bucket missing:\n$l")
+    }
+    // and no nested-loop fallback anywhere (an OR-join would produce one)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi join fallback crept into:\n$p")
+  }
+
   test("sim_topk_agg carries only k rows per partition across the shuffle") {
     val p = plan("sim_topk_agg")
     assert(p.contains("top_k_by_score") && p.contains("partial_top_k_by_score"),
