@@ -51,6 +51,30 @@ object Main {
       config.streams.map(s => s"${s.name}(${s.resource}→${s.destination})")
         .mkString(", "))
 
+    // live wire: with a postgres block in the config AND its connection env
+    // var set, open the replication socket and pump the walsender into the
+    // WAL dir the source reads (reference: src/main.zig:179-238 wiring).
+    // Without it, walDir is expected to be fed externally (tests, replays).
+    val spooler = config.postgres.flatMap { pg =>
+      pg.connectionUri.map { uri =>
+        val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(uri)
+        val ch = graft.source.postgres.SocketCopyBothChannel.connect(
+          ep, pg.slotName, pg.publicationName,
+          startLsn = graft.model.ChangeEvent.lsnText(
+            graft.source.wal.WalLog.confirmed(walDir)))
+        val sp = new graft.source.postgres.ReplicationSpooler(ch, walDir)
+        val t = new Thread(() => {
+          try while (true) { sp.pump(); metrics.heartbeat(); Thread.sleep(10) }
+          catch { case e: Throwable =>
+            metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
+          }
+        }, "graft-replication-pump")
+        t.setDaemon(true)
+        t.start()
+        sp
+      }
+    }
+
     val query = StreamingPipeline.start(
       spark, walDir, config.streams, ckptDir, outDir,
       kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),

@@ -47,11 +47,19 @@ object ConfigLoader {
         destination = str(sn, "destination"),
         routingKey = str(sn, "routing_key", "id"))
     }.toSeq
+    val pgNode = root.path("source").path("postgres")
+    val postgres =
+      if (pgNode.isMissingNode || pgNode.isNull) None
+      else Some(PostgresSourceDef(
+        connectionEnv = str(pgNode, "connection_env"),
+        slotName = str(pgNode, "slot_name"),
+        publicationName = str(pgNode, "publication_name")))
     val cfg = EngineConfig(
       sourceType = str(root.path("source"), "type", "postgres"),
       sinkType = str(root.path("sink"), "type", "kafka"),
       format = str(root, "format", "json"),
-      streams = streams).normalized
+      streams = streams,
+      postgres = postgres).normalized
     val errs = cfg.validate
     if (errs.nonEmpty) throw ConfigError(errs)
     cfg

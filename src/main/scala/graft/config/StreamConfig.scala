@@ -36,11 +36,24 @@ final case class StreamDef(
   def matchesOp(op: String): Boolean = operations.exists(_.equalsIgnoreCase(op))
 }
 
+/** Live-source connection settings (reference: src/config/config.zig:36-44,
+  * `PostgresSource`). The connection string is read from the environment
+  * variable named by `connectionEnv` — never stored in the config file, so
+  * the password never lands on disk (the reference's `connection_env`
+  * contract). */
+final case class PostgresSourceDef(
+    connectionEnv: String,
+    slotName: String,
+    publicationName: String) {
+  def connectionUri: Option[String] = sys.env.get(connectionEnv)
+}
+
 final case class EngineConfig(
     sourceType: String,
     sinkType: String,
     format: String,
-    streams: Seq[StreamDef]) {
+    streams: Seq[StreamDef],
+    postgres: Option[PostgresSourceDef] = None) {
 
   def normalized: EngineConfig = copy(streams = streams.map(_.normalized))
 
@@ -61,6 +74,17 @@ final case class EngineConfig(
       s.operations.filterNot(o => Op.configurable(o.toLowerCase))
         .foreach(o => errs += s"stream ${s.name}: unknown operation '$o'")
       if (s.routingKey.isEmpty) errs += s"stream ${s.name}: empty routing_key"
+    }
+    postgres.foreach { pg =>
+      if (pg.connectionEnv.isEmpty)
+        errs += "source.postgres: empty connection_env"
+      // same unquoted-identifier hardening as the replication command
+      // builders — these names are interpolated into wire commands
+      Seq("slot_name" -> pg.slotName, "publication_name" -> pg.publicationName)
+        .foreach { case (f, v) =>
+          if (!v.matches("[a-z_][a-z0-9_]*"))
+            errs += s"source.postgres: invalid $f '$v' (lowercase unquoted identifier)"
+        }
     }
     errs.result()
   }

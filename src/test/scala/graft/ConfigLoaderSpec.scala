@@ -49,4 +49,27 @@ class ConfigLoaderSpec extends AnyFunSuite {
     intercept[ConfigLoader.ConfigError](ConfigLoader.fromJsonText(
       """{"streams":[{"resource":"t","operations":["insert"],"destination":"d"}]}"""))
   }
+
+  test("postgres source block: connection via env var, identifier hardening") {
+    val cfg = ConfigLoader.fromJsonText(
+      """{"source":{"type":"postgres","postgres":{
+        |  "connection_env":"GRAFT_PG_URL","slot_name":"graft_slot",
+        |  "publication_name":"graft_pub"}},
+        |"streams":[{"name":"t","resource":"t","operations":["insert"],"destination":"d"}]}""".stripMargin)
+    val pg = cfg.postgres.get
+    assert(pg.slotName == "graft_slot" && pg.publicationName == "graft_pub")
+    // connection string lives in the environment, never in the file
+    // (reference: config.zig:36-44 connection_env contract)
+    assert(pg.connectionEnv == "GRAFT_PG_URL")
+    // absent block stays None — walDir-fed deployments need no connection
+    assert(ConfigLoader.fromJsonText(
+      """{"streams":[{"name":"t","resource":"t","operations":["insert"],"destination":"d"}]}""")
+      .postgres.isEmpty)
+    // identifier hardening: a quoted/hostile slot name is a config error
+    val ex = intercept[ConfigLoader.ConfigError](ConfigLoader.fromJsonText(
+      """{"source":{"postgres":{"connection_env":"E","slot_name":"Bad-Name; DROP",
+        |  "publication_name":"ok_pub"}},
+        |"streams":[{"name":"t","resource":"t","operations":["insert"],"destination":"d"}]}""".stripMargin))
+    assert(ex.errors.exists(_.contains("slot_name")))
+  }
 }

@@ -1,0 +1,229 @@
+package graft
+
+import graft.source.postgres.{PgWire, ScramSha256}
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, SocketTimeoutException}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+object FakeWalsender {
+  sealed trait Auth
+  case object Trust extends Auth
+  case object Cleartext extends Auth
+  case object Md5 extends Auth
+  case object Scram extends Auth
+
+  final case class Status(written: Long, flushed: Long, applied: Long,
+      replyRequested: Boolean)
+}
+
+/** Backend side of the replication handshake, scripted for tests: accepts
+  * ONE connection, performs startup + the configured auth exchange, answers
+  * `START_REPLICATION` with CopyBothResponse, then pushes queued replication
+  * payloads as CopyData and records every standby status update it receives.
+  *
+  * The protocol strings/digests are written here independently (from the
+  * public PostgreSQL protocol docs), NOT by calling the client encoders —
+  * so a client/server agreement is a genuine two-sided check.
+  */
+final class FakeWalsender(auth: FakeWalsender.Auth,
+    password: String = "secret") extends AutoCloseable {
+  import FakeWalsender._
+
+  private val server = new ServerSocket(0, 1,
+    java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  def host: String = server.getInetAddress.getHostAddress
+
+  val statuses = new java.util.concurrent.CopyOnWriteArrayList[Status]()
+  @volatile var startQuery: String = _
+  @volatile var startupParams: Map[String, String] = Map.empty
+  @volatile var failure: Throwable = _
+  private val outQ = new ConcurrentLinkedQueue[(Byte, Array[Byte])]()
+  @volatile private var running = true
+  val copyBothEntered = new CountDownLatch(1)
+
+  /** Queue one replication payload (XLogData / keepalive) for CopyData push. */
+  def send(payload: Array[Byte]): Unit = outQ.add(('d'.toByte, payload))
+
+  /** Queue an arbitrary backend message (e.g. a mid-stream ErrorResponse). */
+  def sendRaw(tag: Char, body: Array[Byte]): Unit = outQ.add((tag.toByte, body))
+
+  /** Queue a mid-stream ErrorResponse (e.g. simulated slot conflict). */
+  def sendStreamError(msg: String): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    def f(c: Char, v: String): Unit = { b.write(c); b.write(v.getBytes(UTF_8)); b.write(0) }
+    f('S', "ERROR"); f('C', "55006"); f('M', msg); b.write(0)
+    sendRaw('E', b.toByteArray)
+  }
+
+  def awaitCopyBoth(seconds: Int = 10): Unit =
+    assert(copyBothEntered.await(seconds, TimeUnit.SECONDS),
+      s"CopyBoth never entered${Option(failure).map(f => s": $f").getOrElse("")}")
+
+  /** Block until the standby has reported `lsn` as flushed (or timeout). */
+  def awaitFlushed(lsn: Long, seconds: Int = 20): Boolean = {
+    val deadline = System.nanoTime() + seconds * 1000000000L
+    while (System.nanoTime() < deadline) {
+      if (statuses.toArray.exists { case s: Status => s.flushed >= lsn }) return true
+      Thread.sleep(20)
+    }
+    false
+  }
+
+  private val thread = new Thread(() => {
+    try serve()
+    catch { case e: Throwable => if (running) failure = e }
+  }, "fake-walsender")
+  thread.setDaemon(true)
+  thread.start()
+
+  private def serve(): Unit = {
+    val sock = server.accept()
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(10000)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    def tagged(tag: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tag); out.writeInt(4 + body.length); out.write(body); out.flush()
+    }
+    def cstr(s: String): Array[Byte] = {
+      val b = s.getBytes(UTF_8); java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    def readFrontend(): PgWire.Backend = {
+      val t = in.readByte(); val l = in.readInt()
+      val b = new Array[Byte](l - 4); in.readFully(b)
+      PgWire.Backend(t, b)
+    }
+    def sendAuth(code: Int, extra: Array[Byte] = Array.emptyByteArray): Unit =
+      tagged('R', ByteBuffer.allocate(4 + extra.length).putInt(code).put(extra).array())
+    def sendError(msg: String, sqlstate: String = "28P01"): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      def f(c: Char, v: String): Unit = { b.write(c); b.write(v.getBytes(UTF_8)); b.write(0) }
+      f('S', "FATAL"); f('C', sqlstate); f('M', msg); b.write(0)
+      tagged('E', b.toByteArray)
+    }
+
+    // ---- startup (untagged) ----
+    val len = in.readInt()
+    val proto = in.readInt()
+    val sb = new Array[Byte](len - 8); in.readFully(sb)
+    require(proto == PgWire.ProtocolV3, s"protocol $proto")
+    startupParams = PgWire.cstrings(sb).grouped(2)
+      .collect { case Seq(k, v) => k -> v }.toMap
+    val user = startupParams("user")
+    require(startupParams.get("replication").contains("database"),
+      "walsender mode requires replication=database")
+
+    // ---- auth ----
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    auth match {
+      case Trust =>
+      case Cleartext =>
+        sendAuth(3)
+        val p = readFrontend()
+        val got = new String(p.body, 0, p.body.length - 1, UTF_8)
+        if (got != password) { sendError("password authentication failed for user \"" + user + "\""); sock.close(); return }
+      case Md5 =>
+        val salt = Array[Byte](0x0a, 0x0b, 0x0c, 0x0d)
+        sendAuth(5, salt)
+        val p = readFrontend()
+        val got = new String(p.body, 0, p.body.length - 1, UTF_8)
+        // expected digest computed INDEPENDENTLY of PgWire.md5Password
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val inner = hex(md.digest((password + user).getBytes(UTF_8)))
+        md.reset(); md.update(inner.getBytes(UTF_8)); md.update(salt)
+        val expected = "md5" + hex(md.digest())
+        if (got != expected) { sendError("password authentication failed for user \"" + user + "\""); sock.close(); return }
+      case Scram =>
+        // mechanism list: cstr per mechanism + terminating empty string
+        sendAuth(10, cstr(ScramSha256.Mechanism) ++ Array[Byte](0))
+        val init = readFrontend()
+        val bb = ByteBuffer.wrap(init.body)
+        val mechEnd = init.body.indexOf(0)
+        val mech = new String(init.body, 0, mechEnd, UTF_8)
+        require(mech == ScramSha256.Mechanism, s"mechanism $mech")
+        bb.position(mechEnd + 1)
+        val dlen = bb.getInt()
+        val data = new Array[Byte](dlen); bb.get(data)
+        val clientFirst = new String(data, UTF_8)
+        require(clientFirst.startsWith("n,,"), s"gs2 header in $clientFirst")
+        val clientFirstBare = clientFirst.stripPrefix("n,,")
+        val cnonce = clientFirstBare.split(",").find(_.startsWith("r="))
+          .get.substring(2)
+        val snonce = cnonce + "srvnonce0123"
+        val salt = "pepper-salt-16b!".getBytes(UTF_8)
+        val iters = 4096
+        val serverFirst =
+          s"r=$snonce,s=${Base64.getEncoder.encodeToString(salt)},i=$iters"
+        sendAuth(11, serverFirst.getBytes(UTF_8))
+        val fin = readFrontend()
+        val clientFinal = new String(fin.body, UTF_8)
+        val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+        val proof = Base64.getDecoder.decode(
+          clientFinal.substring(clientFinal.indexOf(",p=") + 3))
+        val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+        val salted = ScramSha256.hi(password, salt, iters)
+        val clientKey = ScramSha256.hmac(salted, "Client Key".getBytes(UTF_8))
+        val storedKey = ScramSha256.h(clientKey)
+        val expectedProof = ScramSha256.xor(clientKey,
+          ScramSha256.hmac(storedKey, authMessage.getBytes(UTF_8)))
+        if (!java.util.Arrays.equals(proof, expectedProof)) {
+          sendError("password authentication failed for user \"" + user + "\"")
+          sock.close(); return
+        }
+        val serverKey = ScramSha256.hmac(salted, "Server Key".getBytes(UTF_8))
+        val serverSig = ScramSha256.hmac(serverKey, authMessage.getBytes(UTF_8))
+        sendAuth(12,
+          s"v=${Base64.getEncoder.encodeToString(serverSig)}".getBytes(UTF_8))
+    }
+    sendAuth(0) // AuthenticationOk
+    tagged('S', cstr("server_version") ++ cstr("16.4"))
+    tagged('K', ByteBuffer.allocate(8).putInt(4242).putInt(7).array())
+    tagged('Z', Array('I'.toByte))
+
+    // ---- START_REPLICATION → CopyBoth ----
+    val q = readFrontend()
+    require(q.tag == 'Q'.toByte, s"expected Query, got '${q.tag.toChar}'")
+    startQuery = new String(q.body, 0, q.body.length - 1, UTF_8)
+    if (!startQuery.startsWith("START_REPLICATION")) {
+      sendError("unexpected command in walsender mode", "42601"); sock.close(); return
+    }
+    tagged('W', Array[Byte](0, 0, 0)) // CopyBothResponse, 0 columns
+    copyBothEntered.countDown()
+
+    // ---- streaming: push queue out, record standby statuses in ----
+    sock.setSoTimeout(10)
+    while (running) {
+      var m: PgWire.Backend = null
+      try m = readFrontend()
+      catch {
+        case _: SocketTimeoutException =>
+        case _: EOFException => running = false
+      }
+      if (m != null) m.tag.toChar match {
+        case 'd' =>
+          val d = ByteBuffer.wrap(m.body)
+          if (d.get() == 'r'.toByte) {
+            val w = d.getLong(); val f = d.getLong(); val a = d.getLong()
+            d.getLong() // clock
+            statuses.add(Status(w, f, a, d.get() != 0))
+          }
+        case 'c' => // CopyDone — peer is shutting down gracefully
+        case 'X' => running = false
+        case _ =>
+      }
+      var p = outQ.poll()
+      while (p != null) { tagged(p._1.toChar, p._2); p = outQ.poll() }
+    }
+    sock.close()
+  }
+
+  override def close(): Unit = {
+    running = false
+    server.close()
+  }
+}
