@@ -49,6 +49,27 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
     heartbeat()
   }
 
+  /** Recent per-batch wall-clock durations (admission → sink commit), a
+    * bounded ring — the engine-side equivalent of the reference's push
+    * latency metric (docs/design/STREAMING_REPLICATION_DESIGN.md:28-30).
+    * Bounded so an immortal stream never grows driver memory. */
+  private val BatchDurationCap = 1024
+  private val batchDurationsMs = new java.util.ArrayDeque[Long](BatchDurationCap)
+  def recordBatchDuration(ms: Long): Unit = batchDurationsMs.synchronized {
+    if (batchDurationsMs.size() >= BatchDurationCap) batchDurationsMs.pollFirst()
+    batchDurationsMs.addLast(ms)
+  }
+  /** (p50, p99) of the recent batch durations; (0,0) when none recorded. */
+  def batchLatencyMs: (Long, Long) = batchDurationsMs.synchronized {
+    if (batchDurationsMs.isEmpty) (0L, 0L)
+    else {
+      val a = batchDurationsMs.toArray(new Array[java.lang.Long](0))
+        .map(_.longValue).sorted
+      def pct(p: Double) = a(math.min(a.length - 1, (a.length * p).toInt))
+      (pct(0.50), pct(0.99))
+    }
+  }
+
   /** Prometheus text exposition (counter/gauge rendering,
     * observability.zig:191-271). */
   def render: String = {
@@ -61,6 +82,9 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
     metric("graft_batches_processed_total", "counter", batchesProcessed.get())
     metric("graft_replication_lag_seconds", "gauge", lagSeconds.get())
     metric("graft_up", "gauge", if (live) 1 else 0)
+    val (p50, p99) = batchLatencyMs
+    metric("graft_batch_duration_ms_p50", "gauge", p50)
+    metric("graft_batch_duration_ms_p99", "gauge", p99)
     if (!streamOpCounts.isEmpty) {
       sb.append("# TYPE graft_stream_events_total counter\n")
       streamOpCounts.forEach((k: (String, String), v: AtomicLong) => {
@@ -89,6 +113,7 @@ final class GraftQueryListener(metrics: GraftMetrics,
     metrics.heartbeat()
   }
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    metrics.recordBatchDuration(event.progress.batchDuration)
     val obs = event.progress.observedMetrics
     if (obs.containsKey("graft")) {
       val row = obs.get("graft")

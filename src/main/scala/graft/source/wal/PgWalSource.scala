@@ -133,9 +133,14 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
     finally it.close() // the scan stops mid-segment when the budget is hit
   }
 
+  /** Observability hook for tests: live boundary snapshots (each holds
+    * relation-payload copies, so retention matters). */
+  private[graft] def boundarySnapshotCount: Int = boundaryState.size
+
   private def latestOffsetFrom(it: WalLog.FrameScan): Offset = {
     var n = 0
     var sinceSlice = 0
+    val before = lastPlanned
     def snapshot(): Unit = boundaryState.update(lastPlanned, PgWalSeek(
       if (scanSeg == null) null else scanSeg.toString, scanOffset,
       relationPayloads.values.toVector, lastBeginPayload))
@@ -168,6 +173,15 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
         }
       }
     }
+    // Retention bound: planInputPartitions prunes keys below each batch
+    // start, so steady-state holds ≤ 1 batch of snapshots. On an IDLE tick
+    // (nothing admitted) the previous batch is fully planned and every
+    // snapshot below the head is dead weight (it carries relation-payload
+    // copies) — drop them so an idle stream retains exactly the head
+    // boundary the next batch's start seek will need.
+    if (lastPlanned == before)
+      boundaryState.keys.filter(_ < lastPlanned).toSeq
+        .foreach(boundaryState.remove)
     snapshot()
     LsnOffset(lastPlanned)
   }

@@ -147,6 +147,28 @@ class WalStreamSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("idle stream retains at most the head boundary snapshot") {
+    val dir = Files.createTempDirectory("graft-wal-idle").toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val evs = (1L to 64L).map(i => WalFixture.Ev(i, 1700000000000000L, 1L,
+      "click", 1.0, "{}"))
+    WalLog.write(java.nio.file.Paths.get(dir, "00000000.wal"),
+      evs.iterator.flatMap(e => WalFixture.frames(e, seen)))
+    val src = new graft.source.wal.PgWalMicroBatchStream(dir,
+      maxPerBatch = 1000, sliceEvents = 8)
+    val start = src.initialOffset()
+    val end = src.latestOffset()
+    // slice cuts pile up while the batch is being planned…
+    assert(src.boundarySnapshotCount > 1)
+    src.planInputPartitions(start, end)
+    // …and an idle tick (nothing new admitted) collapses retention to the
+    // single head boundary the next batch's start seek needs
+    assert(src.latestOffset() == end)
+    assert(src.boundarySnapshotCount == 1)
+    // still planning-correct after the prune: an empty range plans empty
+    assert(src.planInputPartitions(end, end).isEmpty)
+  }
+
   test("kafka sink config carries the reference's delivery semantics") {
     val opts = graft.sink.KafkaSinkConfig.producerOptions("broker:9092")
     assert(opts("kafka.enable.idempotence") == "true")
