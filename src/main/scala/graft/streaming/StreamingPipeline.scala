@@ -111,25 +111,33 @@ object StreamingPipeline {
       triggerMs: Long = 100L,
       maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
       sinkParallelism: Int = 1,
-      sliceEvents: Int = 0): StreamingQuery = {
+      sliceEvents: Int = 0,
+      producer: Option[graft.sink.FrameProducer] = None): StreamingQuery = {
     val frame = observed(
       kafkaFrame(walStream(spark, walDir, maxEventsPerBatch, sliceEvents), streams),
       streams)
 
-    val writer: DataStreamWriter[Row] = kafkaBootstrap match {
-      case Some(bootstrap) =>
+    // delivery seam: an explicit producer wins (fail-injection tests, custom
+    // transports); otherwise a bootstrap server selects the real Kafka sink
+    val frameProducer: Option[graft.sink.FrameProducer] = producer.orElse(
+      kafkaBootstrap.map(b => new graft.sink.KafkaFrameProducer(b)))
+
+    val writer: DataStreamWriter[Row] = frameProducer match {
+      case Some(p) =>
         frame.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          // Per-key delivery order: slice partitions (sliceEvents > 0)
+          // arrive decode-parallel and UNORDERED across partitions, so the
+          // key-repartition + LSN sort is required whenever slicing feeds
+          // Kafka — not only when the caller asked for produce parallelism.
           val shaped =
-            if (sinkParallelism > 1)
-              batch.repartition(sinkParallelism, col("key"))
+            if (sinkParallelism > 1 || sliceEvents > 0)
+              batch.repartition(math.max(sinkParallelism, 1), col("key"))
                 .sortWithinPartitions("lsn_num")
             else batch
-          shaped
-            .selectExpr("topic", "CAST(key AS BINARY) AS key",
-              "CAST(value AS BINARY) AS value")
-            .write.format("kafka")
-            .options(graft.sink.KafkaSinkConfig.producerOptions(bootstrap))
-            .save()
+          // a produce failure propagates: the epoch fails, the query stops,
+          // and restart-from-checkpoint redelivers the batch (at-least-once;
+          // consumers dedup on meta.lsn)
+          p.produce(shaped)
         }
       case None =>
         // Kafka stand-in: the native streaming parquet sink, `topic` as a
