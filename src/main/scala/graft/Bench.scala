@@ -1,10 +1,12 @@
 package graft
 
 import graft.operators.Routing
-import graft.source.wal.WalFixture
-import graft.streaming.StreamingPipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.Files
+import graft.source.wal.{WalFixture, WalLog}
+import graft.streaming.{MultiSlot, StreamingPipeline}
+import graft.streaming.MultiSlot.SlotSpec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR.
@@ -14,9 +16,14 @@ import java.nio.file.Files
   *    Catalyst prune the serialization/hash work out of the plan)
   *  - one warm-up pass at sf0.001 amortizes JIT + codegen before timing
   *  - `wal_drain` is the CDC headline: events rendered as pgoutput WAL
-  *    (setup, untimed), then timed decode → convert → route → serialize →
-  *    sink drain through the streaming source in large micro-batches — the
-  *    reference's backlog-drain workload (tests/load/README.md)
+  *    (setup, untimed, DISTRIBUTED — no driver collect, so the render holds
+  *    at any SF), then timed decode → convert → route → serialize → sink
+  *    drain through the streaming source in large micro-batches — the
+  *    reference's backlog-drain workload (tests/load/README.md). Per-batch
+  *    p50/p99 latency rides the listener. `wal_drain_2slot` drains the same
+  *    backlog split across two slots (the scale-out axis).
+  *  - GRAFT_BENCH_SCALE=N replicates the event backlog N× (shifted ids) for
+  *    an order-of-magnitude drain point without new fixtures.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,39 +68,73 @@ object Bench {
       results(name) = if (failed) -1.0 else times.min
     }
 
-    // CDC drain: the reference's headline workload — steady-state backlog
-    // drain (tests/load/README.md measures a 70 s drain of a pre-built WAL
-    // backlog, excluding process startup). Prime the running query on a
-    // small first segment (absorbs stream/codegen startup), then time the
-    // drain of the real backlog appended behind it. min-of-2 full cycles —
-    // the box this runs on shows 2x contention swings.
+    // ---------------- CDC drain workloads ----------------
+    // The reference's headline: steady-state backlog drain
+    // (tests/load/README.md measures a 70 s drain of a pre-built WAL
+    // backlog, excluding process startup).
+    var latencyP50 = 0L; var latencyP99 = 0L
+    var drainEvents = 0L
     try {
-      val rows = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id")
-        .collect()
-      def toEv(r: org.apache.spark.sql.Row) =
-        WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-          r.getString(3), r.getDouble(4), r.getString(5))
-      val (prime, backlog) = rows.splitAt(1000)
+      val scale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      // replicate with shifted ids for GRAFT_BENCH_SCALE > 1 (same schema,
+      // same op mix; LSNs stay unique because they derive from event_id)
+      val idSpan = {
+        val r = ev0.agg(min("event_id"), max("event_id")).head()
+        r.getLong(1) - r.getLong(0) + 1
+      }
+      val ev = (0 until scale).map { k =>
+        if (k == 0) ev0
+        else ev0.withColumn("event_id", col("event_id") + k * idSpan)
+      }.reduce(_ unionByName _)
+      val bounds = ev.agg(min("event_id"), max("event_id")).head()
+      val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+      val primeCut = minId + 999 // ~1000 events absorb stream startup
+      drainEvents = ev.count() - 1000
+
+      /** Distributed WAL render: range-partition by event_id and write one
+        * segment per partition straight from the executors — the driver
+        * never holds the backlog (the old collect() render capped the bench
+        * at driver memory). Executors write to a shared-visible dir (same
+        * box here; DFS on a cluster). Each segment re-announces its
+        * relations (fresh `seen` per segment) — required by the reader's
+        * segment pruning, as a walsender does per session. Segment index =
+        * range-partition id, so file order follows LSN order. */
+      def renderRange(walDir: String, lo: Long, hi: Long, firstSeg: Int,
+          nSegs: Int): Unit = {
+        ev.filter(col("event_id").between(lo, hi))
+          .repartitionByRange(nSegs, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .foreachPartition { (it: Iterator[Row]) =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val seen = scala.collection.mutable.Set.empty[String]
+              val frames = it.flatMap { r =>
+                WalFixture.frames(WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L,
+                  r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)),
+                  seen)
+              }
+              WalLog.write(Paths.get(walDir, f"${firstSeg + pid}%08d.wal"), frames)
+            }
+          }
+      }
+
+      // -------- single-slot drain (the baseline-comparable headline) -----
+      val metrics = new graft.metrics.GraftMetrics
+      val listener = new graft.metrics.GraftQueryListener(metrics)
+      spark.streams.addListener(listener)
       def oneDrain(): Double = {
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
-        // each segment re-announces its relations (fresh `seen`) — required
-        // by the reader's segment pruning, as a walsender does per session
-        def writeSegment(idx: Int, seg: Array[org.apache.spark.sql.Row]): Unit = {
-          val seen = scala.collection.mutable.Set.empty[String]
-          graft.source.wal.WalLog.write(
-            java.nio.file.Paths.get(walDir, f"$idx%08d.wal"),
-            seg.iterator.flatMap(r => WalFixture.frames(toEv(r), seen)))
-        }
-        writeSegment(0, prime)
+        renderRange(walDir, minId, primeCut, 0, 1)
         // sliceEvents splits the batch into ~32 parallel decode partitions
         // (99k-event backlog / 3000 ≈ one slice per core on this box)
         val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
           ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
           maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
         q.processAllAvailable() // prime: startup + first segment
-        writeSegment(1, backlog)
+        renderRange(walDir, primeCut + 1, maxId, 1, if (scale > 1) 4 * scale else 1)
         val t0 = System.nanoTime()
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -102,9 +143,40 @@ object Bench {
       }
       val secs = Seq(oneDrain(), oneDrain(), oneDrain()).min
       results("wal_drain") = secs
+      val (p50, p99) = metrics.batchLatencyMs
+      latencyP50 = p50; latencyP99 = p99
+      spark.streams.removeListener(listener)
       System.err.println(
-        f"[bench] wal_drain: ${backlog.length} events in $secs%.2f s = " +
-          f"${backlog.length / secs}%.0f events/s")
+        f"[bench] wal_drain: $drainEvents events in $secs%.2f s = " +
+          f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
+
+      // -------- 2-slot drain (scale-out axis: near-linear per slot) ------
+      def twoSlotDrain(): Double = {
+        val walA = Files.createTempDirectory("graft-bench-wal2a").toString
+        val walB = Files.createTempDirectory("graft-bench-wal2b").toString
+        val outDir = Files.createTempDirectory("graft-bench-out2").toString
+        val ckptDir = Files.createTempDirectory("graft-bench-ckpt2").toString
+        val mid = minId + (maxId - minId) / 2
+        renderRange(walA, minId, primeCut, 0, 1)
+        renderRange(walB, mid + 1, mid + 1000, 0, 1)
+        val handles = MultiSlot.start(spark,
+          Seq(SlotSpec("a", walA), SlotSpec("b", walB)),
+          Routing.fixtureStreams, ckptDir, outDir, triggerMs = 0L,
+          maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
+        MultiSlot.drainAll(handles) // prime both slots
+        renderRange(walA, primeCut + 1, mid, 1, if (scale > 1) 2 * scale else 1)
+        renderRange(walB, mid + 1001, maxId, 1, if (scale > 1) 2 * scale else 1)
+        val t0 = System.nanoTime()
+        MultiSlot.drainAll(handles)
+        val secs = (System.nanoTime() - t0) / 1e9
+        MultiSlot.stopAll(handles)
+        secs
+      }
+      val secs2 = Seq(twoSlotDrain(), twoSlotDrain()).min
+      results("wal_drain_2slot") = secs2
+      System.err.println(
+        f"[bench] wal_drain_2slot: ~$drainEvents events over 2 slots in " +
+          f"$secs2%.2f s = ${drainEvents / secs2}%.0f events/s")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }
@@ -112,12 +184,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,""" +
+      s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
+      s""""sf":"$sfDir"}"""
     // stdout line for the driver (fork + StdoutOutput keep it unprefixed) AND
-    // a file copy in case the driver prefers to read one
+    // a file copy — under tmp or GRAFT_BENCH_OUT, never the repo CWD (a CWD
+    // write lands untracked in git status and concurrent runs clobber it)
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT",
+      s"${sys.props("java.io.tmpdir")}/graft_bench_out.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }
