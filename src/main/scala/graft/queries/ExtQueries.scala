@@ -182,9 +182,26 @@ object ExtQueries {
     * cached DataFrame instead of re-persisting a fresh copy per call — the
     * per-invocation `.persist()` this replaces leaked one cached plan per
     * query run in a long-lived session. Entries are bounded by the number of
-    * distinct data dirs the session touches. */
+    * distinct data dirs the session touches.
+    *
+    * ASSUMPTION: a data dir is immutable for the lifetime of its cache entry
+    * (true for the engine's inputs — parquet fixture dirs are written once).
+    * If a dir's contents change in-session, call [[invalidateSubtreeCache]]
+    * or the LSH family serves the stale persisted snapshot. Entries pin
+    * their SparkSession until invalidated; stopped-session entries are
+    * cleared by the same call. */
   private val subtreeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Unpersist + drop cache entries: all of them (no args), or only those
+    * for `dir`. Also reaps entries whose session has been stopped. */
+  def invalidateSubtreeCache(dir: Option[String] = None): Unit =
+    subtreeCache.keys.toSeq.foreach { k =>
+      val stale = dir.forall(_ == k._3) || k._1.sparkContext.isStopped
+      if (stale) subtreeCache.remove(k).foreach { df =>
+        if (!k._1.sparkContext.isStopped) df.unpersist()
+      }
+    }
 
   /** Shared Spark-side shingle set (distinct word-3-shingles, exploded).
     * Persisted: the LSH family (candidates, estimator, exact Jaccard) reuses
