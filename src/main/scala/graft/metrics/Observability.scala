@@ -146,17 +146,21 @@ final class GraftQueryListener(metrics: GraftMetrics,
   * Kept as data so deployments without a live Postgres can still unit-test
   * the contract. */
 object PreflightChecks {
+  /** Resource/column names are interpolated into string LITERALS below —
+    * double any quote so a hostile config value can't break out of the
+    * literal (the config layer also restricts these, belt + braces). */
+  private def lit(s: String): String = s.replace("'", "''")
   /** server_version_num ≥ 120000 (Postgres 12+). */
   val serverVersion = "SELECT current_setting('server_version_num')::int >= 120000"
   val walLevel = "SELECT current_setting('wal_level') = 'logical'"
   def tableExists(resource: String) =
-    s"SELECT to_regclass('$resource') IS NOT NULL"
+    s"SELECT to_regclass('${lit(resource)}') IS NOT NULL"
   def columnExists(resource: String, column: String) =
     s"""SELECT EXISTS (SELECT 1 FROM pg_attribute
-       | WHERE attrelid = to_regclass('$resource')
-       |   AND attname = '$column' AND NOT attisdropped)""".stripMargin
+       | WHERE attrelid = to_regclass('${lit(resource)}')
+       |   AND attname = '${lit(column)}' AND NOT attisdropped)""".stripMargin
   /** REPLICA IDENTITY FULL required for delete-tracking streams
     * (validator.zig:151-179). */
   def replicaIdentityFull(resource: String) =
-    s"SELECT relreplident = 'f' FROM pg_class WHERE oid = to_regclass('$resource')"
+    s"SELECT relreplident = 'f' FROM pg_class WHERE oid = to_regclass('${lit(resource)}')"
 }

@@ -49,4 +49,33 @@ object JdbcSnapshot {
     "sessionInitStatement" -> sessionInit(snapshotName),
     "fetchsize" -> fetchSize.toString,
     "isolationLevel" -> "REPEATABLE_READ")
+
+  /** Unquoted-identifier gate for names interpolated into the range query —
+    * same hardening as the replication command builders. */
+  private def ident(s: String): String = {
+    require(s.matches("[a-zA-Z_][a-zA-Z0-9_]*(\\.[a-zA-Z_][a-zA-Z0-9_]*)?"),
+      s"not a plain identifier: '$s'")
+    s
+  }
+
+  /** The live half of the partition plan: sample the PK range over a catalog
+    * [[Connection]] (driver-side, one row), then cut predicates. The range
+    * query runs INSIDE the exported snapshot's session when `snapshotName`
+    * is given, so the bounds are consistent with what the partitions scan.
+    * Empty table (NULL min) ⇒ the single full-scan predicate. */
+  def planPartitions(conn: java.sql.Connection, table: String, pkCol: String,
+      parts: Int, snapshotName: Option[String] = None): Seq[String] = {
+    val st = conn.createStatement()
+    try {
+      snapshotName.foreach { snap =>
+        Replication.snapshotSessionSql(snap).foreach(st.execute)
+      }
+      val rs = st.executeQuery(
+        s"SELECT min(${ident(pkCol)}), max(${ident(pkCol)}) FROM ${ident(table)}")
+      try {
+        if (!rs.next() || { rs.getLong(1); rs.wasNull() }) Seq("1=1")
+        else partitionPredicates(pkCol, rs.getLong(1), rs.getLong(2), parts)
+      } finally rs.close()
+    } finally st.close()
+  }
 }
