@@ -21,6 +21,13 @@ object PgWire {
 
   val ProtocolV3 = 196608 // 3 << 16
 
+  /** Protocol maximum message size: the length word is a signed int32 and
+    * the backend caps allocations at 1 GB — a logical-replication CopyData
+    * carrying one large/TOASTed row value can legitimately approach it, so
+    * a lower cap turns such a row into a permanent poison message (every
+    * restart re-fails at the same LSN). */
+  val MaxMessageBytes: Int = 1 << 30
+
   /** One backend message: tag byte + body (length prefix stripped). */
   final case class Backend(tag: Byte, body: Array[Byte])
 
@@ -90,17 +97,47 @@ object PgWire {
 
   // -------- backend decoding --------
 
-  /** Read one tagged backend message (blocking; honors the socket timeout —
-    * a timeout BEFORE the tag byte surfaces as SocketTimeoutException to the
-    * caller; mid-message timeouts propagate, since a server never stalls
-    * inside one message). */
+  /** Read one tagged backend message (blocking; honors the socket timeout;
+    * used where any timeout is fatal — handshakes. The streaming path uses
+    * [[readBackendOrIdle]], which distinguishes quiet-wire from
+    * mid-message stall). */
   def readBackend(in: DataInputStream): Backend = {
     val tag = in.readByte()
     val len = in.readInt()
-    require(len >= 4 && len <= (1 << 26), s"implausible message length $len")
+    require(len >= 4 && len <= MaxMessageBytes, s"implausible message length $len")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     Backend(tag, body)
+  }
+
+  /** Read one backend message with the idle / mid-message timeout split:
+    * a timeout while waiting for the TAG byte means the wire is quiet —
+    * returns null. Once the tag has been consumed the message MUST complete:
+    * the stream-level reads below consume bytes irrecoverably, so a timeout
+    * there would leave half a header/body in limbo and the next read would
+    * parse payload bytes as a tag+length (a desynced stream spooling garbage
+    * frames). libpq buffers partial messages and cannot desync; on a
+    * blocking socket the equivalent safety is fail-the-session-fatally.
+    * `midMessageTimeoutMs` is generous (it bounds a legitimately slow large
+    * CopyData between successive packets, not the whole message). */
+  def readBackendOrIdle(socket: Socket, in: DataInputStream,
+      idleTimeoutMs: Int, midMessageTimeoutMs: Int): Backend = {
+    socket.setSoTimeout(idleTimeoutMs)
+    val tag =
+      try in.readByte()
+      catch { case _: SocketTimeoutException => return null }
+    socket.setSoTimeout(midMessageTimeoutMs)
+    try {
+      val len = in.readInt()
+      require(len >= 4 && len <= MaxMessageBytes, s"implausible message length $len")
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      Backend(tag, body)
+    } catch {
+      case _: SocketTimeoutException => throw new IllegalStateException(
+        s"mid-message stall inside '${tag.toChar}' (> $midMessageTimeoutMs ms " +
+          "between packets): resuming would desync the stream; failing the session")
+    }
   }
 
   /** ErrorResponse/NoticeResponse field list → "SEVERITY: message (SQLSTATE)". */
@@ -231,28 +268,33 @@ final class SocketCopyBothChannel private (
     socket: Socket,
     in: DataInputStream,
     out: DataOutputStream,
-    readTimeoutMs: Int) extends CopyBothChannel {
+    readTimeoutMs: Int,
+    midMessageTimeoutMs: Int) extends CopyBothChannel {
   import PgWire._
 
   override def read(): Array[Byte] = {
-    socket.setSoTimeout(readTimeoutMs)
-    val msg =
-      try readBackend(in)
-      catch {
-        case _: SocketTimeoutException => return null
-        case _: EOFException =>
-          throw new IllegalStateException("replication connection closed by server")
+    // notices are skipped in a LOOP, not recursion — a notice flood is
+    // bounded by the wire, never by the stack
+    while (true) {
+      val msg =
+        try readBackendOrIdle(socket, in, readTimeoutMs, midMessageTimeoutMs)
+        catch {
+          case _: EOFException =>
+            throw new IllegalStateException("replication connection closed by server")
+        }
+      if (msg == null) return null
+      msg.tag.toChar match {
+        case 'd' => return msg.body
+        case 'N' => // informational notice; keep reading
+        case 'E' => throw new IllegalStateException(
+          s"replication stream error: ${parseErrorFields(msg.body)}")
+        case 'c' | 'C' | 'Z' => throw new IllegalStateException(
+          s"server ended the replication stream ('${msg.tag.toChar}')")
+        case t => throw new IllegalStateException(
+          s"unexpected message '$t' inside CopyBoth")
       }
-    msg.tag.toChar match {
-      case 'd' => msg.body
-      case 'N' => read() // notices are informational
-      case 'E' => throw new IllegalStateException(
-        s"replication stream error: ${parseErrorFields(msg.body)}")
-      case 'c' | 'C' | 'Z' => throw new IllegalStateException(
-        s"server ended the replication stream ('${msg.tag.toChar}')")
-      case t => throw new IllegalStateException(
-        s"unexpected message '$t' inside CopyBoth")
     }
+    null // unreachable
   }
 
   override def write(msg: Array[Byte]): Unit = {
@@ -300,7 +342,8 @@ object SocketCopyBothChannel {
     * session loudly, never downgrade. */
   def connect(ep: Endpoint, slot: String, publication: String,
       startLsn: String, readTimeoutMs: Int = 500,
-      connectTimeoutMs: Int = 15000): SocketCopyBothChannel = {
+      connectTimeoutMs: Int = 15000,
+      midMessageTimeoutMs: Int = 30000): SocketCopyBothChannel = {
     val socket = new Socket()
     socket.setTcpNoDelay(true)
     socket.connect(new InetSocketAddress(ep.host, ep.port), connectTimeoutMs)
@@ -338,10 +381,12 @@ object SocketCopyBothChannel {
                   scram.clientFirstMessage))
                 out.flush()
               case 11 => // SASLContinue (server-first)
+                if (scram == null) fail("SASLContinue before SASL start")
                 out.write(saslResponse(scram.clientFinal(
                   java.util.Arrays.copyOfRange(m.body, 4, m.body.length))))
                 out.flush()
               case 12 => // SASLFinal (server signature)
+                if (scram == null) fail("SASLFinal before SASL start")
                 scram.verifyServerFinal(
                   java.util.Arrays.copyOfRange(m.body, 4, m.body.length))
               case other => fail(s"unsupported auth request code $other")
@@ -364,7 +409,7 @@ object SocketCopyBothChannel {
           case t => fail(s"unexpected message '$t' awaiting CopyBothResponse")
         }
       }
-      new SocketCopyBothChannel(socket, in, out, readTimeoutMs)
+      new SocketCopyBothChannel(socket, in, out, readTimeoutMs, midMessageTimeoutMs)
     } catch {
       case e: Throwable =>
         try socket.close() catch { case _: java.io.IOException => }

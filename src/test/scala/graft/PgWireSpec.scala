@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Routing
-import graft.source.postgres.{ReplicationSpooler, ReplicationWire, SocketCopyBothChannel}
+import graft.source.postgres.{PgWire, ReplicationSpooler, ReplicationWire, SocketCopyBothChannel}
 import graft.source.wal.{WalFixture, WalLog}
 import graft.streaming.StreamingPipeline
 import org.scalatest.funsuite.AnyFunSuite
@@ -117,6 +117,72 @@ class PgWireSpec extends AnyFunSuite {
       val st = srv.statuses.get(0)
       assert(st.written == 4242L && st.flushed == 4242L && st.applied == 4242L)
     } finally { ch.close(); srv.close() }
+  }
+
+  test("a notice flood is absorbed in bounded stack (loop, not recursion)") {
+    val srv = new FakeWalsender(Trust)
+    val ch = connectTo(srv, None, readTimeoutMs = 2000)
+    try {
+      srv.awaitCopyBoth()
+      val notice = {
+        val b = new java.io.ByteArrayOutputStream()
+        def f(c: Char, v: String): Unit = { b.write(c); b.write(v.getBytes("UTF-8")); b.write(0) }
+        f('S', "NOTICE"); f('C', "00000"); f('M', "chatty server"); b.write(0)
+        b.toByteArray
+      }
+      // tens of thousands of notices before the data frame: recursion depth
+      // would overflow the stack; the loop must deliver the frame regardless
+      (1 to 50000).foreach(_ => srv.sendRaw('N', notice))
+      srv.send(ReplicationWire.encodeXLogData(
+        XLogData(11L, 11L, 0L, Array[Byte](1, 2, 3))))
+      var got: Array[Byte] = null
+      val deadline = System.nanoTime() + 30000000000L
+      while (got == null && System.nanoTime() < deadline) got = ch.read()
+      assert(got != null)
+      val Data(x) = decode(got): @unchecked
+      assert(x.walStart == 11L)
+    } finally { ch.close(); srv.close() }
+  }
+
+  test("timeout before the tag byte is idle (null); a mid-message stall is fatal") {
+    // a raw scripted server: write half a message, then stall — the client
+    // must fail the session rather than desync
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val out = s.getOutputStream
+      Thread.sleep(300) // longer than the idle timeout: client sees null first
+      out.write('d'); out.write(Array[Byte](0, 0)) // tag + 2 of 4 length bytes
+      out.flush()
+      Thread.sleep(5000) // stall mid-message
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val sock = new java.net.Socket(server.getInetAddress, server.getLocalPort)
+    val in = new java.io.DataInputStream(sock.getInputStream)
+    try {
+      // quiet wire: pre-tag timeout → null, repeatedly, no state consumed
+      assert(PgWire.readBackendOrIdle(sock, in, 100, 500) == null)
+      // the tag byte then arrives but the length never completes → fatal
+      val e = intercept[IllegalStateException] {
+        var r: PgWire.Backend = null
+        val deadline = System.nanoTime() + 10000000000L
+        while (r == null && System.nanoTime() < deadline)
+          r = PgWire.readBackendOrIdle(sock, in, 100, 500)
+      }
+      assert(e.getMessage.contains("mid-message stall"))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("message cap admits protocol-max frames (1 GB), rejects beyond") {
+    assert(PgWire.MaxMessageBytes == (1 << 30))
+    // a length just over the cap must be rejected as implausible
+    val big = java.nio.ByteBuffer.allocate(5)
+      .put('d'.toByte).putInt(PgWire.MaxMessageBytes + 1).array()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(big))
+    val e = intercept[IllegalArgumentException] { PgWire.readBackend(in) }
+    assert(e.getMessage.contains("implausible"))
   }
 
   test("a mid-stream ErrorResponse fails the read, never silently skips") {
