@@ -27,19 +27,19 @@ import graft.source.pgoutput.PgOutputMessages._
   */
 final class ConvertException(msg: String) extends RuntimeException(msg)
 
-final class Converter(registry: RelationRegistry) {
-
-  private var currentCommitTsS: Long = 0L
-
-  private[pgoutput] object Oid {
+object Converter {
+  object Oid {
     val Int2 = 21; val Int4 = 23; val Int8 = 20
     val Float4 = 700; val Float8 = 701
     val Bool = 16
     val Numeric = 1700
   }
 
-  /** Promote one text datum by OID into a JSON-ready scalar. */
-  private[pgoutput] def promote(oid: Int, d: Datum): Any = d match {
+  /** Promote one text datum by OID into a JSON-ready scalar. Shared by the
+    * streaming converter and the wire snapshot scan ([[graft.source.postgres
+    * .WireBootstrap]]) — simple-query result columns carry the same type
+    * OIDs, so snapshot READ rows promote identically to streamed changes. */
+  def promote(oid: Int, d: Datum): Any = d match {
     case NullDatum => null
     case ToastDatum => ChangeEvent.ToastPlaceholder
     case BinaryDatum(b) => b.map("%02X".format(_)).mkString
@@ -56,6 +56,12 @@ final class Converter(registry: RelationRegistry) {
       case _ => s
     }
   }
+}
+
+final class Converter(registry: RelationRegistry) {
+  import Converter.promote
+
+  private var currentCommitTsS: Long = 0L
 
   private def rowJson(rel: RelationRegistry#RelationInfo, t: TupleData): String = {
     if (t.columns.size != rel.columns.size)

@@ -1,7 +1,7 @@
 package graft.source.postgres
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
-import java.net.{InetSocketAddress, Socket, SocketTimeoutException, URI}
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{Socket, SocketTimeoutException, URI}
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
@@ -264,7 +264,7 @@ object ScramSha256 {
   * within `readTimeoutMs`; ErrorResponse and server-side stream termination
   * throw (the desync-fail-fast policy).
   */
-final class SocketCopyBothChannel private (
+final class SocketCopyBothChannel private[postgres] (
     socket: Socket,
     in: DataInputStream,
     out: DataOutputStream,
@@ -339,81 +339,13 @@ object SocketCopyBothChannel {
     * cleartext / MD5 / SCRAM-SHA-256) → ReadyForQuery → Query(
     * START_REPLICATION …) → CopyBothResponse. Any ErrorResponse aborts with
     * the server's message — bad credentials or a missing slot must fail the
-    * session loudly, never downgrade. */
+    * session loudly, never downgrade. The handshake lives in [[PgSession]]
+    * (which also runs the bootstrap's simple queries); this entry is the
+    * one-shot "slot already exists, just stream" path. */
   def connect(ep: Endpoint, slot: String, publication: String,
       startLsn: String, readTimeoutMs: Int = 500,
       connectTimeoutMs: Int = 15000,
-      midMessageTimeoutMs: Int = 30000): SocketCopyBothChannel = {
-    val socket = new Socket()
-    socket.setTcpNoDelay(true)
-    socket.connect(new InetSocketAddress(ep.host, ep.port), connectTimeoutMs)
-    socket.setSoTimeout(connectTimeoutMs)
-    val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
-    def fail(msg: String): Nothing = {
-      socket.close(); throw new IllegalStateException(msg)
-    }
-    def needPassword(): String =
-      ep.password.getOrElse(fail(s"server demands a password for ${ep.user} and none was configured"))
-    try {
-      out.write(startupMessage(ep.user, ep.database)); out.flush()
-      var scram: ScramSha256.Client = null
-      var ready = false
-      while (!ready) {
-        val m = readBackend(in)
-        m.tag.toChar match {
-          case 'R' =>
-            val bb = ByteBuffer.wrap(m.body)
-            bb.getInt() match {
-              case 0 => // AuthenticationOk
-              case 3 => // CleartextPassword
-                out.write(passwordMessage(needPassword())); out.flush()
-              case 5 => // MD5Password
-                val salt = new Array[Byte](4); bb.get(salt)
-                out.write(passwordMessage(md5Password(ep.user, needPassword(), salt)))
-                out.flush()
-              case 10 => // SASL: mechanism list
-                val mechs = cstrings(java.util.Arrays.copyOfRange(m.body, 4, m.body.length))
-                if (!mechs.contains(ScramSha256.Mechanism))
-                  fail(s"no supported SASL mechanism in ${mechs.mkString(",")}")
-                scram = new ScramSha256.Client(needPassword())
-                out.write(saslInitialResponse(ScramSha256.Mechanism,
-                  scram.clientFirstMessage))
-                out.flush()
-              case 11 => // SASLContinue (server-first)
-                if (scram == null) fail("SASLContinue before SASL start")
-                out.write(saslResponse(scram.clientFinal(
-                  java.util.Arrays.copyOfRange(m.body, 4, m.body.length))))
-                out.flush()
-              case 12 => // SASLFinal (server signature)
-                if (scram == null) fail("SASLFinal before SASL start")
-                scram.verifyServerFinal(
-                  java.util.Arrays.copyOfRange(m.body, 4, m.body.length))
-              case other => fail(s"unsupported auth request code $other")
-            }
-          case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
-          case 'Z' => ready = true
-          case 'E' => fail(s"connection refused: ${parseErrorFields(m.body)}")
-          case t => fail(s"unexpected message '$t' during startup")
-        }
-      }
-      out.write(query(Replication.startReplication(slot, publication, startLsn)))
-      out.flush()
-      var copyBoth = false
-      while (!copyBoth) {
-        val m = readBackend(in)
-        m.tag.toChar match {
-          case 'W' => copyBoth = true // CopyBothResponse — streaming begins
-          case 'S' | 'N' =>
-          case 'E' => fail(s"START_REPLICATION failed: ${parseErrorFields(m.body)}")
-          case t => fail(s"unexpected message '$t' awaiting CopyBothResponse")
-        }
-      }
-      new SocketCopyBothChannel(socket, in, out, readTimeoutMs, midMessageTimeoutMs)
-    } catch {
-      case e: Throwable =>
-        try socket.close() catch { case _: java.io.IOException => }
-        throw e
-    }
-  }
+      midMessageTimeoutMs: Int = 30000): SocketCopyBothChannel =
+    PgSession.connect(ep, connectTimeoutMs)
+      .startReplication(slot, publication, startLsn, readTimeoutMs, midMessageTimeoutMs)
 }

@@ -35,12 +35,29 @@ object Replication {
   def publicationExists(name: String): String =
     s"SELECT 1 FROM pg_publication WHERE pubname = '${ident(name)}'"
 
+  /** An EMPTY publication (no FOR clause) — the durable snapshot-in-progress
+    * marker flag (replication_protocol.zig:174-214): publications are plain
+    * catalog rows, so existence is crash-durable and cheap to test. */
+  def createMarkerPublication(name: String): String =
+    s"CREATE PUBLICATION ${ident(name)}"
+
+  /** How slot creation exposes its consistent snapshot (public replication
+    * grammar): EXPORT returns `snapshot_name` for OTHER sessions to adopt
+    * (the parallel multi-connection snapshot path — [[JdbcSnapshot]]);
+    * USE pins THIS session's open transaction to the snapshot, so the
+    * single-session bootstrap can scan tables and then stream with no second
+    * connection; NOTHING skips the snapshot (streaming-only streams). */
+  sealed trait SnapshotMode { def clause: String }
+  case object ExportSnapshot extends SnapshotMode { val clause = "EXPORT_SNAPSHOT" }
+  case object UseSnapshot extends SnapshotMode { val clause = "USE_SNAPSHOT" }
+  case object NoExportSnapshot extends SnapshotMode { val clause = "NOEXPORT_SNAPSHOT" }
+
   /** Slot creation on a replication connection; the result row carries
     * `consistent_point` (the stream start LSN) and `snapshot_name` (the
     * exported snapshot the initial table scan must run under — only valid
     * while this session stays open, snapshot.zig:31-36). */
-  def createSlot(slot: String): String =
-    s"CREATE_REPLICATION_SLOT ${ident(slot)} LOGICAL pgoutput"
+  def createSlot(slot: String, mode: SnapshotMode = ExportSnapshot): String =
+    s"CREATE_REPLICATION_SLOT ${ident(slot)} LOGICAL pgoutput ${mode.clause}"
 
   def dropSlot(slot: String): String =
     s"DROP_REPLICATION_SLOT ${ident(slot)} WAIT"
@@ -68,4 +85,6 @@ object Replication {
 
   def fetchForward(cursor: String, n: Int): String =
     s"FETCH FORWARD $n FROM ${ident(cursor)}"
+
+  def closeCursor(cursor: String): String = s"CLOSE ${ident(cursor)}"
 }

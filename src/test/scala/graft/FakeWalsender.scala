@@ -45,6 +45,24 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   @volatile private var running = true
   val copyBothEntered = new CountDownLatch(1)
 
+  // ---- scripted catalog state (bootstrap tests) ----
+  /** When true, START_REPLICATION against an unknown slot fails like a real
+    * server ('replication slot … does not exist'). Default lenient so the
+    * plain streaming tests need no setup. */
+  @volatile var strictSlots = false
+  /** LSN handed out as the next created slot's consistent_point. */
+  @volatile var nextConsistentPoint = 0x500L
+  val publications = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** slot name → consistent point. */
+  val slots = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Live table state: resource → (columns(name, typeOid), rows of text
+    * values). Mutating this AFTER a slot is created does not change what the
+    * snapshot scan sees (rows freeze at slot creation — snapshot isolation). */
+  val tables = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Int)], Seq[Seq[String]])]()
+  /** Every simple query received, in order (assertion surface). */
+  val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
   /** Queue one replication payload (XLogData / keepalive) for CopyData push. */
   def send(payload: Array[Byte]): Unit = outQ.add(('d'.toByte, payload))
 
@@ -185,15 +203,159 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
     tagged('K', ByteBuffer.allocate(8).putInt(4242).putInt(7).array())
     tagged('Z', Array('I'.toByte))
 
-    // ---- START_REPLICATION → CopyBoth ----
-    val q = readFrontend()
-    require(q.tag == 'Q'.toByte, s"expected Query, got '${q.tag.toChar}'")
-    startQuery = new String(q.body, 0, q.body.length - 1, UTF_8)
-    if (!startQuery.startsWith("START_REPLICATION")) {
-      sendError("unexpected command in walsender mode", "42601"); sock.close(); return
+    // ---- simple-query loop until START_REPLICATION → CopyBoth ----
+    // Response formats (RowDescription/DataRow/CommandComplete) are written
+    // here from the protocol docs, independent of the client's parsers.
+    def sendRowDescription(cols: Seq[(String, Int)]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeShort(cols.size)
+      cols.foreach { case (n, oid) =>
+        d.write(n.getBytes(UTF_8)); d.write(0)
+        d.writeInt(0); d.writeShort(0); d.writeInt(oid)
+        d.writeShort(-1); d.writeInt(-1); d.writeShort(0)
+      }
+      tagged('T', b.toByteArray)
     }
-    tagged('W', Array[Byte](0, 0, 0)) // CopyBothResponse, 0 columns
-    copyBothEntered.countDown()
+    def sendDataRow(vals: Seq[String]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeShort(vals.size)
+      vals.foreach { v =>
+        if (v == null) d.writeInt(-1)
+        else { val bytes = v.getBytes(UTF_8); d.writeInt(bytes.length); d.write(bytes) }
+      }
+      tagged('D', b.toByteArray)
+    }
+    def sendComplete(tag: String): Unit = tagged('C', cstr(tag))
+    def sendReady(): Unit = tagged('Z', Array('I'.toByte))
+    def sendQueryError(msg: String, sqlstate: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      def f(c: Char, v: String): Unit = { b.write(c); b.write(v.getBytes(UTF_8)); b.write(0) }
+      f('S', "ERROR"); f('C', sqlstate); f('M', msg); b.write(0)
+      tagged('E', b.toByteArray)
+    }
+    def lsnText(l: Long): String =
+      f"${(l >>> 32).toHexString.toUpperCase}%s/${(l & 0xFFFFFFFFL).toHexString.toUpperCase}%s"
+
+    val CreateSlotRe = "CREATE_REPLICATION_SLOT (\\w+) LOGICAL pgoutput(?: (\\w+))?".r
+    val DropSlotRe = "DROP_REPLICATION_SLOT (\\w+).*".r
+    val CreatePubRe = "CREATE PUBLICATION (\\w+).*".r
+    val DropPubRe = "DROP PUBLICATION IF EXISTS (\\w+)".r
+    val PubExistsRe = "SELECT 1 FROM pg_publication WHERE pubname = '(\\w+)'".r
+    val SlotExistsRe = "SELECT 1 FROM pg_replication_slots WHERE slot_name = '(\\w+)'".r
+    val DeclareRe = "DECLARE (\\w+) CURSOR FOR SELECT \\* FROM ([\\w.]+)".r
+    val FetchRe = "FETCH FORWARD (\\d+) FROM (\\w+)".r
+    val CloseRe = "CLOSE (\\w+)".r
+    val SetSnapshotRe = "SET TRANSACTION SNAPSHOT '([^']+)'".r
+
+    var inTx = false
+    var snapshotPinned = false
+    // rows frozen at slot-create time: the snapshot scan must see exactly
+    // these, regardless of later `tables` mutations (snapshot isolation)
+    var frozen: Map[String, (Seq[(String, Int)], Seq[Seq[String]])] = Map.empty
+    var exportedSnapshotName: String = null
+    val cursors = scala.collection.mutable.Map.empty[String, (String, Int)]
+    var inCopyBoth = false
+
+    while (!inCopyBoth && running) {
+      val q = readFrontend()
+      if (q.tag == 'X'.toByte) { sock.close(); return }
+      require(q.tag == 'Q'.toByte, s"expected Query, got '${q.tag.toChar}'")
+      val sql = new String(q.body, 0, q.body.length - 1, UTF_8)
+      queriesSeen.add(sql)
+      sql match {
+        case s if s.startsWith("START_REPLICATION") =>
+          startQuery = s
+          val slotName = s.split("\\s+")(2)
+          if (strictSlots && !slots.containsKey(slotName)) {
+            sendQueryError(s"""replication slot "$slotName" does not exist""", "42704")
+            sendReady()
+          } else {
+            tagged('W', Array[Byte](0, 0, 0)) // CopyBothResponse, 0 columns
+            copyBothEntered.countDown()
+            inCopyBoth = true
+          }
+        case CreateSlotRe(name, mode) =>
+          val m = Option(mode).getOrElse("EXPORT_SNAPSHOT")
+          if (m == "USE_SNAPSHOT" && !inTx)
+            sendQueryError("USE_SNAPSHOT must be called inside a transaction", "25001")
+          else if (slots.containsKey(name))
+            sendQueryError(s"""replication slot "$name" already exists""", "42710")
+          else {
+            val point = nextConsistentPoint
+            slots.put(name, point)
+            frozen = {
+              import scala.jdk.CollectionConverters._
+              tables.asScala.toMap
+            }
+            val snapName = if (m == "EXPORT_SNAPSHOT") {
+              exportedSnapshotName = f"${point}%08X-1"; exportedSnapshotName
+            } else null
+            if (m == "USE_SNAPSHOT") snapshotPinned = true
+            sendRowDescription(Seq(("slot_name", 25), ("consistent_point", 25),
+              ("snapshot_name", 25), ("output_plugin", 25)))
+            sendDataRow(Seq(name, lsnText(point), snapName, "pgoutput"))
+            sendComplete("CREATE_REPLICATION_SLOT")
+          }
+          sendReady()
+        case DropSlotRe(name) =>
+          slots.remove(name); sendComplete("DROP_REPLICATION_SLOT"); sendReady()
+        case CreatePubRe(name) =>
+          if (publications.contains(name))
+            sendQueryError(s"""publication "$name" already exists""", "42710")
+          else { publications.add(name); sendComplete("CREATE PUBLICATION") }
+          sendReady()
+        case DropPubRe(name) =>
+          publications.remove(name); sendComplete("DROP PUBLICATION"); sendReady()
+        case PubExistsRe(name) =>
+          sendRowDescription(Seq(("?column?", 23)))
+          if (publications.contains(name)) { sendDataRow(Seq("1")); sendComplete("SELECT 1") }
+          else sendComplete("SELECT 0")
+          sendReady()
+        case SlotExistsRe(name) =>
+          sendRowDescription(Seq(("?column?", 23)))
+          if (slots.containsKey(name)) { sendDataRow(Seq("1")); sendComplete("SELECT 1") }
+          else sendComplete("SELECT 0")
+          sendReady()
+        case s if s.startsWith("BEGIN") =>
+          inTx = true; sendComplete("BEGIN"); sendReady()
+        case "COMMIT" =>
+          inTx = false; snapshotPinned = false; cursors.clear()
+          sendComplete("COMMIT"); sendReady()
+        case SetSnapshotRe(name) =>
+          if (name == exportedSnapshotName && inTx) {
+            snapshotPinned = true; sendComplete("SET")
+          } else sendQueryError(s"invalid snapshot identifier: \"$name\"", "22023")
+          sendReady()
+        case DeclareRe(cur, resource) =>
+          // the contract under test: a snapshot scan outside the pinned
+          // snapshot would read an inconsistent boundary — reject it
+          if (!snapshotPinned)
+            sendQueryError("snapshot scan requires a pinned snapshot " +
+              "(USE_SNAPSHOT or SET TRANSACTION SNAPSHOT)", "0A000")
+          else if (!frozen.contains(resource))
+            sendQueryError(s"""relation "$resource" does not exist""", "42P01")
+          else { cursors(cur) = (resource, 0); sendComplete("DECLARE CURSOR") }
+          sendReady()
+        case FetchRe(n, cur) =>
+          cursors.get(cur) match {
+            case None => sendQueryError(s"""cursor "$cur" does not exist""", "34000")
+            case Some((resource, pos)) =>
+              val (cols, rows) = frozen(resource)
+              val batch = rows.slice(pos, pos + n.toInt)
+              cursors(cur) = (resource, pos + batch.size)
+              sendRowDescription(cols)
+              batch.foreach(sendDataRow)
+              sendComplete(s"FETCH ${batch.size}")
+          }
+          sendReady()
+        case CloseRe(_) =>
+          sendComplete("CLOSE CURSOR"); sendReady()
+        case other =>
+          sendQueryError(s"unrecognized command: $other", "42601"); sendReady()
+      }
+    }
 
     // ---- streaming: push queue out, record standby statuses in ----
     sock.setSoTimeout(10)

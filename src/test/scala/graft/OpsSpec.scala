@@ -14,7 +14,9 @@ class OpsSpec extends AnyFunSuite {
       == "CREATE PUBLICATION pub FOR TABLE public.users, public.orders")
     assert(Replication.createPublication("pub", Nil)
       == "CREATE PUBLICATION pub FOR ALL TABLES")
-    assert(Replication.createSlot("s") == "CREATE_REPLICATION_SLOT s LOGICAL pgoutput")
+    assert(Replication.createSlot("s") == "CREATE_REPLICATION_SLOT s LOGICAL pgoutput EXPORT_SNAPSHOT")
+    assert(Replication.createSlot("s", Replication.UseSnapshot)
+      == "CREATE_REPLICATION_SLOT s LOGICAL pgoutput USE_SNAPSHOT")
     assert(Replication.startReplication("s", "pub", "0/1A2B3C") ==
       "START_REPLICATION SLOT s LOGICAL 0/1A2B3C " +
         "(proto_version '1', publication_names 'pub')")
