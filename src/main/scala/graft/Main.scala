@@ -29,6 +29,16 @@ object Main {
     // config load + validation is fail-fast, before any connection is made
     val config = ConfigLoader.fromJsonFile(configPath)
 
+    // a postgres block whose connection env var is unset would silently skip
+    // the live wire — a misspelled variable yielding a green pipeline that
+    // ingests nothing. Refuse to start instead (the reference fails startup
+    // on a missing connection, src/main.zig wiring).
+    config.postgres.foreach { pg =>
+      require(pg.connectionUri.isDefined,
+        s"source.postgres configured but env var '${pg.connectionEnv}' is " +
+          "unset — refusing to start a pipeline that would ingest nothing")
+    }
+
     val spark = SparkSession.builder()
       .appName("graft")
       .master(sys.env.getOrElse("SPARK_MASTER",
@@ -51,28 +61,43 @@ object Main {
       config.streams.map(s => s"${s.name}(${s.resource}→${s.destination})")
         .mkString(", "))
 
-    // live wire: with a postgres block in the config AND its connection env
-    // var set, open the replication socket and pump the walsender into the
-    // WAL dir the source reads (reference: src/main.zig:179-238 wiring).
-    // Without it, walDir is expected to be fed externally (tests, replays).
-    val spooler = config.postgres.flatMap { pg =>
-      pg.connectionUri.map { uri =>
-        val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(uri)
-        val ch = graft.source.postgres.SocketCopyBothChannel.connect(
-          ep, pg.slotName, pg.publicationName,
-          startLsn = graft.model.ChangeEvent.lsnText(
-            graft.source.wal.WalLog.confirmed(walDir)))
-        val sp = new graft.source.postgres.ReplicationSpooler(ch, walDir)
-        val t = new Thread(() => {
-          try while (true) { sp.pump(); metrics.heartbeat(); Thread.sleep(10) }
-          catch { case e: Throwable =>
-            metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
-          }
-        }, "graft-replication-pump")
-        t.setDaemon(true)
-        t.start()
-        sp
-      }
+    // live wire: with a postgres block in the config, run the full cold-start
+    // bootstrap over ONE session — publication + slot creation (capturing
+    // consistent_point), snapshot rows delivered to the sink as READ events
+    // before the marker drops, then CopyBoth streaming into the WAL dir the
+    // source reads (reference: src/main.zig:179-238 wiring). Without the
+    // block, walDir is expected to be fed externally (tests, replays).
+    val spooler = config.postgres.map { pg =>
+      val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(
+        pg.connectionUri.get) // presence enforced at startup above
+      val session = graft.source.postgres.PgSession.connect(ep)
+      val snapshotRows =
+        scala.collection.mutable.ArrayBuffer.empty[graft.model.ChangeEvent]
+      val boot = graft.source.postgres.WireBootstrap.bootstrap(
+        session, pg.slotName, pg.publicationName, config.streams,
+        confirmedLsn = graft.source.wal.WalLog.confirmed(walDir),
+        emit = snapshotRows += _,
+        flushDelivery = () => if (snapshotRows.nonEmpty) {
+          // flush barrier: READ events durably in the sink BEFORE the marker
+          // drops. This single-session cursor path stages through the driver;
+          // the at-scale alternative is the partitioned JdbcSnapshot batch
+          // job under an EXPORT_SNAPSHOT name — same events, many scanners.
+          import spark.implicits._
+          val events = snapshotRows.toSeq
+            .map(e => (e.op, e.data, e.meta.source, e.meta.resource,
+              e.meta.timestamp, e.meta.lsn,
+              graft.model.ChangeEvent.lsnValue(e.meta.lsn)))
+            .toDF("op", "data", "source", "resource", "commit_ts", "lsn", "lsn_num")
+          StreamingPipeline.kafkaFrame(events, config.streams)
+            .write.mode("append").format("parquet")
+            .option("compression", "none").save(outDir)
+          snapshotRows.clear()
+        })
+      println(s"[graft] bootstrap: ${boot.outcome} — streaming from " +
+        graft.model.ChangeEvent.lsnText(boot.startLsn))
+      val ch = session.startReplication(pg.slotName, pg.publicationName,
+        graft.model.ChangeEvent.lsnText(boot.startLsn))
+      new graft.source.postgres.ReplicationSpooler(ch, walDir)
     }
 
     val query = StreamingPipeline.start(
@@ -80,14 +105,25 @@ object Main {
       kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),
       triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong)
 
+    // wire death is fail-fast: the pump records the error and stops the
+    // query IMMEDIATELY — restart-from-checkpoint in seconds, never hidden
+    // behind query-side liveness (reference: source.zig:394-401)
+    val pump = spooler.map(sp => new graft.source.postgres.WirePump(sp,
+      onFatal = e => {
+        metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
+        query.stop()
+      },
+      heartbeat = () => metrics.heartbeat()).start())
+
     // stall fail-fast: silent wire past the liveness window stops the query
     // and we exit nonzero so the supervisor restarts from the checkpoint
     val watchdog = StallWatchdog(metrics, query).start()
 
-    sys.addShutdownHook { query.stop(); http.stop() }
+    sys.addShutdownHook { pump.foreach(_.close()); query.stop(); http.stop() }
     if (sys.env.contains("GRAFT_DRAIN_AND_EXIT")) {
       query.processAllAvailable()
       query.stop()
+      pump.foreach(_.close())
       watchdog.close()
       println(s"[graft] drained; events=${metrics.eventsProcessed.get()} " +
         s"batches=${metrics.batchesProcessed.get()}")
@@ -95,8 +131,9 @@ object Main {
       spark.stop()
     } else {
       query.awaitTermination()
+      pump.foreach(_.close())
       watchdog.close()
-      if (watchdog.stalled) {
+      if (watchdog.stalled || pump.exists(_.fatal != null)) {
         System.err.println(s"[graft] ${metrics.lastError.get()}")
         sys.exit(1)
       }
