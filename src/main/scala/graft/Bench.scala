@@ -22,8 +22,17 @@ import java.nio.file.{Files, Paths}
   *    reference's backlog-drain workload (tests/load/README.md). Per-batch
   *    p50/p99 latency rides the listener. `wal_drain_2slot` drains the same
   *    backlog split across two slots (the scale-out axis).
+  *  - suite trials are INTERLEAVED: 3 round-robin passes over all queries,
+  *    min per query — a minutes-long contention window on this box hits all
+  *    queries equally instead of corrupting one query's min-of-3
+  *  - `wal_drain_10x`: one recorded ~1M-event drain (10× replicated backlog,
+  *    shifted ids) — the at-scale design point; excluded from the suite total
+  *  - `latency_floor_ms`: per-batch wall-clock at trigger=5 ms with 1-event
+  *    arrivals — the micro-batch floor quoted next to the reference's <10 ms
+  *    push-latency claim
   *  - GRAFT_BENCH_SCALE=N replicates the event backlog N× (shifted ids) for
-  *    an order-of-magnitude drain point without new fixtures.
+  *    a larger drain without new fixtures; GRAFT_BENCH_10X=0 skips the 10×
+  *    point.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,23 +58,32 @@ object Bench {
     }
 
     // min of 3 runs per query — the reference's component baseline is
-    // min-of-5 (tests/benchmarks/baseline/components.json); min absorbs GC
-    // and machine-contention spikes (this box swings ~2x under contention)
+    // min-of-5 (tests/benchmarks/baseline/components.json). The 3 passes are
+    // INTERLEAVED round-robin across queries (pass 1 over all queries, then
+    // pass 2, then 3): this box's contention windows last minutes, so three
+    // back-to-back trials of one query all land inside the same window and
+    // min() can't absorb it — round-robin spreads a window across every
+    // query equally, keeping round-over-round deltas comparable.
     spark.catalog.clearCache() // drop warm-up-SF caches before timing
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      var failed = false
-      val times = (1 to 3).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val trials = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    (1 to 3).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try runToNoop(fn(spark, sfDir))
         catch { case e: Throwable =>
-          failed = true
+          failedQ += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
       }
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
-      results(name) = if (failed) -1.0 else times.min
+      results(name) = if (failedQ(name)) -1.0 else trials(name).min
     }
 
     // ---------------- CDC drain workloads ----------------
@@ -74,19 +92,22 @@ object Bench {
     // backlog, excluding process startup).
     var latencyP50 = 0L; var latencyP99 = 0L
     var drainEvents = 0L
+    var drainEvents10 = 0L
+    var floorP50 = 0L; var floorP99 = 0L
     try {
       val scale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
       val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-      // replicate with shifted ids for GRAFT_BENCH_SCALE > 1 (same schema,
-      // same op mix; LSNs stay unique because they derive from event_id)
+      // replicate with shifted ids for scale > 1 (same schema, same op mix;
+      // LSNs stay unique because they derive from event_id)
       val idSpan = {
         val r = ev0.agg(min("event_id"), max("event_id")).head()
         r.getLong(1) - r.getLong(0) + 1
       }
-      val ev = (0 until scale).map { k =>
+      def mkEv(s: Int) = (0 until s).map { k =>
         if (k == 0) ev0
         else ev0.withColumn("event_id", col("event_id") + k * idSpan)
       }.reduce(_ unionByName _)
+      val ev = mkEv(scale)
       val bounds = ev.agg(min("event_id"), max("event_id")).head()
       val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
       val primeCut = minId + 999 // ~1000 events absorb stream startup
@@ -100,9 +121,9 @@ object Bench {
         * relations (fresh `seen` per segment) — required by the reader's
         * segment pruning, as a walsender does per session. Segment index =
         * range-partition id, so file order follows LSN order. */
-      def renderRange(walDir: String, lo: Long, hi: Long, firstSeg: Int,
-          nSegs: Int): Unit = {
-        ev.filter(col("event_id").between(lo, hi))
+      def renderRange(src: DataFrame, walDir: String, lo: Long, hi: Long,
+          firstSeg: Int, nSegs: Int): Unit = {
+        src.filter(col("event_id").between(lo, hi))
           .repartitionByRange(nSegs, col("event_id"))
           .sortWithinPartitions("event_id")
           .foreachPartition { (it: Iterator[Row]) =>
@@ -123,25 +144,28 @@ object Bench {
       val metrics = new graft.metrics.GraftMetrics
       val listener = new graft.metrics.GraftQueryListener(metrics)
       spark.streams.addListener(listener)
-      def oneDrain(): Double = {
+      def oneDrain(src: DataFrame, lo: Long, hi: Long, cut: Long,
+          nSegs: Int): Double = {
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
-        renderRange(walDir, minId, primeCut, 0, 1)
+        renderRange(src, walDir, lo, cut, 0, 1)
         // sliceEvents splits the batch into ~32 parallel decode partitions
         // (99k-event backlog / 3000 ≈ one slice per core on this box)
         val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
           ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
           maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
         q.processAllAvailable() // prime: startup + first segment
-        renderRange(walDir, primeCut + 1, maxId, 1, if (scale > 1) 4 * scale else 1)
+        renderRange(src, walDir, cut + 1, hi, 1, nSegs)
         val t0 = System.nanoTime()
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
         q.stop()
         secs
       }
-      val secs = Seq(oneDrain(), oneDrain(), oneDrain()).min
+      def headlineDrain(): Double = oneDrain(ev, minId, maxId, primeCut,
+        if (scale > 1) 4 * scale else 1)
+      val secs = Seq(headlineDrain(), headlineDrain(), headlineDrain()).min
       results("wal_drain") = secs
       val (p50, p99) = metrics.batchLatencyMs
       latencyP50 = p50; latencyP99 = p99
@@ -157,15 +181,15 @@ object Bench {
         val outDir = Files.createTempDirectory("graft-bench-out2").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt2").toString
         val mid = minId + (maxId - minId) / 2
-        renderRange(walA, minId, primeCut, 0, 1)
-        renderRange(walB, mid + 1, mid + 1000, 0, 1)
+        renderRange(ev, walA, minId, primeCut, 0, 1)
+        renderRange(ev, walB, mid + 1, mid + 1000, 0, 1)
         val handles = MultiSlot.start(spark,
           Seq(SlotSpec("a", walA), SlotSpec("b", walB)),
           Routing.fixtureStreams, ckptDir, outDir, triggerMs = 0L,
           maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
         MultiSlot.drainAll(handles) // prime both slots
-        renderRange(walA, primeCut + 1, mid, 1, if (scale > 1) 2 * scale else 1)
-        renderRange(walB, mid + 1001, maxId, 1, if (scale > 1) 2 * scale else 1)
+        renderRange(ev, walA, primeCut + 1, mid, 1, if (scale > 1) 2 * scale else 1)
+        renderRange(ev, walB, mid + 1001, maxId, 1, if (scale > 1) 2 * scale else 1)
         val t0 = System.nanoTime()
         MultiSlot.drainAll(handles)
         val secs = (System.nanoTime() - t0) / 1e9
@@ -177,16 +201,71 @@ object Bench {
       System.err.println(
         f"[bench] wal_drain_2slot: ~$drainEvents events over 2 slots in " +
           f"$secs2%.2f s = ${drainEvents / secs2}%.0f events/s")
+
+      // -------- 10× drain (~1M events): the at-scale design point ---------
+      // One trial — this exists to substantiate the distributed-render +
+      // sliced-decode scale claims with a recorded order-of-magnitude number,
+      // not to win a min() race. Skip only when the round already runs at an
+      // explicit larger scale, or with GRAFT_BENCH_10X=0.
+      if (scale == 1 && sys.env.getOrElse("GRAFT_BENCH_10X", "1") != "0") {
+        val ev10 = mkEv(10)
+        val b10 = ev10.agg(min("event_id"), max("event_id")).head()
+        val (min10, max10) = (b10.getLong(0), b10.getLong(1))
+        drainEvents10 = ev10.count() - 1000
+        val secs10 = oneDrain(ev10, min10, max10, min10 + 999, 40)
+        results("wal_drain_10x") = secs10
+        System.err.println(
+          f"[bench] wal_drain_10x: $drainEvents10 events in $secs10%.2f s = " +
+            f"${drainEvents10 / secs10}%.0f events/s")
+      }
+
+      // -------- latency floor: tiny trigger, single-event segments --------
+      // The micro-batch latency floor (per-batch wall-clock at trigger=5 ms
+      // with one event per arrival) — the honest number to quote next to the
+      // reference's <10 ms push-latency design claim: a micro-batch engine
+      // cannot beat its per-batch fixed cost, and this measures exactly that.
+      {
+        val metricsF = new graft.metrics.GraftMetrics
+        val listenerF = new graft.metrics.GraftQueryListener(metricsF)
+        spark.streams.addListener(listenerF)
+        val walDir = Files.createTempDirectory("graft-bench-floor-wal").toString
+        val outDir = Files.createTempDirectory("graft-bench-floor-out").toString
+        val ckptDir = Files.createTempDirectory("graft-bench-floor-ckpt").toString
+        val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+          ckptDir, outDir, kafkaBootstrap = None, triggerMs = 5L)
+        var seg = 0
+        (1 to 120).foreach { i =>
+          // one event per segment, re-announced relations (fresh session shape)
+          val seen = scala.collection.mutable.Set.empty[String]
+          val frames = WalFixture.frames(WalFixture.Ev(1000000L + i,
+            1700000000000000L + i * 1000L, i % 7, "click", i * 0.5, "{}"), seen)
+          WalLog.write(Paths.get(walDir, f"$seg%08d.wal"), frames)
+          seg += 1
+          Thread.sleep(15)
+        }
+        q.processAllAvailable()
+        q.stop()
+        spark.streams.removeListener(listenerF)
+        val (fp50, fp99) = metricsF.batchLatencyMs
+        floorP50 = fp50; floorP99 = fp99
+        System.err.println(
+          s"[bench] latency_floor (trigger=5ms, 1-event batches): " +
+            s"p50=${fp50}ms p99=${fp99}ms")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // wal_drain_10x is a 10× workload — including it in the suite total
+    // would break round-over-round comparability of "value"
+    val total = results.filterNot(_._1 == "wal_drain_10x").values.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,""" +
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
+      s""""wal_drain_10x_events":$drainEvents10,""" +
+      s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
       s""""sf":"$sfDir"}"""
     // stdout line for the driver (fork + StdoutOutput keep it unprefixed) AND
     // a file copy — under tmp or GRAFT_BENCH_OUT, never the repo CWD (a CWD
