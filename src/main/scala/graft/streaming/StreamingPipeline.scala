@@ -148,6 +148,14 @@ object StreamingPipeline {
           .option("path", outDir)
           .option("compression", "none")
     }
+    // Latency note: the per-batch floor (~300 ms measured by Bench's
+    // latency_floor point) is dominated by the synchronous offset/commit-log
+    // writes, not the data path. Spark's async progress tracking would move
+    // those off the critical path at the engine's existing at-least-once
+    // contract, but Spark 4.1 accepts it ONLY for the real `format("kafka")`
+    // sink — not ForeachBatchSink (verified: AsyncProgressTrackingMicroBatch
+    // Execution.validateAndGetTrigger rejects it) — so it becomes available
+    // exactly when a deployment switches to the Kafka connector jars.
     writer
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
