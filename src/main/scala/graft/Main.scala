@@ -67,34 +67,29 @@ object Main {
     // before the marker drops, then CopyBoth streaming into the WAL dir the
     // source reads (reference: src/main.zig:179-238 wiring). Without the
     // block, walDir is expected to be fed externally (tests, replays).
+    // ONE producer decision for both delivery phases: snapshot READ events
+    // and streamed changes must reach the SAME destination (a Kafka consumer
+    // must see the initial state before the first I/U/D)
+    val producer = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+      .map(b => new graft.sink.KafkaFrameProducer(b))
+
     val spooler = config.postgres.map { pg =>
       val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(
         pg.connectionUri.get) // presence enforced at startup above
       val session = graft.source.postgres.PgSession.connect(ep)
-      val snapshotRows =
-        scala.collection.mutable.ArrayBuffer.empty[graft.model.ChangeEvent]
+      // chunked delivery: bounded driver memory for any table size; the
+      // at-scale alternative is the partitioned JdbcSnapshot batch job
+      // under an EXPORT_SNAPSHOT name — same events, many scanners
+      val delivery = new graft.streaming.SnapshotDelivery(
+        spark, config.streams, producer, outDir)
       val boot = graft.source.postgres.WireBootstrap.bootstrap(
         session, pg.slotName, pg.publicationName, config.streams,
         confirmedLsn = graft.source.wal.WalLog.confirmed(walDir),
-        emit = snapshotRows += _,
-        flushDelivery = () => if (snapshotRows.nonEmpty) {
-          // flush barrier: READ events durably in the sink BEFORE the marker
-          // drops. This single-session cursor path stages through the driver;
-          // the at-scale alternative is the partitioned JdbcSnapshot batch
-          // job under an EXPORT_SNAPSHOT name — same events, many scanners.
-          import spark.implicits._
-          val events = snapshotRows.toSeq
-            .map(e => (e.op, e.data, e.meta.source, e.meta.resource,
-              e.meta.timestamp, e.meta.lsn,
-              graft.model.ChangeEvent.lsnValue(e.meta.lsn)))
-            .toDF("op", "data", "source", "resource", "commit_ts", "lsn", "lsn_num")
-          StreamingPipeline.kafkaFrame(events, config.streams)
-            .write.mode("append").format("parquet")
-            .option("compression", "none").save(outDir)
-          snapshotRows.clear()
-        })
-      println(s"[graft] bootstrap: ${boot.outcome} — streaming from " +
-        graft.model.ChangeEvent.lsnText(boot.startLsn))
+        emit = delivery.emit,
+        flushDelivery = () => delivery.flush())
+      println(s"[graft] bootstrap: ${boot.outcome} — " +
+        s"${delivery.deliveredCount} snapshot events delivered; streaming " +
+        s"from ${graft.model.ChangeEvent.lsnText(boot.startLsn)}")
       val ch = session.startReplication(pg.slotName, pg.publicationName,
         graft.model.ChangeEvent.lsnText(boot.startLsn))
       new graft.source.postgres.ReplicationSpooler(ch, walDir)
@@ -102,7 +97,7 @@ object Main {
 
     val query = StreamingPipeline.start(
       spark, walDir, config.streams, ckptDir, outDir,
-      kafkaBootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP"),
+      kafkaBootstrap = None, producer = producer,
       triggerMs = sys.env.getOrElse("GRAFT_TRIGGER_MS", "100").toLong)
 
     // wire death is fail-fast: the pump records the error and stops the

@@ -175,7 +175,9 @@ object PgSession {
       var scram: ScramSha256.Client = null
       var ready = false
       while (!ready) {
-        val m = readBackend(in)
+        // pre-auth: small message cap — a huge length word here is a
+        // non-postgres peer, not a TOASTed row
+        val m = readBackend(in, HandshakeMaxBytes)
         m.tag.toChar match {
           case 'R' =>
             val bb = ByteBuffer.wrap(m.body)

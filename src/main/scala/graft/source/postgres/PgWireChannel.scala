@@ -97,14 +97,22 @@ object PgWire {
 
   // -------- backend decoding --------
 
+  /** Cap for the pre-auth startup exchange: auth requests, ParameterStatus,
+    * BackendKeyData and error messages are all tiny, so a length word
+    * anywhere near [[MaxMessageBytes]] before authentication means a
+    * non-postgres/hostile peer — reject it before attempting the allocation
+    * (the 1 GB cap is for data-carrying paths: CopyData, DataRow). */
+  val HandshakeMaxBytes: Int = 1 << 20
+
   /** Read one tagged backend message (blocking; honors the socket timeout;
     * used where any timeout is fatal — handshakes. The streaming path uses
     * [[readBackendOrIdle]], which distinguishes quiet-wire from
     * mid-message stall). */
-  def readBackend(in: DataInputStream): Backend = {
+  def readBackend(in: DataInputStream,
+      maxLen: Int = MaxMessageBytes): Backend = {
     val tag = in.readByte()
     val len = in.readInt()
-    require(len >= 4 && len <= MaxMessageBytes, s"implausible message length $len")
+    require(len >= 4 && len <= maxLen, s"implausible message length $len")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     Backend(tag, body)

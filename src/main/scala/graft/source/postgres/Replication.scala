@@ -35,6 +35,19 @@ object Replication {
   def publicationExists(name: String): String =
     s"SELECT 1 FROM pg_publication WHERE pubname = '${ident(name)}'"
 
+  /** Current table membership of a publication (schema-qualified). */
+  def publicationTables(name: String): String =
+    "SELECT schemaname || '.' || tablename AS resource " +
+      s"FROM pg_publication_tables WHERE pubname = '${ident(name)}'"
+
+  /** Reconcile an existing publication's table list to the configured
+    * streams — a stream added to the config after the publication was
+    * created would otherwise be silently filtered out by the walsender. */
+  def setPublicationTables(name: String, tables: Seq[String]): String = {
+    require(tables.nonEmpty, "SET TABLE requires at least one table")
+    s"ALTER PUBLICATION ${ident(name)} SET TABLE ${tables.map(ident).mkString(", ")}"
+  }
+
   /** An EMPTY publication (no FOR clause) — the durable snapshot-in-progress
     * marker flag (replication_protocol.zig:174-214): publications are plain
     * catalog rows, so existence is crash-durable and cheap to test. */

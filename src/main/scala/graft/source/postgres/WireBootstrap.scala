@@ -35,10 +35,25 @@ object WireBootstrap {
   def slotExists(s: PgSession, name: String): Boolean =
     s.simpleQuery(Replication.slotExists(name)).rows.nonEmpty
 
-  /** Create the publication if absent; returns true when created. */
+  /** Create the publication if absent, or RECONCILE an existing one's table
+    * list to the configured streams — a stream added to the config after the
+    * publication was created would otherwise be silently filtered out by the
+    * walsender (a green pipeline ingesting nothing for that stream). Returns
+    * true when the catalog was changed. `tables` empty = FOR ALL TABLES
+    * (nothing to reconcile). */
   def ensurePublication(s: PgSession, name: String, tables: Seq[String]): Boolean =
-    if (publicationExists(s, name)) false
-    else { s.simpleQuery(Replication.createPublication(name, tables)); true }
+    if (!publicationExists(s, name)) {
+      s.simpleQuery(Replication.createPublication(name, tables))
+      true
+    } else if (tables.nonEmpty) {
+      val current = s.simpleQuery(Replication.publicationTables(name))
+        .rows.map(_.head).toSet
+      if (current == tables.toSet) false
+      else {
+        s.simpleQuery(Replication.setPublicationTables(name, tables))
+        true
+      }
+    } else false
 
   final case class SlotCreated(consistentPoint: Long, snapshotName: Option[String])
 
@@ -149,6 +164,10 @@ object WireBootstrap {
       emit: ChangeEvent => Unit, flushDelivery: () => Unit,
       marker: String = "graft_snapshot_marker",
       nowS: () => Long = () => System.currentTimeMillis() / 1000): Bootstrapped = {
+    // a publication named like the marker would be read as an interrupted
+    // snapshot at every start — slot dropped, snapshot redone forever
+    require(publication != marker,
+      s"publication name collides with the snapshot marker '$marker'")
     ensurePublication(s, publication,
       streams.map(_.normalized.resource).distinct)
     val needsSnapshot = SnapshotBootstrap.readResources(streams).nonEmpty

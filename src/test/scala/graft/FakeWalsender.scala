@@ -53,6 +53,9 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   /** LSN handed out as the next created slot's consistent_point. */
   @volatile var nextConsistentPoint = 0x500L
   val publications = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** publication → its FOR TABLE list (empty = FOR ALL TABLES / marker). */
+  val publicationTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   /** slot name → consistent point. */
   val slots = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   /** Live table state: resource → (columns(name, typeOid), rows of text
@@ -240,9 +243,13 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
 
     val CreateSlotRe = "CREATE_REPLICATION_SLOT (\\w+) LOGICAL pgoutput(?: (\\w+))?".r
     val DropSlotRe = "DROP_REPLICATION_SLOT (\\w+).*".r
+    val CreatePubTablesRe = "CREATE PUBLICATION (\\w+) FOR TABLE (.+)".r
     val CreatePubRe = "CREATE PUBLICATION (\\w+).*".r
+    val AlterPubRe = "ALTER PUBLICATION (\\w+) SET TABLE (.+)".r
     val DropPubRe = "DROP PUBLICATION IF EXISTS (\\w+)".r
     val PubExistsRe = "SELECT 1 FROM pg_publication WHERE pubname = '(\\w+)'".r
+    val PubTablesRe = ("SELECT schemaname \\|\\| '\\.' \\|\\| tablename AS resource " +
+      "FROM pg_publication_tables WHERE pubname = '(\\w+)'").r
     val SlotExistsRe = "SELECT 1 FROM pg_replication_slots WHERE slot_name = '(\\w+)'".r
     val DeclareRe = "DECLARE (\\w+) CURSOR FOR SELECT \\* FROM ([\\w.]+)".r
     val FetchRe = "FETCH FORWARD (\\d+) FROM (\\w+)".r
@@ -301,13 +308,37 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
           sendReady()
         case DropSlotRe(name) =>
           slots.remove(name); sendComplete("DROP_REPLICATION_SLOT"); sendReady()
+        case CreatePubTablesRe(name, tableList) =>
+          if (publications.contains(name))
+            sendQueryError(s"""publication "$name" already exists""", "42710")
+          else {
+            publications.add(name)
+            publicationTables.put(name, tableList.split(",\\s*").toSeq)
+            sendComplete("CREATE PUBLICATION")
+          }
+          sendReady()
         case CreatePubRe(name) =>
           if (publications.contains(name))
             sendQueryError(s"""publication "$name" already exists""", "42710")
           else { publications.add(name); sendComplete("CREATE PUBLICATION") }
           sendReady()
+        case AlterPubRe(name, tableList) =>
+          if (!publications.contains(name))
+            sendQueryError(s"""publication "$name" does not exist""", "42704")
+          else {
+            publicationTables.put(name, tableList.split(",\\s*").toSeq)
+            sendComplete("ALTER PUBLICATION")
+          }
+          sendReady()
         case DropPubRe(name) =>
-          publications.remove(name); sendComplete("DROP PUBLICATION"); sendReady()
+          publications.remove(name); publicationTables.remove(name)
+          sendComplete("DROP PUBLICATION"); sendReady()
+        case PubTablesRe(name) =>
+          sendRowDescription(Seq(("resource", 25)))
+          val ts = Option(publicationTables.get(name)).getOrElse(Nil)
+          ts.foreach(t => sendDataRow(Seq(t)))
+          sendComplete(s"SELECT ${ts.size}")
+          sendReady()
         case PubExistsRe(name) =>
           sendRowDescription(Seq(("?column?", 23)))
           if (publications.contains(name)) { sendDataRow(Seq("1")); sendComplete("SELECT 1") }

@@ -5,7 +5,7 @@ import graft.model.{ChangeEvent, Op}
 import graft.source.pgoutput.{Converter, PgOutputDecoder, PgOutputEncoder, PgOutputMessage, RelationRegistry}
 import graft.source.pgoutput.PgOutputMessage._
 import graft.source.pgoutput.PgOutputMessages._
-import graft.source.postgres.{PgSession, ReplicationSpooler, ReplicationWire, SnapshotBootstrap, SocketCopyBothChannel, WireBootstrap}
+import graft.source.postgres.{PgSession, PgWire, ReplicationSpooler, ReplicationWire, SnapshotBootstrap, SocketCopyBothChannel, WireBootstrap}
 import graft.source.wal.WalLog
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -103,6 +103,49 @@ class WireBootstrapSpec extends AnyFunSuite {
       srv2.awaitCopyBoth()
       assert(srv2.startQuery.contains("SLOT graft_slot LOGICAL 0/500"))
     } finally { ch.close(); srv2.close() }
+  }
+
+  test("existing publication is reconciled to the configured streams " +
+      "(a config-added table must not be silently unfiltered)") {
+    val srv = new FakeWalsender(Trust)
+    val s = PgSession.connect(ep(srv))
+    try {
+      assert(WireBootstrap.ensurePublication(s, "graft_pub", Seq("public.orders")))
+      // same config again: no catalog churn
+      assert(!WireBootstrap.ensurePublication(s, "graft_pub", Seq("public.orders")))
+      // a stream for public.users was added to the config: the publication's
+      // table list must be reconciled, or the walsender filters users out
+      // forever while the pipeline stays green
+      assert(WireBootstrap.ensurePublication(s, "graft_pub",
+        Seq("public.orders", "public.users")))
+      assert(srv.publicationTables.get("graft_pub").toSet ==
+        Set("public.orders", "public.users"))
+      assert(srv.queriesSeen.toArray.exists(
+        _ == "ALTER PUBLICATION graft_pub SET TABLE public.orders, public.users"))
+    } finally { s.close(); srv.close() }
+  }
+
+  test("publication name colliding with the snapshot marker is refused") {
+    val srv = new FakeWalsender(Trust)
+    val s = PgSession.connect(ep(srv))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        WireBootstrap.bootstrap(s, "graft_slot", "graft_snapshot_marker",
+          streams, confirmedLsn = 0L, emit = _ => (), flushDelivery = () => ())
+      }
+      assert(e.getMessage.contains("marker"))
+    } finally { s.close(); srv.close() }
+  }
+
+  test("pre-auth message cap: a huge length word before auth is rejected " +
+      "without the allocation") {
+    val big = java.nio.ByteBuffer.allocate(5)
+      .put('R'.toByte).putInt(PgWire.HandshakeMaxBytes + 1).array()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(big))
+    val e = intercept[IllegalArgumentException] {
+      PgWire.readBackend(in, PgWire.HandshakeMaxBytes)
+    }
+    assert(e.getMessage.contains("implausible"))
   }
 
   test("interrupted snapshot: marker present → orphaned slot dropped, snapshot redone") {
