@@ -51,8 +51,12 @@ object Bench {
     def runToNoop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // GRAFT_BENCH_SUITE=0 skips the per-query suite (drain-focused
+    // iteration); the driver's full run keeps the default.
+    val runSuite = sys.env.getOrElse("GRAFT_BENCH_SUITE", "1") != "0"
+
     // Warm-up: JIT, codegen, parquet footers — not timed, small SF.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
       try runToNoop(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -69,7 +73,7 @@ object Bench {
     val trials = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failedQ = scala.collection.mutable.Set.empty[String]
-    (1 to 3).foreach { _ =>
+    if (runSuite) (1 to 3).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try runToNoop(fn(spark, sfDir))
@@ -81,7 +85,7 @@ object Bench {
       }
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    ordered.foreach { case (name, _) =>
+    if (runSuite) ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
       results(name) = if (failedQ(name)) -1.0 else trials(name).min
     }
@@ -151,10 +155,12 @@ object Bench {
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
         renderRange(src, walDir, lo, cut, 0, 1)
         // sliceEvents splits the batch into ~32 parallel decode partitions
-        // (99k-event backlog / 3000 ≈ one slice per core on this box)
+        // (99k-event backlog / 3000 ≈ one slice per core on this box);
+        // GRAFT_BENCH_SLICE overrides for slice-size experiments
         val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
           ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
-          maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
+          maxEventsPerBatch = Int.MaxValue,
+          sliceEvents = sys.env.getOrElse("GRAFT_BENCH_SLICE", "3000").toInt)
         q.processAllAvailable() // prime: startup + first segment
         renderRange(src, walDir, cut + 1, hi, 1, nSegs)
         val t0 = System.nanoTime()
