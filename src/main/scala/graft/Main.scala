@@ -103,12 +103,15 @@ object Main {
     // wire death is fail-fast: the pump records the error and stops the
     // query IMMEDIATELY — restart-from-checkpoint in seconds, never hidden
     // behind query-side liveness (reference: source.zig:394-401)
-    val pump = spooler.map(sp => new graft.source.postgres.WirePump(sp,
-      onFatal = e => {
-        metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
-        query.stop()
-      },
-      heartbeat = () => metrics.heartbeat()).start())
+    val pump = spooler.map { sp =>
+      metrics.wireAttached() // from here on, /healthz also requires wire traffic
+      new graft.source.postgres.WirePump(sp,
+        onFatal = e => {
+          metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
+          query.stop()
+        },
+        onTraffic = () => metrics.wireHeartbeat()).start()
+    }
 
     // stall fail-fast: silent wire past the liveness window stops the query
     // and we exit nonzero so the supervisor restarts from the checkpoint

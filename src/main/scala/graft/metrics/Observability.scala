@@ -26,8 +26,25 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
 
   def heartbeat(): Unit = lastActivityS.set(nowS())
 
-  /** Liveness: wire activity within the window (GET /healthz). */
-  def live: Boolean = nowS() - lastActivityS.get() <= LivenessWindowS
+  /** Wire-side liveness, tracked SEPARATELY from query liveness (−1 = no
+    * live wire attached). A healthy-but-idle query refreshes the query
+    * heartbeat via onQueryIdle — which must never mask a half-open or
+    * silently dead replication socket that raises no error. The wire
+    * heartbeat advances only on RECEIVED server traffic; a healthy
+    * walsender sends keepalives well inside the window even with zero
+    * changes (the reference trips its stall check exactly when keepalives
+    * stop, processor.zig:393-399). */
+  val wireLastActivityS = new AtomicLong(-1L)
+  def wireAttached(): Unit = wireLastActivityS.set(nowS())
+  def wireHeartbeat(): Unit = wireLastActivityS.set(nowS())
+
+  /** Liveness: query activity within the window AND, when a live wire is
+    * attached, server traffic within the window (GET /healthz). */
+  def live: Boolean = {
+    val queryFresh = nowS() - lastActivityS.get() <= LivenessWindowS
+    val w = wireLastActivityS.get()
+    queryFresh && (w < 0 || nowS() - w <= LivenessWindowS)
+  }
 
   /** Readiness: live and no fatal error (GET /readyz). */
   def ready: Boolean = live && lastError.get() == null

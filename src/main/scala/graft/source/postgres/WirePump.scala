@@ -16,14 +16,21 @@ package graft.source.postgres
 final class WirePump(
     spooler: ReplicationSpooler,
     onFatal: Throwable => Unit,
-    heartbeat: () => Unit = () => (),
+    onTraffic: () => Unit = () => (),
     pollMs: Long = 10L) extends AutoCloseable {
 
   @volatile private var running = true
   @volatile var fatal: Throwable = _
 
   private val thread = new Thread(() => {
-    try while (running) { spooler.pump(); heartbeat(); Thread.sleep(pollMs) }
+    try while (running) {
+      // onTraffic fires only when the server actually sent something — a
+      // half-open socket (no error, no bytes) must NOT look alive, so the
+      // wire heartbeat goes stale and the stall watchdog can trip even
+      // while the idle query keeps its own heartbeat fresh
+      if (spooler.pump() > 0) onTraffic()
+      Thread.sleep(pollMs)
+    }
     catch {
       case _: InterruptedException => // close() — not a wire failure
       case e: Throwable => if (running) { fatal = e; onFatal(e) }

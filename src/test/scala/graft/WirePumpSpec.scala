@@ -71,7 +71,7 @@ class WirePumpSpec extends AnyFunSuite {
         metrics.lastError.compareAndSet(null, s"replication wire: ${e.getMessage}")
         query.stop()
       },
-      heartbeat = () => metrics.heartbeat()).start()
+      onTraffic = () => metrics.wireHeartbeat()).start()
     try {
       srv.awaitCopyBoth()
       awaitDrained(walDir, last)
@@ -107,6 +107,44 @@ class WirePumpSpec extends AnyFunSuite {
           "restarted query must process post-restart traffic")
       } finally { pump2.close(); query2.stop(); sp2.close(); srv2.close() }
     } finally { pump.close(); query.stop(); sp.close(); srv.close() }
+  }
+
+  test("half-open wire goes stale: wire liveness is tracked separately from " +
+      "query liveness, and advances only on received traffic") {
+    // metrics semantics with a fake clock: an idle query's heartbeat must
+    // not mask a silently dead wire
+    var t = 0L
+    val m = new GraftMetrics(() => t)
+    m.heartbeat()
+    assert(m.live, "no wire attached: query liveness alone governs")
+    m.wireAttached()
+    t = 100 // past the 90 s window
+    m.heartbeat() // the idle query keeps ITS heartbeat fresh (onQueryIdle)
+    assert(!m.live, "stale wire must fail /healthz even under a fresh query")
+    m.wireHeartbeat()
+    assert(m.live)
+
+    // pump gating: a quiet channel (read -> null, no error) never fires
+    // onTraffic; any received message does
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val ch = new graft.source.postgres.CopyBothChannel {
+      override def read(): Array[Byte] = q.poll()
+      override def write(msg: Array[Byte]): Unit = ()
+      override def close(): Unit = ()
+    }
+    val walDir = Files.createTempDirectory("graft-halfopen-wal").toString
+    val sp = new ReplicationSpooler(ch, walDir)
+    val traffic = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pump = new WirePump(sp, onFatal = _ => (),
+      onTraffic = () => traffic.incrementAndGet()).start()
+    try {
+      Thread.sleep(200)
+      assert(traffic.get() == 0, "a silent wire must not register traffic")
+      q.add(encodeKeepalive(Keepalive(1L, 1L, replyRequested = false)))
+      val deadline = System.nanoTime() + 5000000000L
+      while (traffic.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(traffic.get() > 0, "received traffic must refresh the wire heartbeat")
+    } finally { pump.close(); sp.close() }
   }
 
   test("multi-slot: one slot's wire death stops only that slot; siblings keep " +
