@@ -99,6 +99,10 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
     metric("graft_batches_processed_total", "counter", batchesProcessed.get())
     metric("graft_replication_lag_seconds", "gauge", lagSeconds.get())
     metric("graft_up", "gauge", if (live) 1 else 0)
+    val w = wireLastActivityS.get()
+    if (w >= 0) // only meaningful when a live wire is attached
+      metric("graft_wire_up", "gauge",
+        if (nowS() - w <= LivenessWindowS) 1 else 0)
     val (p50, p99) = batchLatencyMs
     metric("graft_batch_duration_ms_p50", "gauge", p50)
     metric("graft_batch_duration_ms_p99", "gauge", p99)

@@ -123,6 +123,12 @@ class WirePumpSpec extends AnyFunSuite {
     assert(!m.live, "stale wire must fail /healthz even under a fresh query")
     m.wireHeartbeat()
     assert(m.live)
+    // the wire gauge is rendered only when a wire is attached
+    assert(m.render.contains("graft_wire_up 1"))
+    t = 300
+    m.heartbeat()
+    assert(m.render.contains("graft_wire_up 0"))
+    assert(!new GraftMetrics(() => 0L).render.contains("graft_wire_up"))
 
     // pump gating: a quiet channel (read -> null, no error) never fires
     // onTraffic; any received message does
