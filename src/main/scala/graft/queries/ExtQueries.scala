@@ -143,6 +143,44 @@ object ExtQueries {
        |  CAST(row_number() OVER (ORDER BY df DESC, w) AS BIGINT) AS df_rank
        |FROM top""".stripMargin)
 
+  // Repeated n-gram fraction — the standard repetition quality gate for
+  // training corpora (the "duplicate n-gram fraction" family of filter
+  // rules): documents dominated by repeated 2/3-grams are boilerplate or
+  // degenerate generations. Integer per-million (same parity rationale as
+  // text_quality). Pure codegen'd array expressions over one scan — the
+  // grams never explode into rows, so the per-doc work is bounded by
+  // doc length and shuffles nothing.
+  val textRepetition: (QFn, String) = (
+    (s, dir) => {
+      def grams(n: Int) = expr(
+        s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n))) " +
+          "ELSE array() END")
+      docs(s, dir).withColumn("t", TextAnalysis.tokensCol(col("text")))
+        .withColumn("g2", grams(2)).withColumn("g3", grams(3))
+        .select(col("doc_id"),
+          size(col("g2")).cast("long").as("n2"),
+          size(col("g3")).cast("long").as("n3"),
+          expr("CAST(size(g2) - size(array_distinct(g2)) AS BIGINT) " +
+            "* 1000000 div greatest(size(g2), 1)").as("dup2_pm"),
+          expr("CAST(size(g3) - size(array_distinct(g3)) AS BIGINT) " +
+            "* 1000000 div greatest(size(g3), 1)").as("dup3_pm"))
+    },
+    s"""$toksCte, g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+       |      i -> t[i+1] || ' ' || t[i+2]) ELSE [] END AS g2,
+       |    CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE [] END AS g3
+       |  FROM toks)
+       |SELECT doc_id, CAST(len(g2) AS BIGINT) AS n2,
+       |  CAST(len(g3) AS BIGINT) AS n3,
+       |  CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) * 1000000
+       |    // greatest(len(g2), 1) AS dup2_pm,
+       |  CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000
+       |    // greatest(len(g3), 1) AS dup3_pm
+       |FROM g""".stripMargin)
+
   val textFingerprint: (QFn, String) = (
     (s, dir) => {
       val norm = TextAnalysis.normalizedCol(col("text"))
@@ -754,6 +792,7 @@ object ExtQueries {
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "text_ngram_topk" -> textNgramTopk,
     "text_vocab_stats" -> textVocabStats,
+    "text_repetition" -> textRepetition,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
