@@ -76,7 +76,8 @@ object Main {
     val spooler = config.postgres.map { pg =>
       val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(
         pg.connectionUri.get) // presence enforced at startup above
-      val session = graft.source.postgres.PgSession.connect(ep)
+      val session = graft.source.postgres.PgSession.connect(ep,
+        queryTimeoutMs = pg.queryTimeoutMs)
       // chunked delivery: bounded driver memory for any table size; the
       // at-scale alternative is the partitioned JdbcSnapshot batch job
       // under an EXPORT_SNAPSHOT name — same events, many scanners
@@ -127,6 +128,12 @@ object Main {
         s"batches=${metrics.batchesProcessed.get()}")
       http.stop()
       spark.stop()
+      // a wire death mid-drain leaves a short event count that must NOT
+      // read as success — same failure contract as the steady-state path
+      if (watchdog.stalled || pump.exists(_.fatal != null)) {
+        System.err.println(s"[graft] ${metrics.lastError.get()}")
+        sys.exit(1)
+      }
     } else {
       query.awaitTermination()
       pump.foreach(_.close())

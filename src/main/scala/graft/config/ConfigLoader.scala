@@ -53,7 +53,11 @@ object ConfigLoader {
       else Some(PostgresSourceDef(
         connectionEnv = str(pgNode, "connection_env"),
         slotName = str(pgNode, "slot_name"),
-        publicationName = str(pgNode, "publication_name")))
+        publicationName = str(pgNode, "publication_name"),
+        queryTimeoutMs = {
+          val v = pgNode.path("query_timeout_ms")
+          if (v.isMissingNode || v.isNull) 30000 else v.asInt()
+        }))
     val cfg = EngineConfig(
       sourceType = str(root.path("source"), "type", "postgres"),
       sinkType = str(root.path("sink"), "type", "kafka"),

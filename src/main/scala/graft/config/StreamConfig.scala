@@ -44,7 +44,12 @@ final case class StreamDef(
 final case class PostgresSourceDef(
     connectionEnv: String,
     slotName: String,
-    publicationName: String) {
+    publicationName: String,
+    /** Per-statement response timeout for the bootstrap's simple queries.
+      * A big-table snapshot FETCH can legitimately exceed the 30 s default;
+      * mid-response timeout poisons the session (desync-safe), so a slow
+      * snapshot deployment raises this instead of retrying into garbage. */
+    queryTimeoutMs: Int = 30000) {
   def connectionUri: Option[String] = sys.env.get(connectionEnv)
 }
 
@@ -85,6 +90,8 @@ final case class EngineConfig(
           if (!v.matches("[a-z_][a-z0-9_]*"))
             errs += s"source.postgres: invalid $f '$v' (lowercase unquoted identifier)"
         }
+      if (pg.queryTimeoutMs <= 0)
+        errs += s"source.postgres: query_timeout_ms must be positive (${pg.queryTimeoutMs})"
     }
     errs.result()
   }

@@ -32,8 +32,12 @@ final class GraftMetrics(nowS: () => Long = () => System.currentTimeMillis() / 1
     * silently dead replication socket that raises no error. The wire
     * heartbeat advances only on RECEIVED server traffic; a healthy
     * walsender sends keepalives well inside the window even with zero
-    * changes (the reference trips its stall check exactly when keepalives
-    * stop, processor.zig:393-399). */
+    * changes, and for servers running `wal_sender_timeout=0` (keepalives
+    * disabled) the spooler SOLICITS a reply once the wire has been silent
+    * for a third of this window — so an alive-but-mute server still
+    * refreshes the heartbeat, and only a dead/half-open wire goes stale
+    * (the reference trips its stall check exactly when keepalives stop,
+    * processor.zig:393-399). */
   val wireLastActivityS = new AtomicLong(-1L)
   def wireAttached(): Unit = wireLastActivityS.set(nowS())
   def wireHeartbeat(): Unit = wireLastActivityS.set(nowS())

@@ -28,12 +28,26 @@ final class PgSession private[postgres] (
   import PgWire._
 
   private var handedOff = false
+  private var poisoned = false
+
+  /** Drop the session irrecoverably: a timeout (or any abort) in the middle
+    * of a response leaves the input stream byte-desynced — the next read
+    * would parse payload bytes as a tag+length and spool garbage. Matching
+    * [[PgWire.readBackendOrIdle]]'s desync policy, reuse must fail loudly. */
+  private def poison(): Unit = {
+    poisoned = true
+    try socket.close() catch { case _: java.io.IOException => }
+  }
 
   /** Run one simple query to completion (ReadyForQuery). Collects every
     * row/tag in between; an ErrorResponse is drained to ReadyForQuery and
-    * then thrown — the session stays usable, matching protocol semantics. */
+    * then thrown — the session stays usable, matching protocol semantics.
+    * A timeout or protocol violation MID-RESPONSE, by contrast, poisons the
+    * session (stream position unknown) and closes the socket. */
   def simpleQuery(sql: String): Result = {
     require(!handedOff, "session already in CopyBoth streaming")
+    require(!poisoned,
+      "session poisoned by an earlier mid-response failure — reconnect")
     socket.setSoTimeout(queryTimeoutMs)
     out.write(query(sql)); out.flush()
     var fields: Seq[Field] = Nil
@@ -41,19 +55,31 @@ final class PgSession private[postgres] (
     val tags = Seq.newBuilder[String]
     var err: String = null
     var done = false
-    while (!done) {
-      val m = readBackend(in)
-      m.tag.toChar match {
-        case 'T' => fields = parseRowDescription(m.body)
-        case 'D' => rows += parseDataRow(m.body)
-        case 'C' => tags += new String(m.body, 0, m.body.length - 1, UTF_8)
-        case 'I' => // EmptyQueryResponse
-        case 'E' => if (err == null) err = parseErrorFields(m.body)
-        case 'N' | 'S' | 'A' => // notice / parameter status / notification
-        case 'Z' => done = true
-        case t => throw new IllegalStateException(
-          s"unexpected message '$t' in simple-query response")
+    try {
+      while (!done) {
+        val m = readBackend(in)
+        m.tag.toChar match {
+          case 'T' => fields = parseRowDescription(m.body)
+          case 'D' => rows += parseDataRow(m.body)
+          case 'C' => tags += new String(m.body, 0, m.body.length - 1, UTF_8)
+          case 'I' => // EmptyQueryResponse
+          case 'E' => if (err == null) err = parseErrorFields(m.body)
+          case 'N' | 'S' | 'A' => // notice / parameter status / notification
+          case 'Z' => done = true
+          case t =>
+            poison()
+            throw new IllegalStateException(
+              s"unexpected message '$t' in simple-query response")
+        }
       }
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        poison()
+        throw new IllegalStateException(
+          s"no response bytes within $queryTimeoutMs ms mid-query ($sql): " +
+            "stream position unknown; session poisoned — raise " +
+            "query_timeout_ms for slow large fetches", e)
+      case e: java.io.IOException => poison(); throw e
     }
     if (err != null)
       throw new IllegalStateException(s"query failed: $err — $sql")
@@ -66,6 +92,8 @@ final class PgSession private[postgres] (
       readTimeoutMs: Int = 500,
       midMessageTimeoutMs: Int = 30000): SocketCopyBothChannel = {
     require(!handedOff, "session already in CopyBoth streaming")
+    require(!poisoned,
+      "session poisoned by an earlier mid-response failure — reconnect")
     try {
       socket.setSoTimeout(queryTimeoutMs)
       out.write(query(Replication.startReplication(slot, publication, startLsn)))

@@ -293,7 +293,10 @@ final class SocketCopyBothChannel private[postgres] (
       if (msg == null) return null
       msg.tag.toChar match {
         case 'd' => return msg.body
-        case 'N' => // informational notice; keep reading
+        // 'N' = NoticeResponse; 'S' = ParameterStatus — the protocol permits
+        // both interspersed with CopyData (a GUC changed by pg_ctl reload
+        // announces itself mid-stream); neither ends the copy
+        case 'N' | 'S' => // informational; keep reading
         case 'E' => throw new IllegalStateException(
           s"replication stream error: ${parseErrorFields(msg.body)}")
         case 'c' | 'C' | 'Z' => throw new IllegalStateException(

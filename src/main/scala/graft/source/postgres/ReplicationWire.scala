@@ -105,6 +105,14 @@ trait CopyBothChannel extends AutoCloseable {
   *  - Keepalives with reply-requested are answered immediately; otherwise a
   *    status update goes out every `statusIntervalMicros` (the reference's
   *    feedback cadence, replication_protocol.zig:505-536).
+  *  - When the wire has been silent for `solicitAfterMicros`, cadence
+  *    statuses carry reply-requested: a server running with
+  *    `wal_sender_timeout=0` (keepalives disabled — a valid config) sends
+  *    ZERO unsolicited bytes on an idle database, and without solicitation
+  *    the wire-liveness heartbeat would go stale and the stall watchdog
+  *    would kill a healthy pipeline in a restart loop. An alive server
+  *    answers the request immediately; a dead/half-open one stays silent
+  *    and the watchdog trips for the right reason.
   *  - Every status update reports `flushed = WalLog.confirmed(walDir)`: the
   *    confirmed-LSN file the DSv2 `commit()` writes after each durably
   *    delivered epoch IS the handoff — the server's restart point only
@@ -116,6 +124,11 @@ final class ReplicationSpooler(
     walDir: String,
     segmentBytes: Long = 64L * 1024 * 1024,
     statusIntervalMicros: Long = 10L * 1000000,
+    /** Silence threshold after which cadence statuses solicit a reply —
+      * one third of the 90 s liveness window, so an alive-but-mute server
+      * (wal_sender_timeout=0) gets several chances to refresh the wire
+      * heartbeat before the watchdog would trip. */
+    solicitAfterMicros: Long = 30L * 1000000,
     nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   import ReplicationWire._
@@ -126,6 +139,8 @@ final class ReplicationSpooler(
   // MinValue/2 keeps `now - lastStatusAt` overflow-free for any real clock
   // while guaranteeing the first pump sends an immediate status.
   private var lastStatusAt: Long = Long.MinValue / 2
+  // the channel was just handed over from CopyBothResponse — that IS traffic
+  private var lastReceiveAt: Long = nowMicros()
   @volatile var lastReceivedLsn: Long = 0L
 
   private def nextSegmentIndex(): Int =
@@ -165,15 +180,24 @@ final class ReplicationSpooler(
   def pumpOnce(): Boolean = {
     val msg = channel.read()
     val got = msg != null
-    if (got) decode(msg) match {
-      case Data(x) =>
-        append(x.walStart, x.payload)
-        lastReceivedLsn = math.max(lastReceivedLsn, x.walStart)
-      case Ping(k) =>
-        lastReceivedLsn = math.max(lastReceivedLsn, k.walEnd)
-        if (k.replyRequested) sendStatus()
+    if (got) {
+      lastReceiveAt = nowMicros()
+      decode(msg) match {
+        case Data(x) =>
+          append(x.walStart, x.payload)
+          lastReceivedLsn = math.max(lastReceivedLsn, x.walStart)
+        case Ping(k) =>
+          lastReceivedLsn = math.max(lastReceivedLsn, k.walEnd)
+          if (k.replyRequested) sendStatus()
+      }
     }
-    if (nowMicros() - lastStatusAt >= statusIntervalMicros) sendStatus()
+    if (nowMicros() - lastStatusAt >= statusIntervalMicros)
+      // a long-silent wire gets a reply solicitation riding the cadence
+      // status: an alive server answers (refreshing the wire heartbeat even
+      // with wal_sender_timeout=0); a dead one stays silent and the stall
+      // watchdog trips for the right reason
+      sendStatus(replyRequested =
+        nowMicros() - lastReceiveAt >= solicitAfterMicros)
     got
   }
 

@@ -65,6 +65,10 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
     String, (Seq[(String, Int)], Seq[Seq[String]])]()
   /** Every simple query received, in order (assertion surface). */
   val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** When a received simple query equals this, the server sends a
+    * RowDescription and then goes silent (no rows, no ReadyForQuery) —
+    * the scripted "slow huge FETCH" that must poison the client session. */
+  @volatile var stallOnQuery: String = null
 
   /** Queue one replication payload (XLogData / keepalive) for CopyData push. */
   def send(payload: Array[Byte]): Unit = outQ.add(('d'.toByte, payload))
@@ -272,6 +276,10 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
       val sql = new String(q.body, 0, q.body.length - 1, UTF_8)
       queriesSeen.add(sql)
       sql match {
+        case s if stallOnQuery != null && s == stallOnQuery =>
+          // mid-response stall: the client has consumed a RowDescription, so
+          // its stream position is now inside a response that never completes
+          sendRowDescription(Seq(("stalled", 25)))
         case s if s.startsWith("START_REPLICATION") =>
           startQuery = s
           val slotName = s.split("\\s+")(2)

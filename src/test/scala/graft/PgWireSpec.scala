@@ -144,6 +144,26 @@ class PgWireSpec extends AnyFunSuite {
     } finally { ch.close(); srv.close() }
   }
 
+  test("ParameterStatus inside CopyBoth is skipped like a notice " +
+      "(a pg_ctl reload must not kill the replication session)") {
+    val srv = new FakeWalsender(Trust)
+    val ch = connectTo(srv, None, readTimeoutMs = 2000)
+    try {
+      srv.awaitCopyBoth()
+      // a reloaded GUC announces itself mid-stream: name cstr + value cstr
+      def cstr(s: String) = s.getBytes("UTF-8") :+ 0.toByte
+      srv.sendRaw('S', cstr("TimeZone") ++ cstr("Pacific/Auckland"))
+      srv.send(ReplicationWire.encodeXLogData(
+        XLogData(21L, 21L, 0L, Array[Byte](4, 5, 6))))
+      var got: Array[Byte] = null
+      val deadline = System.nanoTime() + 10000000000L
+      while (got == null && System.nanoTime() < deadline) got = ch.read()
+      assert(got != null, "data frame must arrive past the ParameterStatus")
+      val Data(x) = decode(got): @unchecked
+      assert(x.walStart == 21L)
+    } finally { ch.close(); srv.close() }
+  }
+
   test("timeout before the tag byte is idle (null); a mid-message stall is fatal") {
     // a raw scripted server: write half a message, then stall — the client
     // must fail the session rather than desync

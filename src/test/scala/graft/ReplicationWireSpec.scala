@@ -97,6 +97,33 @@ class ReplicationWireSpec extends AnyFunSuite {
     assert(ch.closed)
   }
 
+  test("silent wire solicits a keepalive reply after the threshold " +
+      "(wal_sender_timeout=0 must not read as a stall); traffic resets it") {
+    val walDir = Files.createTempDirectory("graft-wire-solicit").toString
+    val ch = new FakeChannel
+    var now = 0L
+    val sp = new ReplicationSpooler(ch, walDir,
+      statusIntervalMicros = 10L * 1000000,
+      solicitAfterMicros = 30L * 1000000, nowMicros = () => now)
+    sp.pumpOnce() // immediate first status — wire just attached, no demand
+    assert(!statusOf(ch.written.last)._5)
+    now = 20L * 1000000 // quiet, but under the silence threshold
+    sp.pumpOnce()
+    assert(!statusOf(ch.written.last)._5)
+    now = 35L * 1000000 // silent past it: a keepalive-less server needs asking
+    sp.pumpOnce()
+    assert(statusOf(ch.written.last)._5,
+      "cadence status on a long-silent wire must request a reply")
+    // an alive server answers; received traffic resets the silence clock
+    ch.toSend += encodeKeepalive(Keepalive(1L, 0L, replyRequested = false))
+    now = 45L * 1000000
+    sp.pumpOnce()
+    assert(!statusOf(ch.written.last)._5)
+    now = 55L * 1000000 // 10 s since the answer: cadence yes, solicit no
+    sp.pumpOnce()
+    assert(!statusOf(ch.written.last)._5)
+  }
+
   test("the unchanged engine runs end-to-end over a wire-fed WAL directory") {
     val walDir = Files.createTempDirectory("graft-wire-e2e").toString
     val outDir = Files.createTempDirectory("graft-wire-out").toString

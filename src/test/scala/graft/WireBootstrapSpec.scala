@@ -50,6 +50,27 @@ class WireBootstrapSpec extends AnyFunSuite {
     } finally { s.close(); srv.close() }
   }
 
+  test("mid-response timeout poisons the session: reuse fails loudly " +
+      "instead of parsing desynced bytes") {
+    val srv = new FakeWalsender(Trust)
+    srv.stallOnQuery = "FETCH FORWARD 5000 FROM graft_snapshot_cursor"
+    val s = PgSession.connect(ep(srv), queryTimeoutMs = 300)
+    try {
+      val e = intercept[IllegalStateException] {
+        s.simpleQuery("FETCH FORWARD 5000 FROM graft_snapshot_cursor")
+      }
+      assert(e.getMessage.contains("poisoned"))
+      // the session is now unusable BY CONSTRUCTION — a caller that caught
+      // the timeout and retried would otherwise parse garbage frames
+      val e2 = intercept[IllegalArgumentException] { s.simpleQuery("SELECT 1") }
+      assert(e2.getMessage.contains("poisoned"))
+      val e3 = intercept[IllegalArgumentException] {
+        s.startReplication("graft_slot", "graft_pub", "0/0")
+      }
+      assert(e3.getMessage.contains("poisoned"))
+    } finally { s.close(); srv.close() }
+  }
+
   test("cold start: direct streaming fails on a fresh server; bootstrap creates " +
       "publication + slot, captures consistent_point, emits snapshot READs") {
     val srv = new FakeWalsender(Trust)
