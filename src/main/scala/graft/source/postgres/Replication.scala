@@ -54,6 +54,28 @@ object Replication {
   def createMarkerPublication(name: String): String =
     s"CREATE PUBLICATION ${ident(name)}"
 
+  /** Durable snapshotted-resource ledger: one EMPTY publication per
+    * delivered resource (same catalog-row durability trick as the marker).
+    * The name embeds a hash of the schema-qualified resource — publication
+    * names cap at 63 bytes and restrict their charset, so the resource
+    * cannot be embedded verbatim; existence checks hash the same way. */
+  val SnapshotDonePrefix = "graft_snapdone_"
+
+  def snapshotDoneName(resource: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(resource.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    SnapshotDonePrefix + d.take(8).map("%02x".format(_)).mkString
+  }
+
+  def listSnapshotDone: String =
+    s"SELECT pubname FROM pg_publication WHERE pubname LIKE '$SnapshotDonePrefix%'"
+
+  /** The server's current WAL insert position — the boundary LSN of a delta
+    * snapshot. Run as the FIRST statement of a REPEATABLE READ transaction
+    * it also establishes the snapshot, so boundary and visibility are
+    * captured together: every commit visible to the scan has lsn < boundary. */
+  val currentWalLsn = "SELECT pg_current_wal_lsn() AS lsn"
+
   /** How slot creation exposes its consistent snapshot (public replication
     * grammar): EXPORT returns `snapshot_name` for OTHER sessions to adopt
     * (the parallel multi-connection snapshot path — [[JdbcSnapshot]]);

@@ -144,6 +144,28 @@ object WireBootstrap {
       flushDelivery()
     }
 
+    // ---- durable snapshotted-resource ledger (empty publications) ----
+    override def snapshotDone(resource: String): Boolean =
+      publicationExists(s, Replication.snapshotDoneName(resource))
+    override def recordSnapshotDone(resource: String): Unit =
+      s.simpleQuery(Replication.createMarkerPublication(
+        Replication.snapshotDoneName(resource)))
+    override def clearSnapshotLedger(): Unit =
+      s.simpleQuery(Replication.listSnapshotDone).rows.map(_.head)
+        .foreach(n => s.simpleQuery(Replication.dropPublication(n)))
+
+    /** Delta-snapshot consistency unit: a REPEATABLE READ transaction whose
+      * first statement both establishes the snapshot and captures the WAL
+      * boundary. Ends at [[flushSink]]'s commit. */
+    override def openDeltaTransaction(): Long = {
+      s.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      inTx = true
+      val lsn = s.simpleQuery(Replication.currentWalLsn).single("lsn")
+        .getOrElse(throw new IllegalStateException(
+          "pg_current_wal_lsn() returned NULL"))
+      ChangeEvent.lsnValue(lsn)
+    }
+
     /** End the snapshot transaction if one is open — also the safety net for
       * outcomes that never reach flushSink (NoSnapshotNeeded). */
     def commitIfOpen(): Unit = if (inTx) {
@@ -179,6 +201,9 @@ object WireBootstrap {
       case SnapshotBootstrap.Snapshotted(point, _) => point
       case SnapshotBootstrap.NoSnapshotNeeded(point) => point
       case SnapshotBootstrap.Resumed => confirmedLsn
+      // the delta READs carry their own boundary; the STREAM resumes from
+      // the engine's confirmed position exactly as on a clean restart
+      case SnapshotBootstrap.DeltaSnapshotted(_, _) => confirmedLsn
     }
     Bootstrapped(outcome, startLsn)
   }

@@ -52,6 +52,8 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   @volatile var strictSlots = false
   /** LSN handed out as the next created slot's consistent_point. */
   @volatile var nextConsistentPoint = 0x500L
+  /** Current WAL insert position (SELECT pg_current_wal_lsn()). */
+  @volatile var currentWalLsn = 0x800L
   val publications = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** publication → its FOR TABLE list (empty = FOR ALL TABLES / marker). */
   val publicationTables =
@@ -356,6 +358,29 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
           sendRowDescription(Seq(("?column?", 23)))
           if (slots.containsKey(name)) { sendDataRow(Seq("1")); sendComplete("SELECT 1") }
           else sendComplete("SELECT 0")
+          sendReady()
+        case "SELECT pg_current_wal_lsn() AS lsn" =>
+          if (inTx) {
+            // REPEATABLE READ takes its snapshot at the first statement —
+            // the same statement that reports the WAL boundary
+            frozen = {
+              import scala.jdk.CollectionConverters._
+              tables.asScala.toMap
+            }
+            snapshotPinned = true
+          }
+          sendRowDescription(Seq(("lsn", 3220)))
+          sendDataRow(Seq(lsnText(currentWalLsn)))
+          sendComplete("SELECT 1")
+          sendReady()
+        case "SELECT pubname FROM pg_publication WHERE pubname LIKE 'graft_snapdone_%'" =>
+          sendRowDescription(Seq(("pubname", 25)))
+          val matches = {
+            import scala.jdk.CollectionConverters._
+            publications.asScala.toSeq.filter(_.startsWith("graft_snapdone_")).sorted
+          }
+          matches.foreach(n => sendDataRow(Seq(n)))
+          sendComplete(s"SELECT ${matches.size}")
           sendReady()
         case s if s.startsWith("BEGIN") =>
           inTx = true; sendComplete("BEGIN"); sendReady()

@@ -31,6 +31,8 @@ class OpsSpec extends AnyFunSuite {
     var marker = false
     var slot = false
     var snapshotValid = false
+    var deltaOpen = false
+    val ledger = mutable.Set.empty[String]
     def markerExists(m: String): Boolean = marker
     def createMarker(m: String): Unit = { marker = true; log += "createMarker" }
     def dropMarker(m: String): Unit = { marker = false; log += "dropMarker" }
@@ -40,10 +42,17 @@ class OpsSpec extends AnyFunSuite {
     }
     def dropSlot(s: String): Unit = { slot = false; log += "dropSlot" }
     def snapshotResource(r: String, snap: String, lsn: Long): Unit = {
-      assert(snapshotValid && snap == "snap_x" && lsn == 1000L)
+      // a scan is only valid under a pinned slot snapshot (full path) or an
+      // open delta transaction (resume path) — never outside either
+      assert((snapshotValid && snap == "snap_x" && lsn == 1000L) ||
+        (deltaOpen && snap == "" && lsn == 2000L))
       log += s"snapshot:$r"
     }
-    def flushSink(): Unit = log += "flush"
+    def flushSink(): Unit = { deltaOpen = false; log += "flush" }
+    def snapshotDone(r: String): Boolean = ledger.contains(r)
+    def recordSnapshotDone(r: String): Unit = { ledger += r; log += s"ledger:$r" }
+    def clearSnapshotLedger(): Unit = { ledger.clear(); log += "clearLedger" }
+    def openDeltaTransaction(): Long = { deltaOpen = true; log += "beginDelta"; 2000L }
   }
 
   private val readStream = StreamDef("s1", "users", Seq("insert", "read"), "t1")
@@ -55,33 +64,59 @@ class OpsSpec extends AnyFunSuite {
     val out = SnapshotBootstrap.run(cat, "slot1",
       Seq(readStream, readStream2, plainStream))
     assert(out == SnapshotBootstrap.Snapshotted(1000L, Seq("public.users")))
-    // order IS the contract: durable flag → slot → snapshot → flush → unflag
-    assert(cat.log == Seq("createMarker", "createSlot",
-      "snapshot:public.users", "flush", "dropMarker"))
+    // order IS the contract: durable flag → slot → snapshot → flush →
+    // ledger → unflag (ledger before the marker drops: a crash in between
+    // redoes the full snapshot rather than replaying a spurious delta)
+    assert(cat.log == Seq("clearLedger", "createMarker", "createSlot",
+      "snapshot:public.users", "flush", "ledger:public.users", "dropMarker"))
   }
 
-  test("clean restart with existing slot resumes without snapshot") {
+  test("clean restart with existing slot and complete ledger resumes without snapshot") {
     val cat = new FakeCatalog
     cat.slot = true
+    cat.ledger += "public.users"
     assert(SnapshotBootstrap.run(cat, "slot1", Seq(readStream)) ==
       SnapshotBootstrap.Resumed)
     assert(cat.log.isEmpty)
   }
 
-  test("interrupted snapshot (marker present) drops orphaned slot and redoes") {
+  test("read resource added after bootstrap: resume snapshots exactly the delta " +
+      "inside a fresh transaction, ledgers it after the flush barrier") {
+    val cat = new FakeCatalog
+    cat.slot = true
+    cat.ledger += "public.users" // original table: already delivered
+    val newRead = StreamDef("s4", "public.orders", Seq("insert", "read"), "t4")
+    val out = SnapshotBootstrap.run(cat, "slot1", Seq(readStream, newRead))
+    assert(out == SnapshotBootstrap.DeltaSnapshotted(2000L, Seq("public.orders")))
+    assert(cat.log == Seq("beginDelta", "snapshot:public.orders", "flush",
+      "ledger:public.orders"))
+    // retried start: everything ledgered now — clean resume
+    assert(SnapshotBootstrap.run(cat, "slot1", Seq(readStream, newRead)) ==
+      SnapshotBootstrap.Resumed)
+  }
+
+  test("interrupted snapshot (marker present) drops orphaned slot, clears the " +
+      "ledger and redoes") {
     val cat = new FakeCatalog
     cat.marker = true
     cat.slot = true
+    cat.ledger += "public.users" // ledgered under the now-orphaned slot
     val out = SnapshotBootstrap.run(cat, "slot1", Seq(readStream))
     assert(out == SnapshotBootstrap.Snapshotted(1000L, Seq("public.users")))
-    assert(cat.log.take(2) == Seq("dropSlot", "dropMarker"))
+    assert(cat.log.take(3) == Seq("dropSlot", "dropMarker", "clearLedger"))
+    assert(cat.log.contains("snapshot:public.users"),
+      "stale ledger must not suppress the redo")
   }
 
-  test("no read-opted streams: slot only, no snapshot phase") {
+  test("no read-opted streams: slot only, no snapshot phase; stale ledger cleared") {
     val cat = new FakeCatalog
+    cat.ledger += "public.users" // slot dropped out of band, entries stale
     assert(SnapshotBootstrap.run(cat, "slot1", Seq(plainStream)) ==
       SnapshotBootstrap.NoSnapshotNeeded(1000L))
-    assert(cat.log == Seq("createSlot"))
+    assert(cat.log == Seq("clearLedger", "createSlot"))
+    assert(cat.ledger.isEmpty,
+      "a fresh slot is a new timeline — surviving entries could skip a " +
+        "later-added read stream's initial state")
   }
 
   // ---- O1: HTTP endpoints, driven over a real socket ----

@@ -5,7 +5,7 @@ import graft.model.{ChangeEvent, Op}
 import graft.source.pgoutput.{Converter, PgOutputDecoder, PgOutputEncoder, PgOutputMessage, RelationRegistry}
 import graft.source.pgoutput.PgOutputMessage._
 import graft.source.pgoutput.PgOutputMessages._
-import graft.source.postgres.{PgSession, PgWire, ReplicationSpooler, ReplicationWire, SnapshotBootstrap, SocketCopyBothChannel, WireBootstrap}
+import graft.source.postgres.{PgSession, PgWire, Replication, ReplicationSpooler, ReplicationWire, SnapshotBootstrap, SocketCopyBothChannel, WireBootstrap}
 import graft.source.wal.WalLog
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -106,6 +106,8 @@ class WireBootstrapSpec extends AnyFunSuite {
     // per-table publication pushes row filtering into the server
     assert(srv2.queriesSeen.toArray.exists(
       _ == "CREATE PUBLICATION graft_pub FOR TABLE public.orders"))
+    // delivered resources are ledgered durably (the delta-resume contract)
+    assert(srv2.publications.contains(Replication.snapshotDoneName("public.orders")))
 
     // snapshot rows: exactly the frozen table, as READ, at the boundary LSN,
     // promoted by OID exactly like streamed pgoutput datums
@@ -193,10 +195,12 @@ class WireBootstrapSpec extends AnyFunSuite {
     } finally { s.close(); srv.close() }
   }
 
-  test("clean restart: slot exists, no marker → resume from the confirmed LSN") {
+  test("clean restart: slot exists, no marker, ledger complete → resume from " +
+      "the confirmed LSN") {
     val srv = new FakeWalsender(Trust)
     srv.strictSlots = true
     srv.slots.put("graft_slot", 0x400L)
+    srv.publications.add(Replication.snapshotDoneName("public.orders"))
     val s = PgSession.connect(ep(srv))
     try {
       val boot = WireBootstrap.bootstrap(s, "graft_slot", "graft_pub", streams,
@@ -204,6 +208,58 @@ class WireBootstrapSpec extends AnyFunSuite {
         flushDelivery = () => ())
       assert(boot.outcome == SnapshotBootstrap.Resumed)
       assert(boot.startLsn == 0x777L)
+    } finally { s.close(); srv.close() }
+  }
+
+  test("read-opted table added after bootstrap: resume delta-snapshots exactly " +
+      "the new table at the captured WAL boundary and ledgers it durably") {
+    val srv = new FakeWalsender(Trust)
+    srv.strictSlots = true
+    srv.slots.put("graft_slot", 0x400L) // the original bootstrap's slot
+    srv.publications.add("graft_pub")
+    srv.publicationTables.put("graft_pub", Seq("public.orders"))
+    // orders' initial state was delivered by the original bootstrap
+    srv.publications.add(Replication.snapshotDoneName("public.orders"))
+    srv.currentWalLsn = 0x900L
+    srv.tables.put("public.orders", (ordersCols, ordersRows))
+    val usersCols = Seq(("u_id", 20), ("email", 25))
+    srv.tables.put("public.users",
+      (usersCols, Seq(Seq("7", "a@x.example"), Seq("8", "b@y.example"))))
+
+    // the config grew a read-opted stream for public.users since then
+    val grown = streams :+ StreamDef("users", "public.users",
+      Seq("insert", "update", "read"), "cdc.users")
+    val s = PgSession.connect(ep(srv))
+    val reads = ArrayBuffer.empty[ChangeEvent]
+    var flushed = false
+    try {
+      val boot = WireBootstrap.bootstrap(s, "graft_slot", "graft_pub", grown,
+        confirmedLsn = 0x777L, emit = reads += _,
+        flushDelivery = () => flushed = true, nowS = () => 1700000000L)
+      assert(boot.outcome ==
+        SnapshotBootstrap.DeltaSnapshotted(0x900L, Seq("public.users")))
+      assert(boot.startLsn == 0x777L, "the STREAM resumes from the confirmed LSN")
+      assert(flushed)
+      // exactly the new table, as READ, at the delta boundary
+      assert(reads.size == 2)
+      assert(reads.forall(e => e.op == Op.Read &&
+        e.meta.resource == "public.users" && e.meta.lsn == "0/900"))
+      // publication reconciled; the new table ledgered only after the flush
+      assert(srv.publicationTables.get("graft_pub").toSet ==
+        Set("public.orders", "public.users"))
+      assert(srv.publications.contains(Replication.snapshotDoneName("public.users")))
+      val qs = srv.queriesSeen.toArray.map(_.toString)
+      assert(!qs.exists(q => q.startsWith("DECLARE") && q.endsWith("public.orders")),
+        "the already-delivered table must not be rescanned")
+      val scanIdx = qs.indexWhere(q => q.startsWith("DECLARE") &&
+        q.endsWith("public.users"))
+      val commitIdx = qs.indexOf("COMMIT")
+      val ledgerIdx = qs.indexOf(
+        s"CREATE PUBLICATION ${Replication.snapshotDoneName("public.users")}")
+      assert(scanIdx >= 0 && commitIdx > scanIdx && ledgerIdx > commitIdx,
+        s"scan → commit+flush → ledger, got scan=$scanIdx commit=$commitIdx " +
+          s"ledger=$ledgerIdx in:\n${qs.mkString("\n")}")
+      // retried start: ledger complete → clean resume, nothing re-emitted
     } finally { s.close(); srv.close() }
   }
 
