@@ -184,6 +184,85 @@ object AnalyticsQueries {
       |  AND epoch_us(o_orderdate) < 915148800000000
       |GROUP BY o_orderpriority""".stripMargin)
 
+  // TPC-H Q14-shaped promotion effect: one fact scan with a pushed date
+  // filter, a broadcast join to the part dimension, and a single
+  // conditional-sum aggregate — promo share is integer per-million over
+  // floor-scaled revenue units (the class's money-parity rule).
+  val olapPromoRevenue: (QFn, String) = (
+    (s, dir) => {
+      val li = ChangeLog.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        .filter(col("sd_us") >= lit(852076800000000L) && // 1997-01-01 UTC
+          col("sd_us") < lit(883612800000000L))          // 1998-01-01 UTC
+      val part = ChangeLog.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+              .cast("long")).otherwise(0L)).as("promo_rev_e4"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long")).as("total_rev_e4"))
+        .withColumn("promo_pm", expr("promo_rev_e4 * 1000000 div total_rev_e4"))
+    },
+    """SELECT
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_e4,
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+      |    ELSE 0 END) * 1000000 //
+      |    sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS promo_pm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE epoch_us(l.l_shipdate) >= 852076800000000
+      |  AND epoch_us(l.l_shipdate) < 883612800000000""".stripMargin)
+
+  // TPC-H Q3-shaped shipping priority: segment-filtered customers broadcast
+  // into orders, orders' surviving keys hash-joined to lineitem, one
+  // groupBy on the order key, then a distributed top-10
+  // (TakeOrderedAndProject — never a global window). Date filters push to
+  // both fact scans.
+  val olapShipPriority: (QFn, String) = (
+    (s, dir) => {
+      val cut = 896659200000000L // 1998-06-01 UTC, µs
+      val cust = ChangeLog.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = ChangeLog.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+        .filter(col("od_us") < lit(cut))
+      val li = ChangeLog.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        .filter(col("sd_us") > lit(cut))
+      val top = li
+        .join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+          li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("od_us"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+      val w = Window.orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    },
+    """WITH top AS (
+      |  SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS od_us, o.o_orderpriority,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |    AND epoch_us(o.o_orderdate) < 896659200000000
+      |    AND epoch_us(l.l_shipdate) > 896659200000000
+      |  GROUP BY l.l_orderkey, epoch_us(o.o_orderdate), o.o_orderpriority
+      |  ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10)
+      |SELECT l_orderkey, od_us, o_orderpriority, revenue_e4,
+      |  CAST(row_number() OVER (ORDER BY revenue_e4 DESC, l_orderkey) AS BIGINT) AS rank
+      |FROM top""".stripMargin)
+
   // Conversion funnel: users who signed up AND later purchased — left-semi
   // join (EXISTS) with an event-time ordering condition, counted per event
   // type cohort.
@@ -221,5 +300,7 @@ object AnalyticsQueries {
     "events_sessionize" -> eventsSessionize,
     "olap_pricing_summary" -> olapPricingSummary,
     "olap_top_customers" -> olapTopCustomers,
-    "olap_region_revenue" -> olapRegionRevenue)
+    "olap_region_revenue" -> olapRegionRevenue,
+    "olap_promo_revenue" -> olapPromoRevenue,
+    "olap_ship_priority" -> olapShipPriority)
 }

@@ -782,6 +782,102 @@ object ExtQueries {
       |  md5(text) AS px_hash
       |FROM documents""".stripMargin)
 
+  // ---------------- corpus pipeline operators ----------------
+
+  // Benchmark decontamination — the eval-set overlap gate every training
+  // pipeline runs before a model ever sees the corpus: a document sharing a
+  // token n-gram with the benchmark set is flagged (and typically dropped).
+  // The benchmark here is a deterministic slice (doc_id % 97 = 0) standing in
+  // for an external eval set; n = 3 because the synthetic corpus has a tiny
+  // vocabulary (real pipelines use 8-13-grams — the plan is n-independent).
+  // Scale shape: the benchmark gram set is megabytes even for large eval
+  // suites, so it BROADCASTS; the corpus side streams through one explode +
+  // one broadcast-hash semi-join + one groupBy — no shuffle touches the
+  // full gram multiset, and the distinct that bounds per-doc counts runs
+  // inside the aggregation's own partial phase.
+  val pipelineDecontaminate: (QFn, String) = (
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokensCol(col("text")).as("t"))
+      val grams = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "gram").distinct()
+      corpus.join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    s"""$toksCte,
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |        FROM toks WHERE len(t) >= 3),
+       |g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM idx),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin)
+
+  // Sub-document (chunk-level) exact dedup: fixed 20-token chunks hashed and
+  // grouped — catches boilerplate shared ACROSS otherwise-distinct documents
+  // that document-level dedup_exact cannot see. One explode + one groupBy on
+  // the hash (well-distributed key); count-distinct docs rides the same
+  // aggregate. At 100 TB this is the shape of paragraph dedup: per-chunk
+  // state is one hash + two counters, never the chunk text.
+  val dedupChunk: (QFn, String) = (
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokensCol(col("text")).as("t"))
+      toks.filter(size(col("t")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+            "c -> concat_ws(' ', slice(t, c * 20 + 1, 20)))")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+    },
+    s"""$toksCte,
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, (len(t) + 19) // 20)) AS c
+       |        FROM toks WHERE len(t) >= 1),
+       |ch AS (SELECT doc_id,
+       |         md5(array_to_string(t[(c-1)*20+1:(c-1)*20+20], ' ')) AS chunk_hash
+       |       FROM idx)
+       |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin)
+
+  // Dataset card: the per-(lang, source) composition summary published with
+  // a training corpus — doc counts, char/token volume and corpus share.
+  // One scan, one partial-agg-friendly groupBy; the corpus total is a 1-row
+  // broadcast scalar (same shape as events_funnel), so no second pass and
+  // no window over the whole corpus.
+  val pipelineDatasetCard: (QFn, String) = (
+    (s, dir) => {
+      val base = docs(s, dir).select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("nc"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("nt"))
+      val grouped = base.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+          sum(col("nt")).as("total_tokens"))
+      val total = base.agg(count(lit(1)).as("corpus_docs"))
+      grouped.crossJoin(broadcast(total))
+        .withColumn("share_pm", expr("n_docs * 1000000 div corpus_docs"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"), col("share_pm"))
+    },
+    s"""$toksCte,
+       |base AS (SELECT lang, source, CAST(length(text) AS BIGINT) AS nc,
+       |           CAST(len(t) AS BIGINT) AS nt FROM toks)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS total_chars,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(count(*) * 1000000 // (SELECT count(*) FROM base) AS BIGINT) AS share_pm
+       |FROM base GROUP BY lang, source""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -797,6 +893,9 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_dataset_card" -> pipelineDatasetCard,
+    "dedup_chunk" -> dedupChunk,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,

@@ -60,4 +60,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("top_k_by_score") && p.contains("partial_top_k_by_score"),
       s"expected map-side partial top-k aggregate in:\n$p")
   }
+
+  test("pipeline_decontaminate broadcasts the benchmark gram set") {
+    val p = plan("pipeline_decontaminate")
+    // the eval-set side must be the broadcast build side: a shuffle of the
+    // corpus gram multiset against a megabyte benchmark is wasted motion
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected a broadcast join on the benchmark grams in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+  }
+
+  test("olap_ship_priority takes its top-10 distributively, dims broadcast") {
+    val p = plan("olap_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k (TakeOrderedAndProject) in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the BUILDING-segment customer dim broadcast in:\n$p")
+    // rank window runs over the 10 surviving rows, above the limit
+    val windowIdx = p.indexOf("Window")
+    val topKIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && windowIdx < topKIdx,
+      "rank window must sit above the top-k limit in the plan")
+  }
+
+  test("olap_promo_revenue pushes the ship-date filter to the parquet scan") {
+    val df = SparkEntry.queries("olap_promo_revenue")(spark, SparkTestBase.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the part dim broadcast in:\n$p")
+    // the µs-range predicate must reach the lineitem scan as a data filter
+    // (PushedFilters renders on the scan node for native-expressible ones;
+    // the unix_micros cast keeps it a post-scan Filter — assert it at least
+    // sits under the join, before any shuffle)
+    val scanIdx = p.indexOf("Scan parquet")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(scanIdx >= 0 && joinIdx >= 0 && joinIdx < scanIdx,
+      s"scan must feed the join directly in:\n$p")
+  }
+
+  test("dedup_chunk aggregates on the chunk hash with a map-side partial") {
+    val p = plan("dedup_chunk")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"unexpected global operator in:\n$p")
+  }
 }
