@@ -293,7 +293,101 @@ object AnalyticsQueries {
       |  CAST((SELECT count(*) FROM conv) * 1000000 //
       |    greatest((SELECT count(*) FROM s), 1) AS BIGINT) AS conversion_pm""".stripMargin)
 
+  // As-of join: each purchase attributed to the user's latest click at or
+  // before it (last-touch attribution — the operator Spark has no native
+  // node for). Implementation is the distributed union trick: tag both
+  // sides, ONE shuffle on the user key, and a running `last(_, ignoreNulls)`
+  // window carries the most recent click forward — no join, no per-row
+  // probe, no skew explosion; wall-clock is a single sort within each user
+  // partition regardless of how many purchases a hot user has. Clicks are
+  // deduplicated per (user, µs) first so the pick is engine-deterministic.
+  // Oracle: DuckDB's native ASOF LEFT JOIN over the same deduped sides.
+  val eventsAsofJoin: (QFn, String) = (
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), tsUs.as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), col("click_id"),
+          col("ts_us").as("click_us"), lit(null).cast("long").as("p_id"),
+          lit(0).as("tag"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_us"),
+          col("event_id").as("p_id"), lit(1).as("tag"))
+      // tag orders a click BEFORE a purchase at the same µs → ">=" semantics
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_click_us",
+          last(col("click_us"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("p_id").as("event_id"), col("user_id"),
+          col("ts_us").as("p_us"),
+          col("asof_click_id").as("click_id"),
+          col("asof_click_us").as("click_us"),
+          (col("ts_us") - col("asof_click_us")).as("gap_us"))
+    },
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.p_us, c.click_id, c.click_us,
+      |  p.p_us - c.click_us AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.p_us >= c.click_us""".stripMargin)
+
+  // Range (interval) join: for each error event, how many events the same
+  // user produced in the preceding 30 minutes — the burst-context join.
+  // A naive engine evaluates this as a per-row range probe (quadratic in a
+  // hot user's event count). Here the probe side is exploded into the two
+  // 30-min bins it can serve and the join is a plain hash equi-join on
+  // (user, bin) with the exact range as a residual filter: each join group
+  // is bounded by one user-bin's traffic, so the plan survives both scale
+  // and per-user skew. LEFT join keeps zero-context errors.
+  val eventsRangeJoin: (QFn, String) = (
+    (s, dir) => {
+      val binUs = 1800000000L // 30 min in µs
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), tsUs.as("ts_us"))
+      // integer `div`, never `/`: a double quotient truncated back to long
+      // can mis-bin a µs value sitting on a bin boundary
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("a_us"),
+          expr(s"ts_us div ${binUs}L").as("bin"))
+      val probe = ev
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts_us").as("b_us"))
+        .withColumn("jbin", explode(array(
+          expr(s"b_us div ${binUs}L"),
+          expr(s"b_us div ${binUs}L + 1L"))))
+      errs.join(probe,
+          errs("user_id") === probe("b_user") && errs("bin") === probe("jbin") &&
+            probe("b_us") >= errs("a_us") - binUs && probe("b_us") < errs("a_us"),
+          "left")
+        .groupBy(col("event_id"), col("user_id"), col("a_us"))
+        .agg(count(col("b_id")).as("n_prior_30m"))
+    },
+    """WITH a AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS a_us
+      |  FROM events WHERE event_type = 'error')
+      |SELECT a.event_id, a.user_id, a.a_us,
+      |  CAST(count(b.event_id) AS BIGINT) AS n_prior_30m
+      |FROM a LEFT JOIN events b ON b.user_id = a.user_id
+      |  AND epoch_us(b.ts) >= a.a_us - 1800000000
+      |  AND epoch_us(b.ts) < a.a_us
+      |GROUP BY 1, 2, 3""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_asof_join" -> eventsAsofJoin,
+    "events_range_join" -> eventsRangeJoin,
     "olap_order_priority" -> olapOrderPriority,
     "events_funnel" -> eventsFunnel,
     "events_window_agg" -> eventsWindowAgg,

@@ -878,7 +878,121 @@ object ExtQueries {
        |  CAST(count(*) * 1000000 // (SELECT count(*) FROM base) AS BIGINT) AS share_pm
        |FROM base GROUP BY lang, source""".stripMargin)
 
+  // ---------------- vector ops: clustering + quantization ----------------
+
+  // K-means assignment step (the inner loop of corpus clustering): every
+  // vector scored against k=8 fixed centroids (the first 8 vectors — a
+  // deterministic seeding), argmax cosine wins. The centroid table is
+  // BROADCAST — at 100 TB the corpus side streams through map tasks and the
+  // only shuffle is the final partial-aggregable `max(struct)` argmax, which
+  // moves one row per vector. Never a window over the scored pairs: that
+  // would shuffle k×N rows instead of N.
+  val clusterAssign: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(graft.functions.CosineSimilarity(col("embedding"), col("ce")), 4)
+            .as("cos"))
+        // argmax via struct ordering: highest cos, then LOWEST cid (ties)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("vec_id"), col("m.cos").as("cos"),
+          (-col("m.nc")).cast("long").as("cluster"))
+    },
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / (e.nrm * c.cnrm), 4) AS cos
+      |  FROM e CROSS JOIN c)
+      |SELECT vec_id, cos, CAST(cid AS BIGINT) AS cluster FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |  FROM scored) WHERE rn = 1""".stripMargin)
+
+  // Per-vector symmetric int8 quantization (the storage/serving compression
+  // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
+  // q_i = floor(x_i/scale + 0.5) — the explicit half-up formula, spelled the
+  // same on both engines so the rounding RULE can never diverge (round()
+  // half-way behavior is engine-defined; floor(v+0.5) is pure IEEE ops on
+  // the same double → bit-exact). Narrow row out (id + 4 scalars): embarras-
+  // singly parallel, zero shuffles, codegen'd transform/aggregate.
+  val embQuantize: (QFn, String) = (
+    (s, dir) => emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0d")
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(embedding, 0L, (acc, x) -> " +
+          "acc + cast(floor(cast(x as double) / scale + 0.5d) as long))").as("q_sum"),
+        expr("cast(array_min(transform(embedding, " +
+          "x -> floor(cast(x as double) / scale + 0.5d))) as long)").as("q_min"),
+        expr("cast(array_max(transform(embedding, " +
+          "x -> floor(cast(x as double) / scale + 0.5d))) as long)").as("q_max")),
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+      |  CAST(list_min(list_transform(embedding,
+      |    x -> floor(x::DOUBLE / scale + 0.5))) AS BIGINT) AS q_min,
+      |  CAST(list_max(list_transform(embedding,
+      |    x -> floor(x::DOUBLE / scale + 0.5))) AS BIGINT) AS q_max
+      |FROM s""".stripMargin)
+
+  // ---------------- privacy + sampling ----------------
+
+  // PII pseudonymization for training-data release: stable md5 pseudonym
+  // (joinable across datasets without exposing the name), digit-masked
+  // display name, account balance coarsened to $1000 bands (k-anonymity
+  // style generalization). Pure per-row codegen'd expressions — no shuffle,
+  // no UDF; at 100 TB this runs at parquet-scan speed.
+  val piiPseudonymize: (QFn, String) = (
+    (s, dir) => ChangeLog.table(s, dir, "customer").select(
+      md5(col("c_name")).as("pseudonym"),
+      regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"),
+      col("c_nationkey"), col("c_mktsegment")),
+    """SELECT md5(c_name) AS pseudonym,
+      |  regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+      |  c_nationkey, c_mktsegment
+      |FROM customer""".stripMargin)
+
+  // Deterministic stratified sample: ≤25 documents per language, ranked by
+  // md5(doc_id) — a language-rebalanced training mix that is reproducible
+  // run-over-run and machine-over-machine (no RNG state, no sort on data
+  // values that skew). One shuffle on the stratum key; rank cutoff happens
+  // inside the window, so only winners leave the exchange. For unbounded
+  // strata at 100 TB the same hash-rank works as a filter
+  // (md5 < threshold) with no window at all.
+  val pipelineSampleMix: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= 25)
+    },
+    """SELECT doc_id, lang, source, sample_rank FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
+      |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "cluster_assign" -> clusterAssign,
+    "emb_quantize" -> embQuantize,
+    "pii_pseudonymize" -> piiPseudonymize,
+    "pipeline_sample_mix" -> pipelineSampleMix,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,

@@ -105,4 +105,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"unexpected global operator in:\n$p")
   }
+
+  test("events_asof_join is the union+window form: one shuffle, zero joins") {
+    val p = plan("events_asof_join")
+    // the whole point of the distributed as-of: NO join node at all — a
+    // per-row probe join would be quadratic in a hot user's event count
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected the running-last window in:\n$p")
+    assert(p.contains("Union"), s"expected the tagged two-side union in:\n$p")
+  }
+
+  test("events_range_join hash-joins on (user, bin), never a range nested loop") {
+    val p = plan("events_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range probe fell back to a non-equi join:\n$p")
+    assert(p.contains("Join"), s"expected the binned equi-join in:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the probe-side bin explode in:\n$p")
+  }
+
+  test("cluster_assign broadcasts centroids and argmaxes via partial aggregate") {
+    val p = plan("cluster_assign")
+    // centroid table rides a broadcast (tiny k × corpus — nested-loop over a
+    // broadcast IS the right plan for an all-centroids score)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast centroids in:\n$p")
+    // argmax must be the partial-aggregable max(struct), never a k×N window
+    assert(!p.contains("Window"), s"argmax window over scored pairs in:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected aggregate argmax in:\n$p")
+  }
+
+  test("emb_quantize is a shuffle-free projection straight off the scan") {
+    val p = plan("emb_quantize")
+    // higher-order lambdas (transform/aggregate) evaluate as interpreted
+    // projections — acceptable here because the op is embarrassingly
+    // parallel; the property that matters at scale is NO shuffle
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"unexpected wide operator in:\n$p")
+  }
+
+  test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
+    val p = plan("pii_pseudonymize")
+    assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
+    // `*(n)` is toString's WholeStageCodegen marker — the md5/regex/floor
+    // projection must fuse with the scan
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"expected a codegen'd Project in:\n$p")
+  }
 }
