@@ -118,11 +118,37 @@ object Main {
     // and we exit nonzero so the supervisor restarts from the checkpoint
     val watchdog = StallWatchdog(metrics, query).start()
 
-    sys.addShutdownHook { pump.foreach(_.close()); query.stop(); http.stop() }
+    // the spooler's close() sends ONE final standby status carrying the
+    // engine's confirmed LSN — without it a drain-and-exit run leaves the
+    // server's restart point at the last 10 s cadence tick and the next
+    // start redelivers the tail (correct but wasteful). A dead wire makes
+    // that farewell throw; swallow it — death was already reported.
+    def closeWire(): Unit = {
+      pump.foreach(_.close())
+      spooler.foreach(sp => try sp.close() catch {
+        case _: java.io.IOException | _: IllegalStateException => ()
+      })
+    }
+    sys.addShutdownHook { closeWire(); query.stop(); http.stop() }
     if (sys.env.contains("GRAFT_DRAIN_AND_EXIT")) {
+      // Drain-to-quiet: the wire spools ASYNCHRONOUSLY, so a single
+      // processAllAvailable() races the pump and can exit with the server's
+      // already-sent backlog still in flight. Keep processing until the
+      // spooled WAL stops advancing across two grace windows (a static,
+      // externally-fed walDir is immediately quiet). Wire death breaks the
+      // loop and is reported through the failure contract below.
+      val graceMs = sys.env.getOrElse("GRAFT_DRAIN_GRACE_MS", "300").toLong
+      var lastLsn = -1L
+      var quiet = 0
+      while (quiet < 2 && !watchdog.stalled && pump.forall(_.fatal == null)) {
+        query.processAllAvailable()
+        val nowLsn = graft.source.wal.WalLog.maxLsn(walDir)
+        if (nowLsn == lastLsn) { quiet += 1; Thread.sleep(graceMs) }
+        else { quiet = 0; lastLsn = nowLsn }
+      }
       query.processAllAvailable()
       query.stop()
-      pump.foreach(_.close())
+      closeWire()
       watchdog.close()
       println(s"[graft] drained; events=${metrics.eventsProcessed.get()} " +
         s"batches=${metrics.batchesProcessed.get()}")
@@ -136,7 +162,7 @@ object Main {
       }
     } else {
       query.awaitTermination()
-      pump.foreach(_.close())
+      closeWire()
       watchdog.close()
       if (watchdog.stalled || pump.exists(_.fatal != null)) {
         System.err.println(s"[graft] ${metrics.lastError.get()}")
