@@ -385,9 +385,57 @@ object AnalyticsQueries {
       |  AND epoch_us(b.ts) < a.a_us
       |GROUP BY 1, 2, 3""".stripMargin)
 
+  // Exact interpolated percentiles per event type — the latency-SLO query
+  // shape. Spark's `percentile` and DuckDB's `quantile_cont` share the
+  // standard h=(n-1)q linear interpolation and produce BIT-IDENTICAL
+  // doubles on the same input (verified, not assumed); rounding is belt
+  // and braces. Exact percentile is a sort-per-group at scale — for a
+  // 100 TB stream you'd swap in approx_percentile (t-digest, mergeable
+  // partials) at the cost of oracle exactness; the query shape is the same.
+  val eventsQuantiles: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5d)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95d)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99d)"), 4).as("p99"),
+        count(lit(1)).as("n")),
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type""".stripMargin)
+
+  // Salted two-phase aggregation — the hot-key (skew) mitigation pattern as
+  // a first-class operator: phase 1 counts per (user, salt) so one scorching
+  // user's rows spread across 16 reduce partitions; phase 2 re-aggregates
+  // the (at most 16) partials per user. Identical answer to the plain
+  // groupBy — the oracle proves it — but the worst partition at 100 TB
+  // holds 1/16th of the hottest key instead of all of it. Top-20 exits via
+  // a distributed TakeOrderedAndProject.
+  val eventsSaltedAgg: (QFn, String) = (
+    (s, dir) => {
+      val partial = events(s, dir)
+        .select(col("user_id"), expr("event_id % 16").as("salt"))
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("c"))
+      val tot = partial.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"))
+      val top = tot.orderBy(col("n_events").desc, col("user_id")).limit(20)
+      val w = Window.orderBy(col("n_events").desc, col("user_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    },
+    """SELECT user_id, n_events, rank FROM (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id) AS BIGINT) AS rank
+      |  FROM events GROUP BY user_id)
+      |WHERE rank <= 20""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,
+    "events_quantiles" -> eventsQuantiles,
+    "events_salted_agg" -> eventsSaltedAgg,
     "olap_order_priority" -> olapOrderPriority,
     "events_funnel" -> eventsFunnel,
     "events_window_agg" -> eventsWindowAgg,

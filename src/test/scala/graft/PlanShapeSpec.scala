@@ -147,6 +147,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected wide operator in:\n$p")
   }
 
+  test("events_salted_agg spreads a hot key over salt partitions, top-k distributed") {
+    val p = plan("events_salted_agg")
+    // two aggregation phases: (user, salt) then user — the first exchange
+    // must carry the salt so a hot user spans 16 partitions
+    assert(p.contains("salt"), s"salt key missing from the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k in:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges >= 2, s"expected two hash exchanges (salted then re-agg):\n$p")
+  }
+
+  test("events_quantiles is one partial-aggregable pass per event type") {
+    val p = plan("events_quantiles")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"unexpected wide operator in:\n$p")
+    assert(p.contains("percentile"), s"expected percentile aggregate in:\n$p")
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
