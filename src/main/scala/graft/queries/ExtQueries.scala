@@ -782,6 +782,41 @@ object ExtQueries {
       |  md5(text) AS px_hash
       |FROM documents""".stripMargin)
 
+  // Frame sampling over an opaque media payload — the video half of the
+  // multimodal plumbing: a deterministic frame index (64-byte frames at
+  // 25 fps here; a real codec's keyframe index in production), strided so at
+  // most ~8 frames per asset are sampled, then ONE generator explode fans
+  // each asset into its sampled frames with a per-frame content hash
+  // standing in for the decoded tensor. The shape is what matters at
+  // 100 TB: the explode multiplies rows BEFORE any shuffle, so partition
+  // sizing must budget for asset_bytes/stride, and every per-frame value is
+  // computed from the payload slice inside the generator's projection —
+  // the full payload never crosses an exchange.
+  val mmFrameSample: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        expr("greatest(length(text) div 64, 1L)").as("n_frames"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "sequence(0L, n_frames - 1L, greatest(n_frames div 8, 1L))"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40L).as("frame_ts_ms"),
+        md5(expr("substring(text, cast(frame_idx * 64 + 1 as int), 64)"))
+          .as("frame_hash")),
+    """WITH v AS (
+      |  SELECT doc_id, text, greatest(length(text) // 64, 1) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, n_frames - 1, greatest(n_frames // 8, 1)))
+      |      AS frame_idx
+      |  FROM v)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
+      |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
+      |FROM f""".stripMargin)
+
   // ---------------- corpus pipeline operators ----------------
 
   // Benchmark decontamination — the eval-set overlap gate every training
@@ -1017,5 +1052,6 @@ object ExtQueries {
     "sim_lsh_ann" -> simLshAnn,
     "sim_ann_recall" -> simAnnRecall,
     "mm_binary_meta" -> mmBinaryMeta,
-    "mm_decode_stub" -> mmDecodeStub)
+    "mm_decode_stub" -> mmDecodeStub,
+    "mm_frame_sample" -> mmFrameSample)
 }
