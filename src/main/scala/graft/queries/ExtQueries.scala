@@ -983,6 +983,28 @@ object ExtQueries {
       |    x -> floor(x::DOUBLE / scale + 0.5))) AS BIGINT) AS q_max
       |FROM s""".stripMargin)
 
+  // Dataset card with subtotals — GROUP BY ROLLUP(lang, source): per-source
+  // rows, per-language subtotals, and the corpus grand total in ONE pass
+  // (grouping sets are beyond the reference's surface; they're table stakes
+  // for a corpus-composition report). Spark expands the rollup inside the
+  // aggregate's partial phase — still a single shuffle, rows merely carry
+  // their grouping-set id; no self-unions, no second scan.
+  val pipelineDatasetRollup: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+          .as("total_tokens")),
+    """WITH d AS (
+      |  SELECT lang, source, n_chars,
+      |    regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(t)) AS BIGINT) AS total_tokens
+      |FROM d GROUP BY ROLLUP(lang, source)""".stripMargin)
+
   // ---------------- privacy + sampling ----------------
 
   // PII pseudonymization for training-data release: stable md5 pseudonym
@@ -1044,6 +1066,7 @@ object ExtQueries {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_dataset_card" -> pipelineDatasetCard,
+    "pipeline_dataset_rollup" -> pipelineDatasetRollup,
     "dedup_chunk" -> dedupChunk,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_agg" -> simTopkAgg,
