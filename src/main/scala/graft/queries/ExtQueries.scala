@@ -345,6 +345,66 @@ object ExtQueries {
        |  JOIN sizes zb ON zb.doc_id = m.doc_b)
        |WHERE jaccard >= 0.5""".stripMargin)
 
+  // Connected components over the near-dup pair graph — the step every
+  // large-scale dedup pipeline runs AFTER pair generation: near-dup is
+  // transitive in practice (A~B, B~C ⇒ one cluster), so keep-one-per-pair
+  // under-deletes; clusters need a canonical id. Implementation is
+  // min-label propagation to fixpoint — the same algorithm GraphX/
+  // GraphFrames connected-components runs: each round is one join + one
+  // min-aggregate (all partial-aggregable), rounds = graph diameter
+  // (log-ish for near-dup clusters, which are dense), `localCheckpoint`
+  // truncates the growing lineage each round (a reliable checkpoint dir at
+  // 100 TB). Oracle: DuckDB recursive CTE propagating seeds transitively.
+  val dedupComponents: (QFn, String) = (
+    (s, dir) => {
+      val pairs = dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("component")).as("p"))
+          .withColumnRenamed("dst", "pnode")
+        val next = labels.join(prop, col("node") === col("pnode"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("p"), col("component")))
+              .as("component"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.component") =!= col("o.component")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("component"))
+    },
+    s"""${toksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |           GROUP BY c.doc_a, c.doc_b),
+       |jac AS (SELECT * FROM (
+       |  SELECT m.doc_a, m.doc_b,
+       |    round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) AS jaccard
+       |  FROM common m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |r(node, seed) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.seed FROM r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, CAST(min(seed) AS BIGINT) AS component
+       |FROM r GROUP BY node""".stripMargin)
+
   // MinHash Jaccard ESTIMATOR: fraction of agreeing minhash components per
   // LSH candidate pair — the sketch-only estimate that at scale replaces
   // exact verification when signatures already live in the shuffle.
@@ -1061,6 +1121,7 @@ object ExtQueries {
     "text_vocab_stats" -> textVocabStats,
     "text_repetition" -> textRepetition,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_components" -> dedupComponents,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
