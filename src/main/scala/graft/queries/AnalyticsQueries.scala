@@ -431,7 +431,35 @@ object AnalyticsQueries {
       |  FROM events GROUP BY user_id)
       |WHERE rank <= 20""".stripMargin)
 
+  // Distinct cardinality per event type — exact. Spark plans
+  // count(DISTINCT) as a two-phase expand/re-aggregate; the oracle pins
+  // exactness. At 100 TB exact distinct is the expensive path — its
+  // mergeable replacement is the HLL query below.
+  val eventsDistinctUsers: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")),
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin)
+
+  // HyperLogLog distinct — the at-scale answer: sketches merge in the
+  // partial phase, so one pass and constant state per group replace the
+  // expand shuffle. Spark's HLL++ and DuckDB's approx_distinct are
+  // DIFFERENT sketches (estimates legitimately differ), so this query has
+  // no SQL oracle — the driver records the weaker rows-only check; the
+  // exact twin above is the value gate.
+  val eventsApproxDistinct: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events")),
+    "") // no oracle: cross-engine sketches differ by construction
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_distinct_users" -> eventsDistinctUsers,
+    "events_approx_distinct" -> eventsApproxDistinct,
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,
     "events_quantiles" -> eventsQuantiles,

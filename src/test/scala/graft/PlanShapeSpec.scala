@@ -165,6 +165,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("percentile"), s"expected percentile aggregate in:\n$p")
   }
 
+  test("events_approx_distinct merges HLL sketches without the distinct expand") {
+    val exact = plan("events_distinct_users")
+    val approx = plan("events_approx_distinct")
+    // exact count(DISTINCT) pays the Expand + second aggregate; the HLL
+    // sketch must not — one partial-aggregable pass is its whole point
+    assert(exact.contains("Expand") || exact.contains("distinct"),
+      s"exact distinct plan shape unexpected:\n$exact")
+    assert(!approx.contains("Expand"),
+      s"approx distinct must not expand:\n$approx")
+    // and the estimate is an estimate OF THE RIGHT QUANTITY: within 10%
+    val spark2 = SparkTestBase.spark
+    val e = SparkEntry.queries("events_distinct_users")(spark2, SparkTestBase.sf)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("events_approx_distinct")(spark2, SparkTestBase.sf)
+      .select("event_type", "n_users_approx").collect().foreach { r =>
+        val exactN = e(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - exactN) / exactN <= 0.10,
+          s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $exactN")
+      }
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
