@@ -69,7 +69,11 @@ object Bench {
     // min() can't absorb it — round-robin spreads a window across every
     // query equally, keeping round-over-round deltas comparable.
     spark.catalog.clearCache() // drop warm-up-SF caches before timing
+    // GRAFT_BENCH_ONLY=name1,name2 restricts the suite (iteration aid; the
+    // driver's full run leaves it unset).
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val trials = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failedQ = scala.collection.mutable.Set.empty[String]

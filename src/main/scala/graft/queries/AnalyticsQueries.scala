@@ -457,9 +457,110 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events")),
     "") // no oracle: cross-engine sketches differ by construction
 
+  // Inter-event gap distribution — the lead/lag window-function shape: one
+  // shuffle on user_id, an in-partition sort, lag(1), then a plain
+  // re-aggregation by event type. The gap is attributed to the LATER event's
+  // type. Ordering ties broken by event_id so the lag pick is deterministic;
+  // the average is integer floor-division (exact in both engines).
+  val eventsUserGaps: (QFn, String) = (
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), tsUs.as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("sum(gap_us) div count(1)").as("avg_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          min(col("gap_us")).as("min_gap_us"))
+    },
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts)
+      |    - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us,
+      |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(min(gap_us) AS BIGINT) AS min_gap_us
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin)
+
+  // GROUP BY CUBE (event_type × hour-of-day): all four grouping sets in one
+  // pass — Spark plans cube as a single Expand + hash aggregate, so the fact
+  // scan happens once regardless of how many subtotal combinations come out
+  // (the same reason ROLLUP is used for the dataset card). Money convention:
+  // floor-scaled integer units.
+  val eventsCube: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000 div 3600000000) % 24").as("hr"), col("value"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast("long")).as("value_e4")),
+    """WITH e AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr, value
+      |  FROM events)
+      |SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+      |FROM e GROUP BY CUBE(event_type, hr)""".stripMargin)
+
+  // Set operations as first-class operators: the year-over-year customer
+  // retention split (kept / churned / new) via INTERSECT and EXCEPT over the
+  // two years' distinct buyer key sets. Spark plans both as hash
+  // left-semi/anti joins on the key — one shuffle each over already-distinct
+  // (therefore small) sides; the three scalar counts meet in a broadcast
+  // cross of 1-row aggregates, never a driver collect.
+  val olapSetOps: (QFn, String) = (
+    (s, dir) => {
+      def keys(loUs: Long, hiUs: Long) = ChangeLog.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+        .filter(col("od_us") >= lit(loUs) && col("od_us") < lit(hiUs))
+        .select(col("o_custkey")).distinct()
+      val y97 = 852076800000000L; val y98 = 883612800000000L
+      val y99 = 915148800000000L
+      val k97 = keys(y97, y98); val k98 = keys(y98, y99)
+      k97.intersect(k98).agg(count(lit(1)).as("n_both"))
+        .crossJoin(k97.except(k98).agg(count(lit(1)).as("n_only_1997")))
+        .crossJoin(k98.except(k97).agg(count(lit(1)).as("n_only_1998")))
+    },
+    """WITH k97 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE epoch_us(o_orderdate) >= 852076800000000
+      |    AND epoch_us(o_orderdate) < 883612800000000),
+      |k98 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE epoch_us(o_orderdate) >= 883612800000000
+      |    AND epoch_us(o_orderdate) < 915148800000000)
+      |SELECT
+      |  CAST((SELECT count(*) FROM (SELECT * FROM k97 INTERSECT SELECT * FROM k98)) AS BIGINT) AS n_both,
+      |  CAST((SELECT count(*) FROM (SELECT * FROM k97 EXCEPT SELECT * FROM k98)) AS BIGINT) AS n_only_1997,
+      |  CAST((SELECT count(*) FROM (SELECT * FROM k98 EXCEPT SELECT * FROM k97)) AS BIGINT) AS n_only_1998""".stripMargin)
+
+  // Approximate percentiles — the mergeable-sketch twin of eventsQuantiles
+  // (same reason eventsApproxDistinct twins the exact distinct): Spark's
+  // approx_percentile partials merge map-side, so one pass and bounded state
+  // per group replace the per-group sort. The sketch picks actual data
+  // values rather than interpolating, and no other engine implements the
+  // identical sketch → rows-only check by construction.
+  val eventsApproxQuantiles: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)")
+        .as("pcts"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(element_at(col("pcts"), 1), 4).as("p50_approx"),
+        round(element_at(col("pcts"), 2), 4).as("p95_approx"),
+        round(element_at(col("pcts"), 3), 4).as("p99_approx"), col("n")),
+    "") // no oracle: sketch-specific value selection
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
+    "events_user_gaps" -> eventsUserGaps,
+    "events_cube" -> eventsCube,
+    "events_approx_quantiles" -> eventsApproxQuantiles,
+    "olap_set_ops" -> olapSetOps,
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,
     "events_quantiles" -> eventsQuantiles,

@@ -1105,6 +1105,80 @@ object ExtQueries {
       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
 
+  // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
+  // in doc_id order and split every 2048 tokens — the standard LLM
+  // pretraining packing. Each doc's pack is its cumulative token offset
+  // div the budget; output is per-pack shape stats for the data loader.
+  // Scale design: the running sum is a window per (lang, shard) where
+  // shard = doc_id % 16, so no single partition ever has to sort the whole
+  // corpus — at 100 TB the packer fans out to lang × 16 independent sorted
+  // streams (more shards = more parallelism; determinism is unaffected
+  // because the shard is part of the output identity).
+  val pipelinePackSequences: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        (col("doc_id") % 16).as("shard"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 2048L"))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    s"""$toksCte,
+       |d AS (SELECT doc_id, lang, doc_id % 16 AS shard,
+       |        CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+       |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_before FROM d)
+       |SELECT lang, shard, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM c GROUP BY 1, 2, 3""".stripMargin)
+
+  // k-NN graph (3 nearest neighbors per vector by cosine) restricted to
+  // IVF-style label cells — the building block for graph-based clustering
+  // and semantic dedup. The candidate join is a plain hash equi-join on the
+  // cell key, so pair count is bounded per cell instead of n² over the
+  // corpus; ranking is a per-src window (sort within one cell's candidate
+  // list). At 100 TB the cell key comes from a coarse quantizer
+  // (cluster_assign) and hot cells split into sub-cells — the plan shape is
+  // identical.
+  val simKnnGraph: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.select(col("vec_id").as("src"), col("label"),
+        col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("dst"), col("label").as("clabel"),
+        col("embedding").as("ce"))
+      val scored = q.join(c,
+          col("label") === col("clabel") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("label"),
+          round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4)
+            .as("cos"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    },
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS src, c.vec_id AS dst, q.label AS label,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+      |SELECT src, dst, label, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "cluster_assign" -> clusterAssign,
     "emb_quantize" -> embQuantize,
@@ -1137,5 +1211,7 @@ object ExtQueries {
     "sim_ann_recall" -> simAnnRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "pipeline_pack_sequences" -> pipelinePackSequences,
+    "sim_knn_graph" -> simKnnGraph)
 }
