@@ -20,9 +20,9 @@ class CdcQueriesSpec extends AnyFunSuite {
     // the ONLY queries allowed to skip the DuckDB value oracle are ones
     // whose output is an engine-specific sketch estimate — cross-engine
     // value equality is impossible by construction. Each needs a value
-    // gate elsewhere (events_approx_distinct: PlanShapeSpec asserts the
-    // estimate lands within 10% of its exact twin).
-    val sketchOnly = Set("events_approx_distinct")
+    // gate elsewhere (PlanShapeSpec asserts each estimate lands within
+    // tolerance of its exact twin).
+    val sketchOnly = Set("events_approx_distinct", "events_approx_quantiles")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

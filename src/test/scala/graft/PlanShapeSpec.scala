@@ -187,6 +187,113 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("events_approx_quantiles is one sketch pass, estimates near the exact twin") {
+    val p = plan("events_approx_quantiles")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"unexpected wide operator in:\n$p")
+    assert(p.contains("approx_percentile"), s"expected the sketch aggregate in:\n$p")
+    // value gate (replaces the impossible cross-engine oracle). The sketch's
+    // guarantee is on RANK, not value — on a heavy-tailed distribution two
+    // adjacent order statistics can sit far apart, so a value-relative
+    // tolerance is meaningless. Assert the empirical rank of each estimate
+    // is within 2% of its target quantile (GK accuracy 10000 ⇒ rank error
+    // ≤ n/10000; 2% absorbs small-group rank granularity at sf0.001).
+    val spark2 = SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    val ev = graft.cdc.ChangeLog.table(spark2, SparkTestBase.sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    SparkEntry.queries("events_approx_quantiles")(spark2, SparkTestBase.sf)
+      .select("event_type", "p50_approx", "p95_approx", "p99_approx")
+      .collect().foreach { r =>
+        val vals = ev(r.getString(0))
+        Seq((r.getDouble(1), 0.50, "p50"), (r.getDouble(2), 0.95, "p95"),
+          (r.getDouble(3), 0.99, "p99")).foreach { case (a, q, tag) =>
+          // rounded output can sit just below the true sketch value — count
+          // with a half-ulp-of-rounding slack
+          val rank = vals.count(_ <= a + 5e-5).toDouble / vals.length
+          assert(math.abs(rank - q) <= 0.02,
+            s"${r.getString(0)} $tag: estimate $a has empirical rank $rank")
+        }
+      }
+  }
+
+  test("pipeline_pack_sequences windows per (lang, shard), packs conserve tokens") {
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("Window"), s"expected the cumulative-sum window in:\n$p")
+    // the sort/shuffle key must carry the shard — a lang-only partition is
+    // one giant sorted stream per language at 100 TB
+    assert(p.contains("shard"), s"shard key missing from the window plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"unexpected join in:\n$p")
+    // conservation: pack token totals must re-add to the corpus token total
+    val spark2 = SparkTestBase.spark
+    val packs = SparkEntry.queries("pipeline_pack_sequences")(spark2, SparkTestBase.sf)
+    val packed = packs.agg(org.apache.spark.sql.functions.sum("pack_tokens"))
+      .head().getLong(0)
+    val corpus = SparkEntry.queries("text_tokens")(spark2, SparkTestBase.sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(packed == corpus, s"packed $packed tokens vs corpus $corpus")
+    // every (lang, shard) stream starts at pack 0
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val badStart = packs.groupBy(col("lang"), col("shard"))
+      .agg(fmin("pack_id").as("first")).filter(col("first") =!= 0L).count()
+    assert(badStart == 0, "a (lang, shard) stream does not start at pack 0")
+  }
+
+  test("sim_knn_graph equi-joins on the cell key, exactly <=3 ranked neighbors") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn candidate join fell back to all-pairs:\n$p")
+    assert(p.contains("Join"), s"expected the label-cell equi-join in:\n$p")
+    import org.apache.spark.sql.functions.{col, count => fcount, max => fmax}
+    val g = SparkEntry.queries("sim_knn_graph")(SparkTestBase.spark, SparkTestBase.sf)
+    val per = g.groupBy(col("src"))
+      .agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"),
+        fmax("rank").as("maxr"))
+    assert(per.filter(col("n") > 3 || col("maxr") > 3).count() == 0,
+      "a src carries more than 3 neighbors")
+    assert(g.filter(col("src") === col("dst")).count() == 0, "self-edge in knn graph")
+  }
+
+  test("events_user_gaps: one user-partitioned window, gaps non-negative") {
+    val p = plan("events_user_gaps")
+    assert(p.contains("Window"), s"expected the lag window in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    import org.apache.spark.sql.functions.col
+    val g = SparkEntry.queries("events_user_gaps")(SparkTestBase.spark, SparkTestBase.sf)
+    assert(g.filter(col("min_gap_us") < 0L).count() == 0,
+      "negative inter-event gap — ordering key broken")
+  }
+
+  test("events_cube: one Expand pass; grand total equals the base count") {
+    val p = plan("events_cube")
+    assert(p.contains("Expand"), s"cube must plan a single Expand in:\n$p")
+    import org.apache.spark.sql.functions.col
+    val c = SparkEntry.queries("events_cube")(SparkTestBase.spark, SparkTestBase.sf)
+    val grand = c.filter(col("event_type").isNull && col("hr").isNull)
+      .select("n").head().getLong(0)
+    val base = c.filter(col("event_type").isNotNull && col("hr").isNotNull)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(grand == base, s"cube grand total $grand != base rollup $base")
+  }
+
+  test("olap_set_ops: intersect/except counts partition the year-1997 buyer set") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("olap_set_ops")(SparkTestBase.spark, SparkTestBase.sf)
+      .head()
+    val (nBoth, n97, n98) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nBoth >= 0 && n97 >= 0 && n98 >= 0)
+    // |k97| = both + only97 — recompute the left set independently
+    val orders = graft.cdc.ChangeLog.table(SparkTestBase.spark, SparkTestBase.sf, "orders")
+    val k97 = orders
+      .filter(org.apache.spark.sql.functions.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) >= 852076800000000 and " +
+          "unix_micros(cast(o_orderdate as timestamp)) < 883612800000000"))
+      .select(col("o_custkey")).distinct().count()
+    assert(nBoth + n97 == k97, s"$nBoth + $n97 != |k97| $k97")
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
