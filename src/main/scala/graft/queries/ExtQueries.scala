@@ -367,15 +367,16 @@ object ExtQueries {
         val prop = edges.join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("component")).as("p"))
           .withColumnRenamed("dst", "pnode")
+        // carry the previous label through the propagation join so the
+        // convergence count reads the SAME checkpointed result — a separate
+        // old-vs-new self-join would add a join + shuffle per iteration
         val next = labels.join(prop, col("node") === col("pnode"), "left")
-          .select(col("node"),
+          .select(col("node"), col("component").as("prev"),
             least(col("component"), coalesce(col("p"), col("component")))
               .as("component"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.component") =!= col("o.component")).count()
-        labels = next
+        changed = next.filter(col("component") =!= col("prev")).count()
+        labels = next.select(col("node"), col("component"))
       }
       labels.select(col("node").as("doc_id"), col("component"))
     },
