@@ -20,6 +20,13 @@ final case class MediaMeta(
     doc_id: Long, n_bytes: Long, width: Int, height: Int, channels: Int,
     px_hash: String)
 
+final case class MediaResize(
+    doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
+    scale_pm: Long, out_bytes: Long)
+
+final case class MediaFeatures(
+    doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -49,8 +56,50 @@ object Multimodal {
     }
   }
 
+  /** Resize plan (fit into a square box, aspect preserved): decode dims, then
+    * pure integer scale math — `scale_pm` is the per-million scale factor, so
+    * the result is engine-exact with no float rounding. The actual pixel
+    * resample is the codec's job (same stub boundary as [[fakeDecode]]); what
+    * this operator owns is the shuffle-free partition-wise plan: decode →
+    * target geometry → output byte budget, the numbers a 100 TB media job
+    * needs for partition sizing BEFORE it touches pixels. */
+  def resizeMeta(ds: Dataset[MediaRecord], box: Int = 224): Dataset[MediaResize] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec/resampler handle would init here
+      it.map { r =>
+        val (w, h, c) = fakeDecode(r.media)
+        val scalePm = box.toLong * 1000000L / math.max(w, h)
+        val ow = (w * scalePm / 1000000L).toInt
+        val oh = (h * scalePm / 1000000L).toInt
+        MediaResize(r.doc_id, w, h, ow, oh, scalePm, ow.toLong * oh * c)
+      }
+    }
+  }
+
+  /** Feature-extraction STUB: 4 deterministic byte probes at quarter-stride
+    * positions stand in for a vision encoder's embedding. The real encoder
+    * replaces the probe loop; the partition-wise batch shape (one model
+    * handle per partition, rows streamed through it, fixed-width numeric
+    * output) is the production plan. */
+  def featureStub(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition encoder session would init here
+      it.map { r =>
+        val n = r.media.length
+        val stride = math.max(n / 4, 1)
+        def f(i: Int): Long =
+          if (i.toLong * stride < n) (r.media(i * stride) & 0xFF).toLong else 0L
+        MediaFeatures(r.doc_id, f(0), f(1), f(2), f(3))
+      }
+    }
+  }
+
   /** The documents fixture as a media table: utf-8 payload bytes stand in for
-    * encoded frames (TESTDATA has no true binary column). */
+    * encoded frames (TESTDATA has no true binary column; the corpus is pure
+    * ASCII, so byte index == character index — the decode/feature oracles
+    * rely on that to reproduce byte probes with `ascii(substring(...))`). */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("media"))

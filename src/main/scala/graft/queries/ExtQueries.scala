@@ -1106,6 +1106,44 @@ object ExtQueries {
       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
 
+  // Resize planning over opaque media: decode (stub) → integer fit-to-box
+  // geometry + output byte budget, partition-wise and shuffle-free. The
+  // pixel resample itself is codec territory (stub boundary); the plan-side
+  // numbers are what sizes partitions for the 100 TB media pass.
+  val mmResizeStub: (QFn, String) = (
+    (s, dir) => Multimodal.resizeMeta(Multimodal.mediaTable(docs(s, dir))).toDF(),
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    16 * (1 + ascii(substring(text, 1, 1)) % 8) AS width,
+      |    16 * (1 + ascii(substring(text, 2, 1)) % 8) AS height
+      |  FROM documents),
+      |r AS (SELECT *, CAST(224000000 // greatest(width, height) AS BIGINT)
+      |        AS scale_pm FROM d)
+      |SELECT doc_id, width, height,
+      |  CAST(width * scale_pm // 1000000 AS INT) AS out_w,
+      |  CAST(height * scale_pm // 1000000 AS INT) AS out_h,
+      |  scale_pm,
+      |  CAST((width * scale_pm // 1000000)
+      |    * (height * scale_pm // 1000000) * 3 AS BIGINT) AS out_bytes
+      |FROM r""".stripMargin)
+
+  // Feature extraction over opaque media: 4 byte probes at quarter-stride
+  // positions stand in for a vision encoder (stub boundary in
+  // Multimodal.featureStub); partition-wise streaming through one encoder
+  // handle per partition is the at-scale batch shape.
+  val mmFeatureStub: (QFn, String) = (
+    (s, dir) => Multimodal.featureStub(Multimodal.mediaTable(docs(s, dir))).toDF(),
+    """WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    greatest(octet_length(encode(text)) // 4, 1) AS stride
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN 0 < n THEN ascii(substring(text, 1, 1)) ELSE 0 END AS BIGINT) AS f0,
+      |  CAST(CASE WHEN stride < n THEN ascii(substring(text, 1 + stride, 1)) ELSE 0 END AS BIGINT) AS f1,
+      |  CAST(CASE WHEN 2 * stride < n THEN ascii(substring(text, 1 + 2 * stride, 1)) ELSE 0 END AS BIGINT) AS f2,
+      |  CAST(CASE WHEN 3 * stride < n THEN ascii(substring(text, 1 + 3 * stride, 1)) ELSE 0 END AS BIGINT) AS f3
+      |FROM d""".stripMargin)
+
   // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
   // in doc_id order and split every 2048 tokens — the standard LLM
   // pretraining packing. Each doc's pack is its cumulative token offset
@@ -1213,6 +1251,8 @@ object ExtQueries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_resize_stub" -> mmResizeStub,
+    "mm_feature_stub" -> mmFeatureStub,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)
 }

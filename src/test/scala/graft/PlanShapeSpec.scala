@@ -294,6 +294,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nBoth + n97 == k97, s"$nBoth + $n97 != |k97| $k97")
   }
 
+  test("mm_resize_stub / mm_feature_stub are shuffle-free partition-wise decodes") {
+    Seq("mm_resize_stub", "mm_feature_stub").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(p.contains("MapPartitions"),
+        s"$name must run partition-wise (one codec/encoder handle per partition):\n$p")
+    }
+    // resize geometry invariant: output fits the 224 box on the long side
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("mm_resize_stub")(SparkTestBase.spark, SparkTestBase.sf)
+    assert(r.filter(col("out_w") > 224 || col("out_h") > 224).count() == 0,
+      "resize exceeded the target box")
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
