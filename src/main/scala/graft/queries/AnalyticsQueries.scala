@@ -554,10 +554,36 @@ object AnalyticsQueries {
         round(element_at(col("pcts"), 3), 4).as("p99_approx"), col("n")),
     "") // no oracle: sketch-specific value selection
 
+  // Semi-structured JSON column via Spark 4's VARIANT: parse once into the
+  // binary variant encoding, then typed path extraction — the dynamic-schema
+  // path for property bags (the engine's own `data` envelope is the same
+  // problem). parse_json + variant_get are codegen'd and scan-adjacent, so
+  // this stays a shuffle-free projection followed by one aggregation; at
+  // 100 TB the variant parse cost is per-row CPU on the map side, never a
+  // shuffle of raw JSON text.
+  val eventsPropsExtract: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k")),
+    """WITH e AS (
+      |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+      |FROM e GROUP BY event_type""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
     "events_user_gaps" -> eventsUserGaps,
+    "events_props_extract" -> eventsPropsExtract,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,

@@ -360,8 +360,15 @@ object ExtQueries {
       val pairs = dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b"))
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node")).localCheckpoint()
+      // seed with round 1 already applied: component = min(self, neighbors)
+      // — the node set is distinct(src) either way (edges are bidirected),
+      // so seeding costs the same single aggregation as a plain distinct
+      // but saves one full loop iteration (two joins + checkpoint + count)
+      var labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"),
+          least(col("src"), col("mn")).as("component"))
+        .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, col("src") === col("node"))
