@@ -900,16 +900,17 @@ object ExtQueries {
   // inside the aggregation's own partial phase.
   val pipelineDecontaminate: (QFn, String) = (
     (s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        TextAnalysis.tokensCol(col("text")).as("t"))
-      val grams = toks.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
-          .as("gram"))
+      // the contamination grams ARE the LSH family's distinct word-3-shingles
+      // — reuse the shared persisted subtree instead of re-tokenizing the
+      // corpus; and since shingles are already distinct PER DOC, the corpus
+      // side needs no global distinct (that was a full extra shuffle of the
+      // corpus gram multiset). Only the small benchmark side deduplicates
+      // across documents before broadcasting.
+      val grams = shingles(s, dir).withColumnRenamed("s", "gram")
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
       val corpus = grams.filter(col("doc_id") % 97 =!= 0)
-        .select("doc_id", "gram").distinct()
+        .select("doc_id", "gram")
       corpus.join(broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
