@@ -356,37 +356,9 @@ object ExtQueries {
   // truncates the growing lineage each round (a reliable checkpoint dir at
   // 100 TB). Oracle: DuckDB recursive CTE propagating seeds transitively.
   val dedupComponents: (QFn, String) = (
-    (s, dir) => {
-      val pairs = dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").localCheckpoint()
-      // seed with round 1 already applied: component = min(self, neighbors)
-      // — the node set is distinct(src) either way (edges are bidirected),
-      // so seeding costs the same single aggregation as a plain distinct
-      // but saves one full loop iteration (two joins + checkpoint + count)
-      var labels = edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"),
-          least(col("src"), col("mn")).as("component"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges.join(labels, col("src") === col("node"))
-          .groupBy(col("dst")).agg(min(col("component")).as("p"))
-          .withColumnRenamed("dst", "pnode")
-        // carry the previous label through the propagation join so the
-        // convergence count reads the SAME checkpointed result — a separate
-        // old-vs-new self-join would add a join + shuffle per iteration
-        val next = labels.join(prop, col("node") === col("pnode"), "left")
-          .select(col("node"), col("component").as("prev"),
-            least(col("component"), coalesce(col("p"), col("component")))
-              .as("component"))
-          .localCheckpoint()
-        changed = next.filter(col("component") =!= col("prev")).count()
-        labels = next.select(col("node"), col("component"))
-      }
-      labels.select(col("node").as("doc_id"), col("component"))
-    },
+    (s, dir) => graft.dedup.Components
+      .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("component")),
     s"""${toksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $shCte, $sigCte, $bandsCte,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
