@@ -1198,6 +1198,41 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 3""".stripMargin)
 
+  // Semantic dedup clusters (SemDeDup shape): k-NN edges above a cosine
+  // threshold → connected components → one cluster id per vector. Pure
+  // composition of two operators that are each scale-safe (cell-bounded knn
+  // join; per-round partial-aggregable label propagation), so the composite
+  // is too. The 0.35 threshold is fixture-scaled — the synthetic vectors are
+  // near-orthogonal, so the similarity knee sits far below the ~0.95 a
+  // trained encoder's duplicates show; the plan is identical either way.
+  val dedupSemantic: (QFn, String) = (
+    (s, dir) => graft.dedup.Components.connected(
+        simKnnGraph._1(s, dir).filter(col("cos") >= 0.35)
+          .select(col("src"), col("dst")))
+      .select(col("node").as("vec_id"), col("component")),
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS src, c.vec_id AS dst,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+      |knn AS (
+      |  SELECT src, dst, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 3),
+      |ed0 AS (SELECT src, dst FROM knn WHERE cos >= 0.35),
+      |edges AS (SELECT src, dst FROM ed0 UNION ALL SELECT dst, src FROM ed0),
+      |r(node, seed) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT g.dst, r.seed FROM r JOIN edges g ON g.src = r.node)
+      |SELECT node AS vec_id, CAST(min(seed) AS BIGINT) AS component
+      |FROM r GROUP BY node""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "cluster_assign" -> clusterAssign,
     "emb_quantize" -> embQuantize,
@@ -1215,6 +1250,7 @@ object ExtQueries {
     "text_repetition" -> textRepetition,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_components" -> dedupComponents,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
