@@ -521,7 +521,11 @@ object AnalyticsQueries {
         .select(col("o_custkey")).distinct()
       val y97 = 852076800000000L; val y98 = 883612800000000L
       val y99 = 915148800000000L
-      val k97 = keys(y97, y98); val k98 = keys(y98, y99)
+      // materialize each (small, already-distinct) key set once — INTERSECT
+      // and both EXCEPT directions then consume the checkpointed sets
+      // instead of re-scanning the orders fact three times per side
+      val k97 = keys(y97, y98).localCheckpoint()
+      val k98 = keys(y98, y99).localCheckpoint()
       k97.intersect(k98).agg(count(lit(1)).as("n_both"))
         .crossJoin(k97.except(k98).agg(count(lit(1)).as("n_only_1997")))
         .crossJoin(k98.except(k97).agg(count(lit(1)).as("n_only_1998")))
