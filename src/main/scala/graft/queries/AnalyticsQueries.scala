@@ -583,6 +583,88 @@ object AnalyticsQueries {
       |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
       |FROM e GROUP BY event_type""".stripMargin)
 
+  // Weekly cohort retention — the product-analytics matrix: users grouped
+  // by first-seen week (cohort), counted distinct at each later week age.
+  // Two aggregations: first-seen per user (one shuffle on user_id), then
+  // the (cohort, age) distinct count. Both keys are well-distributed; the
+  // first-seen min is partial-aggregable, so no window over the event log.
+  val eventsRetentionCohort: (QFn, String) = (
+    (s, dir) => {
+      val wkUs = 604800000000L // 7 days in µs
+      val ev = events(s, dir).select(col("user_id"),
+        expr(s"ts div 1000 div ${wkUs}L").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin)
+
+  // TPC-H Q8-shaped market share: revenue share of one supplier nation
+  // within a region's market, per order year — a two-dimension-chain join
+  // (supplier→nation; customer→nation→region) where every dimension
+  // broadcasts and the two facts hash-join once on the order key. Share is
+  // integer per-million over floor-scaled revenue units.
+  val olapNationShare: (QFn, String) = (
+    (s, dir) => {
+      val li = ChangeLog.table(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      val ord = ChangeLog.table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("year(cast(o_orderdate as timestamp))").cast("long").as("o_year"))
+      val sup = ChangeLog.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = ChangeLog.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = ChangeLog.table(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      // customer side pins the market (region); supplier side tags the share
+      val cust = ChangeLog.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat.join(broadcast(reg),
+          nat("n_regionkey") === reg("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val supNat = sup.join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name"))), sup("s_nationkey") === nat("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      li.join(broadcast(supNat), li("l_suppkey") === supNat("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_2", col("rev_e4"))
+          .otherwise(0L)).as("nation_rev_e4"),
+          sum(col("rev_e4")).as("market_rev_e4"))
+        .withColumn("share_pm",
+          expr("nation_rev_e4 * 1000000 div market_rev_e4"))
+    },
+    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+      |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS market_rev_e4,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+      |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+      |    ELSE 0 END) * 1000000 //
+      |    sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS share_pm
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -591,6 +673,8 @@ object AnalyticsQueries {
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
+    "olap_nation_share" -> olapNationShare,
+    "events_retention_cohort" -> eventsRetentionCohort,
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,
     "events_quantiles" -> eventsQuantiles,
