@@ -29,7 +29,10 @@ object Components {
     */
   def connected(pairs: DataFrame): DataFrame = {
     val Array(a, b) = pairs.columns
-    val p = pairs.select(col(a).as("src"), col(b).as("dst"))
+    // materialize the pair list BEFORE mirroring it: the union's two
+    // branches would otherwise each evaluate the (often expensive)
+    // pair-generation subtree — LSH joins, knn scoring — once
+    val p = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
     val edges = p.union(p.select(col("dst"), col("src"))).localCheckpoint()
     // seed with round 1 already applied: component = min(self, neighbors)
     // — the node set is distinct(src) either way (edges are bidirected),
