@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHashAgg, TopKByScore, TopKStrByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "cosine_similarity(a, b) takes exactly two arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+
+    // the k argument must be a foldable literal — the heap size is fixed at
+    // plan time (an aggregate can't resize per row)
+    def litK(e: Expression, fn: String): Int = {
+      require(e.foldable, s"$fn: k must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: k must be an integer literal, got $other")
+      }
+    }
+    // aggregate builders return the AggregateFunction; the analyzer wraps it
+    // in an AggregateExpression during resolution (same contract as the
+    // built-in sum/min registrations)
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "top_k_by_score(score double, id bigint, k int) takes three arguments")
+        TopKByScore(children.head, children(1), litK(children(2), "top_k_by_score"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_str_by_score"),
+      new ExpressionInfo(classOf[TopKStrByScore].getName, "top_k_str_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "top_k_str_by_score(score double, id string, k int) takes three arguments")
+        TopKStrByScore(children.head, children(1),
+          litK(children(2), "top_k_str_by_score"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "simhash(md5_hex string) takes exactly one argument")
+        SimHashAgg(children.head)
       }))
   }
 }
