@@ -308,6 +308,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "resize exceeded the target box")
   }
 
+  test("olap_nation_share broadcasts every dimension; facts join hash once") {
+    val p = plan("olap_nation_share")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+    // exactly one shuffled join is allowed: lineitem ⋈ orders on the order key
+    val shuffled = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1, s"more than one shuffled join in:\n$p")
+  }
+
+  test("events_retention_cohort aggregates without a window over the log") {
+    val p = plan("events_retention_cohort")
+    assert(!p.contains("Window"), s"window crept into the cohort plan:\n$p")
+    // value sanity: age-0 of each cohort is its largest (retention can only
+    // lose users), and every user lands in exactly one cohort
+    import org.apache.spark.sql.functions.{col, max => fmax, sum => fsum}
+    val c = SparkEntry.queries("events_retention_cohort")(
+      SparkTestBase.spark, SparkTestBase.sf)
+    val bad = c.groupBy(col("cohort_wk"))
+      .agg(fmax(org.apache.spark.sql.functions.when(col("age_wk") === 0,
+        col("n_users")).otherwise(0L)).as("w0"),
+        fmax("n_users").as("peak"))
+      .filter(col("peak") > col("w0")).count()
+    assert(bad == 0, "a cohort's later week exceeds its week-0 user count")
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
