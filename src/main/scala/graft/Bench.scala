@@ -102,7 +102,10 @@ object Bench {
     var drainEvents = 0L
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
-    try {
+    // GRAFT_BENCH_DRAIN=0 skips the drain workloads cleanly (suite-focused
+    // iteration); the driver's full run keeps the default.
+    val runDrain = sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1") != "0"
+    try if (runDrain) {
       val scale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
       val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
       // replicate with shifted ids for scale > 1 (same schema, same op mix;
