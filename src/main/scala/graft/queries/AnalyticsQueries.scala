@@ -665,6 +665,30 @@ object AnalyticsQueries {
       |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
       |GROUP BY 1""".stripMargin)
 
+  // Argmin per group — the cheapest line of every order, via the
+  // partial-aggregable min(struct(ordering..., payload...)) idiom: struct
+  // comparison is lexicographic, so the minimum carries its payload with it
+  // and merges map-side like any min. The alternative (row_number window
+  // per order) sorts every group; this never sorts. The ordering embeds the
+  // line number so ties on price are deterministic.
+  val olapOrderCheapestLine: (QFn, String) = (
+    (s, dir) => ChangeLog.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        struct(floor(col("l_extendedprice") * 100).cast("long").as("p_e2"),
+          col("l_linenumber")).as("pl"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("pl")).as("m"))
+      .select(col("l_orderkey"), col("m.p_e2").as("cheap_price_e2"),
+        col("m.l_linenumber").as("cheap_line")),
+    """SELECT l_orderkey, p_e2 AS cheap_price_e2, l_linenumber AS cheap_line
+      |FROM (
+      |  SELECT l_orderkey, CAST(floor(l_extendedprice * 100) AS BIGINT) AS p_e2,
+      |    l_linenumber,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT), l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn = 1""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -674,6 +698,7 @@ object AnalyticsQueries {
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
     "olap_nation_share" -> olapNationShare,
+    "olap_order_cheapest_line" -> olapOrderCheapestLine,
     "events_retention_cohort" -> eventsRetentionCohort,
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,

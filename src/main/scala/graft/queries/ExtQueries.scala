@@ -385,6 +385,48 @@ object ExtQueries {
        |SELECT node AS doc_id, CAST(min(seed) AS BIGINT) AS component
        |FROM r GROUP BY node""".stripMargin)
 
+  // Shingle CONTAINMENT (|A∩B| / |A|) on LSH candidate pairs — the
+  // asymmetric near-dup signal Jaccard misses: a short document quoted
+  // wholesale inside a long one has low Jaccard (the union is huge) but
+  // containment ≈ 1 from the short side. Same candidate generation and the
+  // same single intersection count as the Jaccard verifier; only the
+  // normalization differs, emitted for both directions at once.
+  val dedupContainment: (QFn, String) = (
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+      lshCandidates(s, dir)
+        .join(sh.as("ca"), col("ca.doc_id") === col("doc_a"))
+        .join(sh.as("cb"),
+          col("cb.doc_id") === col("doc_b") && col("cb.s") === col("ca.s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+        .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+        .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          round(col("n_common") * lit(1.0) / col("za.n"), 4).as("cont_a"),
+          round(col("n_common") * lit(1.0) / col("zb.n"), 4).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |           GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, n_common,
+       |  round(m.n_common * 1.0 / za.n, 4) AS cont_a,
+       |  round(m.n_common * 1.0 / zb.n, 4) AS cont_b
+       |FROM common m
+       |JOIN sizes za ON za.doc_id = m.doc_a
+       |JOIN sizes zb ON zb.doc_id = m.doc_b
+       |WHERE greatest(round(m.n_common * 1.0 / za.n, 4),
+       |               round(m.n_common * 1.0 / zb.n, 4)) >= 0.8""".stripMargin)
+
   // MinHash Jaccard ESTIMATOR: fraction of agreeing minhash components per
   // LSH candidate pair — the sketch-only estimate that at scale replaces
   // exact verification when signatures already live in the shuffle.
@@ -1249,6 +1291,7 @@ object ExtQueries {
     "text_vocab_stats" -> textVocabStats,
     "text_repetition" -> textRepetition,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_components" -> dedupComponents,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
