@@ -1222,9 +1222,14 @@ object ExtQueries {
         .select(col("src"), col("dst"), col("label"),
           round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4)
             .as("cos"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      // heap aggregate, not a rank window: only k rows per src cross the
+      // shuffle and nothing ever sorts a full candidate list (the heap's
+      // tie-break — score desc, id asc — matches the oracle's ORDER BY)
+      scored.groupBy(col("src"), col("label"))
+        .agg(graft.functions.TopKByScore.topK(col("cos"), col("dst"), 3).as("top"))
+        .select(col("src"), col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("src"), col("t.id").as("dst"), col("label"),
+          col("t.score").as("cos"), (col("pos") + 1).cast("long").as("rank"))
     },
     """WITH e AS (
       |  SELECT vec_id, label, embedding,

@@ -246,6 +246,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"knn candidate join fell back to all-pairs:\n$p")
     assert(p.contains("Join"), s"expected the label-cell equi-join in:\n$p")
+    // ranking must be the heap aggregate (k rows/src cross the shuffle),
+    // never a per-src sort window over the full candidate list
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected map-side partial top-k in:\n$p")
+    assert(!p.contains("Window"), s"rank window crept back into:\n$p")
     import org.apache.spark.sql.functions.{col, count => fcount, max => fmax}
     val g = SparkEntry.queries("sim_knn_graph")(SparkTestBase.spark, SparkTestBase.sf)
     val per = g.groupBy(col("src"))
