@@ -1128,6 +1128,25 @@ object ExtQueries {
       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
 
+  // Explicit GROUPING SETS — the third grouping-sets flavor after ROLLUP
+  // (dataset card subtotals) and CUBE (events matrix): exactly the
+  // marginals, (lang) and (source) and the grand total, WITHOUT the
+  // (lang, source) cross cells — one Expand pass emits three copies of each
+  // row, one per set, and the aggregate shuffles once. grouping_id
+  // disambiguates a real NULL key from a rolled-up one.
+  val pipelineGroupingSets: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq.empty[org.apache.spark.sql.Column]),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        grouping_id().as("gid")),
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin)
+
   // Resize planning over opaque media: decode (stub) → integer fit-to-box
   // geometry + output byte budget, partition-wise and shuffle-free. The
   // pixel resample itself is codec territory (stub boundary); the plan-side
@@ -1305,6 +1324,7 @@ object ExtQueries {
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "pipeline_dataset_rollup" -> pipelineDatasetRollup,
+    "pipeline_grouping_sets" -> pipelineGroupingSets,
     "dedup_chunk" -> dedupChunk,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_agg" -> simTopkAgg,
