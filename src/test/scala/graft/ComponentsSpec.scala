@@ -44,6 +44,16 @@ class ComponentsSpec extends AnyFunSuite {
     check(Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 9L), (1L, 2L)), "forest+dup+self")
   }
 
+  test("seeded random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val n = 30
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      check(edges, s"random-$round")
+    }
+  }
+
   test("two chains meeting at the tail collapse to one component") {
     // min label must flow across the junction in both directions
     check(Seq((5L, 6L), (6L, 7L), (20L, 19L), (19L, 18L), (7L, 18L), (1L, 5L)),
