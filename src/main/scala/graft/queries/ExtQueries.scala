@@ -427,6 +427,34 @@ object ExtQueries {
        |WHERE greatest(round(m.n_common * 1.0 / za.n, 4),
        |               round(m.n_common * 1.0 / zb.n, 4)) >= 0.8""".stripMargin)
 
+  // Edit-distance verification on LSH candidate pairs — the character-level
+  // near-dup signal (typos, OCR noise, template fill-ins) that shingle
+  // Jaccard under-scores. Levenshtein is O(len²) per pair, so it NEVER runs
+  // corpus-wide: candidates come from the band equi-joins, and the distance
+  // runs on fixed 64-char prefixes — per-pair cost is constant, total cost
+  // linear in candidates. Emits the score for every candidate (thresholding
+  // is the caller's policy), so the operator is also the smoke-safe shape.
+  val dedupEditDistance: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 64).as("prefix"))
+      lshCandidates(s, dir)
+        .join(d.as("pa"), col("pa.doc_id") === col("doc_a"))
+        .join(d.as("pb"), col("pb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa.prefix"), col("pb.prefix")).cast("long")
+            .as("edit_dist"))
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN documents a ON a.doc_id = c.doc_a
+       |JOIN documents b ON b.doc_id = c.doc_b""".stripMargin)
+
   // MinHash Jaccard ESTIMATOR: fraction of agreeing minhash components per
   // LSH candidate pair — the sketch-only estimate that at scale replaces
   // exact verification when signatures already live in the shuffle.
@@ -1316,6 +1344,7 @@ object ExtQueries {
     "text_repetition" -> textRepetition,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_components" -> dedupComponents,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
