@@ -689,11 +689,60 @@ object AnalyticsQueries {
       |  FROM lineitem)
       |WHERE rn = 1""".stripMargin)
 
+  // RANGE-framed window (value-based frame, not row-count): each event's
+  // trailing-1-hour activity sum for its user. RANGE frames bound the frame
+  // by the ORDER-BY VALUE, so ties and bursts are handled exactly — a ROWS
+  // frame would silently truncate simultaneous events. Same single shuffle
+  // on user_id as every other per-user window.
+  val eventsTrailingWindow: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          floor(col("value") * 10000).cast("long").as("v_e4"))
+        .withColumn("trail_1h_e4", sum(col("v_e4")).over(w))
+        .withColumn("trail_1h_n", count(lit(1)).over(w))
+    },
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(floor(value * 10000) AS BIGINT) AS v_e4,
+      |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) OVER w AS BIGINT) AS trail_1h_e4,
+      |  CAST(count(*) OVER w AS BIGINT) AS trail_1h_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)
+
+  // The rank-function family in one pass: quartile (ntile), percent_rank
+  // and cume_dist per event type — the score-normalization shapes a
+  // quality-filter pipeline uses to turn raw scores into percentiles.
+  // Deterministic ordering ties on event_id; the two ratio functions are
+  // exact integer ratios evaluated identically in both engines, rounded
+  // for belt and braces.
+  val eventsValueRanks: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .drop("value")
+    },
+    """SELECT event_id, event_type,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
     "events_user_gaps" -> eventsUserGaps,
     "events_props_extract" -> eventsPropsExtract,
+    "events_trailing_window" -> eventsTrailingWindow,
+    "events_value_ranks" -> eventsValueRanks,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
