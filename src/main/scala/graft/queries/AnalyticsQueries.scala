@@ -736,6 +736,54 @@ object AnalyticsQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)
 
+  // PIVOT — long-to-wide: events per (day-of-week, type) as one row per dow
+  // with a column per type. The value list is EXPLICIT (Spark's two-pass
+  // "discover the domain then pivot" variant is a hidden extra job and
+  // nondeterministic column order); with explicit values the pivot compiles
+  // to a single conditional-aggregation pass, exactly the SQL the oracle
+  // spells out.
+  val eventsPivotDow: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(expr("(ts div 1000 div 86400000000) % 7").as("dow"),
+        col("event_type"))
+      .groupBy(col("dow"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1))),
+    """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin)
+
+  // UNPIVOT (melt) — wide-to-long: the Q1 pricing summary's three money
+  // measures unpivoted into (measure, amount) rows, the shape a metrics
+  // store or chart layer ingests. Spark's unpivot is a zero-shuffle Expand
+  // over the aggregated (tiny) input.
+  val olapUnpivotMetrics: (QFn, String) = (
+    (s, dir) => {
+      val wide = ChangeLog.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("qty_e2"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_e2"),
+          sum(floor(col("l_discount") * 1000000).cast("long")).as("disc_e6"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty_e2"), col("price_e2"), col("disc_e6")),
+        "measure", "amount")
+    },
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+      |    CAST(sum(CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS disc_e6
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty_e2' AS measure, qty_e2 AS amount FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'price_e2', price_e2 FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'disc_e6', disc_e6 FROM wide""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -743,6 +791,8 @@ object AnalyticsQueries {
     "events_props_extract" -> eventsPropsExtract,
     "events_trailing_window" -> eventsTrailingWindow,
     "events_value_ranks" -> eventsValueRanks,
+    "events_pivot_dow" -> eventsPivotDow,
+    "olap_unpivot_metrics" -> olapUnpivotMetrics,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
