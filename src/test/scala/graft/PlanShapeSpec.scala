@@ -340,6 +340,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bad == 0, "a cohort's later week exceeds its week-0 user count")
   }
 
+  test("events_pivot_dow compiles to one aggregation pass (no discovery job)") {
+    val p = plan("events_pivot_dow")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"unexpected wide operator in the pivot plan:\n$p")
+    // explicit value list ⇒ the two-phase pivot aggregate, and nothing
+    // else — the domain-discovery variant would add a collect job and a
+    // third pass (jobs don't show in the plan; the shuffle count does)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"pivot shuffled more than twice:\n$p")
+  }
+
+  test("olap_unpivot_metrics expands without a shuffle beyond the aggregate") {
+    val p = plan("olap_unpivot_metrics")
+    assert(p.contains("Expand"), s"expected the unpivot Expand in:\n$p")
+    assert(!p.contains("Union"), s"unpivot fell back to self-unions:\n$p")
+  }
+
+  test("events_trailing_window uses a RANGE frame on the user partition") {
+    val p = plan("events_trailing_window")
+    assert(p.contains("RangeFrame"), s"expected a RANGE frame in:\n$p")
+    // exact under ties: two events at the same (user, ts) must see the
+    // same trailing sum — the property a ROWS frame breaks
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val t = SparkEntry.queries("events_trailing_window")(
+      SparkTestBase.spark, SparkTestBase.sf)
+    val bad = t.groupBy(col("user_id"), col("ts_us"))
+      .agg(countDistinct(col("trail_1h_e4")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(bad == 0, "tied timestamps saw different trailing sums")
+  }
+
   test("pii_pseudonymize is shuffle-free whole-stage-codegen'd projection") {
     val p = plan("pii_pseudonymize")
     assert(!p.contains("Exchange"), s"pseudonymization must not shuffle:\n$p")
