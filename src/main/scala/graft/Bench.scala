@@ -178,7 +178,10 @@ object Bench {
       }
       def headlineDrain(): Double = oneDrain(ev, minId, maxId, primeCut,
         if (scale > 1) 4 * scale else 1)
-      val secs = Seq(headlineDrain(), headlineDrain(), headlineDrain()).min
+      // min of 5 — the reference's own committed-baseline methodology
+      // (tests/benchmarks/baseline/components.json is min-of-5); this box's
+      // contention makes fewer trials noticeably upward-biased
+      val secs = Seq.fill(5)(headlineDrain()).min
       results("wal_drain") = secs
       val (p50, p99) = metrics.batchLatencyMs
       latencyP50 = p50; latencyP99 = p99
