@@ -784,6 +784,75 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT l_returnflag, 'disc_e6', disc_e6 FROM wide""".stripMargin)
 
+  // first_value / last_value over an explicit full frame — each user's
+  // entry and exit event types. The frame must be spelled out (ROWS BETWEEN
+  // UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING): the SQL-standard default
+  // frame stops at CURRENT ROW, which silently turns last_value into "this
+  // row's value" — the classic window bug, pinned here on both engines.
+  val eventsFirstLast: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("first_type", first_value(col("event_type")).over(w))
+        .withColumn("last_type", last_value(col("event_type")).over(w))
+        .groupBy(col("user_id"), col("first_type"), col("last_type"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+    """WITH t AS (
+      |  SELECT user_id,
+      |    first_value(event_type) OVER w AS first_type,
+      |    last_value(event_type) OVER w AS last_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, first_type, last_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM t GROUP BY 1, 2, 3""".stripMargin)
+
+  // Whole-partition window aggregate — each nation's share of its region's
+  // revenue, computed as an aggregate-then-window two-level plan: the heavy
+  // fact reduction happens in the groupBy (partial-aggregable), and the
+  // window runs over ~25 nation rows, so the "window" costs nothing. The
+  // anti-pattern this exists to contrast is windowing the raw fact table.
+  val olapNationWindowShare: (QFn, String) = (
+    (s, dir) => {
+      val li = ChangeLog.table(s, dir, "lineitem").select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      val sup = ChangeLog.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = ChangeLog.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val byNation = li
+        .join(broadcast(sup.join(broadcast(nat),
+          sup("s_nationkey") === nat("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"), col("n_regionkey"))),
+          li("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), col("n_regionkey"))
+        .agg(sum(col("rev_e4")).as("nation_rev_e4"))
+      val w = Window.partitionBy(col("n_regionkey"))
+      byNation
+        .withColumn("region_rev_e4", sum(col("nation_rev_e4")).over(w))
+        .withColumn("share_pm",
+          expr("nation_rev_e4 * 1000000 div region_rev_e4"))
+    },
+    """WITH byn AS (
+      |  SELECT n.n_name, n.n_regionkey,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS nation_rev_e4
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, n_regionkey, nation_rev_e4,
+      |  CAST(sum(nation_rev_e4) OVER (PARTITION BY n_regionkey) AS BIGINT) AS region_rev_e4,
+      |  CAST(nation_rev_e4 * 1000000 //
+      |    sum(nation_rev_e4) OVER (PARTITION BY n_regionkey) AS BIGINT) AS share_pm
+      |FROM byn""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -793,6 +862,8 @@ object AnalyticsQueries {
     "events_value_ranks" -> eventsValueRanks,
     "events_pivot_dow" -> eventsPivotDow,
     "olap_unpivot_metrics" -> olapUnpivotMetrics,
+    "events_first_last" -> eventsFirstLast,
+    "olap_nation_window_share" -> olapNationWindowShare,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
