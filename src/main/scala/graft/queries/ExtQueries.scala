@@ -1156,6 +1156,34 @@ object ExtQueries {
       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
 
+  // Feature hashing (the hashing trick): distinct tokens → 1024-bucket
+  // feature indices via the md5-prefix hash — how a bag-of-words corpus
+  // becomes fixed-width ML features with NO vocabulary table (no global
+  // dictionary build, no shuffle to assign ids; the index is pure per-row
+  // computation, so featurization runs at scan speed). Output is per-doc
+  // index-set stats; sum_ix is the checksum the oracle pins.
+  val textHashFeatures: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokensCol(col("text")))).as("w"))
+      .select(col("doc_id"),
+        (expr("conv(substring(md5(w), 1, 8), 16, 10)").cast("long") % 1024)
+          .as("ix"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ix")).as("n_features"),
+        sum(col("ix")).as("sum_ix"),
+        min(col("ix")).as("min_ix"), max(col("ix")).as("max_ix")),
+    s"""$toksCte,
+       |w AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+       |ix AS (SELECT doc_id,
+       |         CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 1024 AS ix
+       |       FROM w)
+       |SELECT doc_id, CAST(count(DISTINCT ix) AS BIGINT) AS n_features,
+       |  CAST(sum(ix) AS BIGINT) AS sum_ix,
+       |  CAST(min(ix) AS BIGINT) AS min_ix,
+       |  CAST(max(ix) AS BIGINT) AS max_ix
+       |FROM ix GROUP BY doc_id""".stripMargin)
+
   // Explicit GROUPING SETS — the third grouping-sets flavor after ROLLUP
   // (dataset card subtotals) and CUBE (events matrix): exactly the
   // marginals, (lang) and (source) and the grand total, WITHOUT the
@@ -1354,6 +1382,7 @@ object ExtQueries {
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "pipeline_dataset_rollup" -> pipelineDatasetRollup,
     "pipeline_grouping_sets" -> pipelineGroupingSets,
+    "text_hash_features" -> textHashFeatures,
     "dedup_chunk" -> dedupChunk,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_agg" -> simTopkAgg,
