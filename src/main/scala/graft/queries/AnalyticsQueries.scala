@@ -853,6 +853,44 @@ object AnalyticsQueries {
       |    sum(nation_rev_e4) OVER (PARTITION BY n_regionkey) AS BIGINT) AS share_pm
       |FROM byn""".stripMargin)
 
+  // Gap filling (dimension densification): the dense hour spine per event
+  // type is GENERATED (sequence + explode — no data shuffle to build it),
+  // then a left join against the observed hours zero-fills the holes. The
+  // sparse→dense step every time-series chart/model ingest needs; spine
+  // size is (types × hours), independent of event count, so at 100 TB the
+  // generated side stays tiny while the fact side reduces in its own
+  // aggregate first.
+  val eventsFillGaps: (QFn, String) = (
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("ts div 1000 div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi)")).as("hr"))
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_empty_hours"),
+          sum(coalesce(col("n"), lit(0L))).as("n_events"))
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+      |  FROM hourly GROUP BY event_type)
+      |SELECT s.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_hours,
+      |  CAST(sum(coalesce(h.n, 0)) AS BIGINT) AS n_events
+      |FROM spine s LEFT JOIN hourly h
+      |  ON h.event_type = s.event_type AND h.hr = s.hr
+      |GROUP BY s.event_type""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -863,6 +901,7 @@ object AnalyticsQueries {
     "events_pivot_dow" -> eventsPivotDow,
     "olap_unpivot_metrics" -> olapUnpivotMetrics,
     "events_first_last" -> eventsFirstLast,
+    "events_fill_gaps" -> eventsFillGaps,
     "olap_nation_window_share" -> olapNationWindowShare,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
