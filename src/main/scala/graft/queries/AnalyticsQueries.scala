@@ -891,6 +891,47 @@ object AnalyticsQueries {
       |  ON h.event_type = s.event_type AND h.hr = s.hr
       |GROUP BY s.event_type""".stripMargin)
 
+  // FULL OUTER join — the two-snapshot reconciliation: every buyer in
+  // either year, with both sides' order counts and a churn status. Spark
+  // plans full-outer as a sort-merge join on the key (no broadcast side is
+  // possible — both sides must surface their non-matches), so both inputs
+  // are pre-aggregated first and only one (custkey-keyed, already-reduced)
+  // shuffle pair meets at the join.
+  val olapFullOuterReconcile: (QFn, String) = (
+    (s, dir) => {
+      def yearly(loUs: Long, hiUs: Long, n: String) =
+        ChangeLog.table(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+          .filter(col("od_us") >= lit(loUs) && col("od_us") < lit(hiUs))
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+      val a = yearly(852076800000000L, 883612800000000L, "n_1997")
+      val b = yearly(883612800000000L, 915148800000000L, "n_1998")
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+          coalesce(col("n_1998"), lit(0L)).as("n_1998"),
+          when(col("n_1997").isNotNull && col("n_1998").isNotNull, "retained")
+            .when(col("n_1997").isNotNull, "churned")
+            .otherwise("new").as("status"))
+    },
+    """WITH a AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_1997 FROM orders
+      |  WHERE epoch_us(o_orderdate) >= 852076800000000
+      |    AND epoch_us(o_orderdate) < 883612800000000 GROUP BY 1),
+      |b AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_1998 FROM orders
+      |  WHERE epoch_us(o_orderdate) >= 883612800000000
+      |    AND epoch_us(o_orderdate) < 915148800000000 GROUP BY 1)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+      |  coalesce(a.n_1997, 0) AS n_1997,
+      |  coalesce(b.n_1998, 0) AS n_1998,
+      |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+      |       THEN 'retained'
+      |       WHEN a.o_custkey IS NOT NULL THEN 'churned'
+      |       ELSE 'new' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
@@ -903,6 +944,7 @@ object AnalyticsQueries {
     "events_first_last" -> eventsFirstLast,
     "events_fill_gaps" -> eventsFillGaps,
     "olap_nation_window_share" -> olapNationWindowShare,
+    "olap_full_outer_reconcile" -> olapFullOuterReconcile,
     "events_cube" -> eventsCube,
     "events_approx_quantiles" -> eventsApproxQuantiles,
     "olap_set_ops" -> olapSetOps,
