@@ -64,7 +64,9 @@ object PgOutputDecoder {
     private var pos = 0
     def remaining: Int = buf.length - pos
     private def need(n: Int): Unit =
-      if (remaining < n) throw new PgOutputDecodeException(
+      // n < 0 means a corrupt length word (sign bit set) — surface it inside
+      // the decoder's failure taxonomy, not as an Arrays.copyOfRange error
+      if (n < 0 || remaining < n) throw new PgOutputDecodeException(
         s"truncated message: need $n bytes at offset $pos, have $remaining")
     def u8(): Int = { need(1); val v = buf(pos) & 0xFF; pos += 1; v }
     def i16(): Int = { need(2); val v = ((buf(pos) & 0xFF) << 8) | (buf(pos + 1) & 0xFF); pos += 2; v }

@@ -154,7 +154,10 @@ object PgWire {
     var sev = ""; var code = ""; var msg = ""
     while (i < body.length && body(i) != 0) {
       val f = body(i).toChar; i += 1
-      val end = body.indexOf(0, i)
+      // a hostile/truncated peer can omit the field's NUL terminator — take
+      // the rest of the body rather than throwing away the diagnostic
+      val end0 = body.indexOf(0, i)
+      val end = if (end0 < 0) body.length else end0
       val v = new String(body, i, end - i, UTF_8)
       f match {
         case 'S' => sev = v

@@ -144,31 +144,44 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
     def snapshot(): Unit = boundaryState.update(lastPlanned, PgWalSeek(
       if (scanSeg == null) null else scanSeg.toString, scanOffset,
       relationPayloads.values.toVector, lastBeginPayload))
-    while (n < maxPerBatch && it.hasNext) {
+    // Every batch/slice boundary is an LSN, and readers filter on
+    // `lsn > boundary` — so a boundary must NEVER split a run of equal-LSN
+    // frames (Postgres emits them: one heap2 multi-insert WAL record fans
+    // out into many pgoutput Inserts at the same position). Both cuts below
+    // therefore happen only when a frame STARTS A NEW LSN: the budget check
+    // stops BEFORE consuming the new-LSN frame (cursor untouched — the next
+    // trigger re-scans that one frame), and the slice cut snapshots the
+    // boundary before the new LSN's first frame is processed.
+    var done = false
+    while (!done && it.hasNext) {
       val e = it.next()
-      if (e.statePayload != null) {
-        if (e.tag == 'R') {
-          graft.source.pgoutput.PgOutputDecoder.decode(e.statePayload) match {
-            case r: graft.source.pgoutput.PgOutputMessages.Relation =>
-              relationPayloads.update(r.relationId, e.statePayload)
-            case _ => ()
-          }
-        } else lastBeginPayload = e.statePayload
-      }
-      scanSeg = e.segment
-      scanOffset = e.nextByteOffset
-      if (e.lsn > lastPlanned) {
-        lastPlanned = e.lsn
-        // admission control counts data EVENTS (the reference's BATCH_SIZE
-        // is events) — BEGIN/COMMIT/RELATION frames ride along free
-        if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') {
-          n += 1
-          sinceSlice += 1
-          // intermediate slice cut: same snapshot the batch boundary gets,
-          // so each slice's reader seeks straight to its first byte
-          if (sliceEvents > 0 && sinceSlice >= sliceEvents) {
-            snapshot()
-            sinceSlice = 0
+      val newLsn = e.lsn > lastPlanned
+      if (newLsn && n >= maxPerBatch) {
+        done = true // cut before e; scanSeg/scanOffset still point before it
+      } else {
+        if (newLsn && sliceEvents > 0 && sinceSlice >= sliceEvents) {
+          snapshot()
+          sinceSlice = 0
+        }
+        if (e.statePayload != null) {
+          if (e.tag == 'R') {
+            graft.source.pgoutput.PgOutputDecoder.decode(e.statePayload) match {
+              case r: graft.source.pgoutput.PgOutputMessages.Relation =>
+                relationPayloads.update(r.relationId, e.statePayload)
+              case _ => ()
+            }
+          } else lastBeginPayload = e.statePayload
+        }
+        scanSeg = e.segment
+        scanOffset = e.nextByteOffset
+        if (newLsn) {
+          lastPlanned = e.lsn
+          // admission control counts data EVENTS (the reference's BATCH_SIZE
+          // is events) — BEGIN/COMMIT/RELATION frames ride along free, and
+          // an equal-LSN continuation rides with its first frame
+          if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') {
+            n += 1
+            sinceSlice += 1
           }
         }
       }

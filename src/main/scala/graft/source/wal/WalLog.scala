@@ -33,10 +33,17 @@ object WalLog {
 
   def write(path: Path, frames: IterableOnce[Frame]): Unit = {
     Files.createDirectories(path.getParent)
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path.toFile)))
+    // write-then-atomic-rename: a whole-file segment must never be visible
+    // half-written — concurrent writers (the bench's distributed render, any
+    // DFS multi-writer) race a live admission scan, and a torn read would
+    // otherwise truncate the segment's tail (".tmp" is invisible to readers:
+    // segmentFiles filters on the ".wal" suffix)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp.toFile)))
     try frames.iterator.foreach { f =>
       out.writeLong(f.lsn); out.writeInt(f.payload.length); out.write(f.payload)
     } finally out.close()
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Sequential frame iterator over a file chain — ONE stream open at a
@@ -63,14 +70,23 @@ object WalLog {
     private def advance(): Frame = {
       while (true) {
         if (in == null && !openNext()) return null
-        try {
-          val lsn = in.readLong()
-          val len = in.readInt()
-          if (lsn > untilLsn) { close(); return null } // ascending ⇒ done
-          val buf = new Array[Byte](len)
-          in.readFully(buf)
-          return Frame(lsn, buf)
-        } catch { case _: EOFException => close() }
+        val lsnOrEnd =
+          try WalLog.readLsnOrEnd(in)
+          catch { case _: EOFException => close(); return null } // torn header
+        lsnOrEnd match {
+          case None => close() // clean end of segment — move to the next file
+          case Some(lsn) =>
+            // from here any EOF is a TORN frame (a live appender's flush
+            // boundary): STOP the iteration — skipping to the next file
+            // would permanently lose the tail once the writer completes it
+            try {
+              val len = in.readInt()
+              if (lsn > untilLsn) { close(); return null } // ascending ⇒ done
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              return Frame(lsn, buf)
+            } catch { case _: EOFException => close(); return null }
+        }
       }
       null
     }
@@ -118,8 +134,32 @@ object WalLog {
     new FrameIterator(segmentFiles(dir).dropWhile(_.compareTo(segment) < 0),
       byteOffset, untilLsn)
 
+  /** Distinguish a CLEAN end of segment (no bytes of a next frame) from a
+    * TORN frame: the first byte is read with `read()` (−1 at EOF is clean);
+    * once any header byte exists, the remaining 7 must follow or the frame
+    * is torn and the EOFException propagates to the caller. */
+  private def readLsnOrEnd(in: DataInputStream): Option[Long] = {
+    val b0 = in.read()
+    if (b0 < 0) None
+    else {
+      val rest = new Array[Byte](7)
+      in.readFully(rest) // EOF here = torn frame
+      var v = b0.toLong & 0xFFL
+      var i = 0
+      while (i < 7) { v = (v << 8) | (rest(i) & 0xFFL); i += 1 }
+      Some(v)
+    }
+  }
+
+  /** Highest frame LSN in the log. LSNs ascend across segment files (the
+    * spooler rolls segments in order; the distributed render names them by
+    * range-partition id), so only the LAST segment needs reading — the
+    * drain-to-quiet poll calls this in a loop and must not re-read the
+    * whole log each tick. */
   def maxLsn(dir: String): Long = {
-    val it = new FrameIterator(segmentFiles(dir), 0L, Long.MaxValue)
+    val files = segmentFiles(dir)
+    if (files.isEmpty) return 0L
+    val it = new FrameIterator(Seq(files.last), 0L, Long.MaxValue)
     try it.foldLeft(0L)((m, f) => math.max(m, f.lsn)) finally it.close()
   }
 
@@ -156,20 +196,28 @@ object WalLog {
     private def advance(): ScanEntry = {
       while (true) {
         if (in == null && !openNext()) return null
-        try {
-          val lsn = in.readLong()
-          val len = in.readInt()
-          val tag = in.readByte()
-          val state =
-            if (tag == 'R' || tag == 'B') {
-              val full = new Array[Byte](len)
-              full(0) = tag
-              in.readFully(full, 1, len - 1)
-              full
-            } else { in.skipNBytes((len - 1).toLong); null }
-          pos += 12L + len
-          return ScanEntry(lsn, cur, pos, tag, state)
-        } catch { case _: EOFException => close() }
+        val lsnOrEnd =
+          try WalLog.readLsnOrEnd(in)
+          catch { case _: EOFException => close(); return null } // torn header
+        lsnOrEnd match {
+          case None => close() // clean end of segment — move to the next file
+          case Some(lsn) =>
+            // torn frame (live appender's flush boundary) ⇒ STOP; the scan
+            // cursor stays before it and the next trigger re-reads the tail
+            try {
+              val len = in.readInt()
+              val tag = in.readByte()
+              val state =
+                if (tag == 'R' || tag == 'B') {
+                  val full = new Array[Byte](len)
+                  full(0) = tag
+                  in.readFully(full, 1, len - 1)
+                  full
+                } else { in.skipNBytes((len - 1).toLong); null }
+              pos += 12L + len
+              return ScanEntry(lsn, cur, pos, tag, state)
+            } catch { case _: EOFException => close(); return null }
+        }
       }
       null
     }

@@ -27,44 +27,54 @@ object Sessionize {
 
   val GapUs: Long = 1800000000L // 30 min, matches the batch query
 
+  /** State is the user's OPEN sessions, sorted by start and pairwise
+    * separated by more than the gap — a LIST, not a single session, because
+    * a watermark delay larger than the gap admits late events that open (or
+    * merge into) sessions strictly in the past of the newest one. A session
+    * is emitted only once the watermark passes its end + gap, so no
+    * admissible late event can still change it — matching the batch query
+    * on any (delay, gap) combination, not just delay < gap. */
   def update(userId: Long, batch: Iterator[Event],
-      state: GroupState[Session]): Iterator[Session] = {
-    val events = batch.toSeq.sortBy(_.ts_us)
-    var open = state.getOption.orNull
-    val closed = Seq.newBuilder[Session]
-    if (events.isEmpty) {
-      // event-time timeout: watermark passed the open session's horizon
-      if (state.hasTimedOut && open != null) {
-        closed += open
-        state.remove()
+      state: GroupState[List[Session]]): Iterator[Session] = {
+    var opens = state.getOption.getOrElse(Nil)
+    batch.toSeq.sortBy(_.ts_us).foreach { e =>
+      // sessions strictly more than a gap BEFORE e stay untouched on the left
+      val (left, rest) = opens.span(_.session_end_us < e.ts_us - GapUs)
+      rest match {
+        case s :: tail if s.session_start_us <= e.ts_us + GapUs =>
+          var merged = Session(userId,
+            math.min(s.session_start_us, e.ts_us),
+            math.max(s.session_end_us, e.ts_us), s.n_events + 1)
+          // the extension may bridge to following sessions — coalesce them
+          var t = tail
+          while (t.nonEmpty &&
+            t.head.session_start_us - merged.session_end_us <= GapUs) {
+            merged = Session(userId, merged.session_start_us,
+              math.max(merged.session_end_us, t.head.session_end_us),
+              merged.n_events + t.head.n_events)
+            t = t.tail
+          }
+          opens = left ++ (merged :: t)
+        case _ =>
+          opens = left ++ (Session(userId, e.ts_us, e.ts_us, 1L) :: rest)
       }
-    } else {
-      events.foreach { e =>
-        if (open == null) {
-          open = Session(userId, e.ts_us, e.ts_us, 1L)
-        } else if (e.ts_us - open.session_end_us > GapUs) {
-          closed += open
-          open = Session(userId, e.ts_us, e.ts_us, 1L)
-        } else {
-          open = open.copy(
-            session_end_us = math.max(open.session_end_us, e.ts_us),
-            n_events = open.n_events + 1)
-        }
-      }
-      state.update(open)
-      // close the session once the watermark passes its end + gap. Clamp to
-      // just above the current watermark: an event admitted by the late
-      // filter (previous batch's watermark) can still sit more than `gap`
-      // behind the CURRENT watermark — e.g. an out-of-order backlog drain
-      // with watermarkDelay > gap — and Spark throws if the timeout
-      // timestamp is not strictly later than the watermark, killing the
-      // whole query. The clamped session times out at the next batch, which
-      // is exactly when the unclamped one would have fired anyway.
-      val wmMs = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(
-        math.max(open.session_end_us / 1000L + GapUs / 1000L, wmMs + 1L))
     }
-    closed.result().iterator
+    // emit every session the watermark has sealed; keep the live tail
+    val wmMs = state.getCurrentWatermarkMs()
+    val (sealedS, live) =
+      opens.partition(s => s.session_end_us / 1000L + GapUs / 1000L <= wmMs)
+    if (live.isEmpty) state.remove()
+    else {
+      state.update(live)
+      // next closure check at the earliest live horizon. Clamp to just
+      // above the current watermark: an event admitted by the late filter
+      // (previous batch's watermark) can sit more than `gap` behind the
+      // CURRENT one, and Spark throws if the timeout timestamp is not
+      // strictly later than the watermark, killing the whole query.
+      val horizon = live.map(s => s.session_end_us / 1000L + GapUs / 1000L).min
+      state.setTimeoutTimestamp(math.max(horizon, wmMs + 1L))
+    }
+    sealedS.iterator
   }
 
   /** Closed sessions as an append stream. `events` must carry `user_id` and
@@ -77,7 +87,7 @@ object Sessionize {
       .withWatermark("event_time", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Session, Session](
+      .flatMapGroupsWithState[List[Session], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

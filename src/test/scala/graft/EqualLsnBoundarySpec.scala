@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Routing
+import graft.source.pgoutput.PgOutputEncoder
+import graft.source.pgoutput.PgOutputMessage._
+import graft.source.pgoutput.PgOutputMessages._
+import graft.source.wal.WalLog
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Postgres fans one heap2 multi-insert WAL record out into MANY pgoutput
+  * Insert messages at the SAME position — so equal-LSN frame runs are a fact
+  * of the live wire. Batch and slice boundaries are LSNs and readers filter
+  * on `lsn > boundary`: a cut landing inside an equal-LSN run would silently
+  * drop the run's tail. This spec drives the source with the most hostile
+  * settings (every new LSN is a budget/slice cut) over a log full of
+  * equal-LSN runs and requires exactly-once delivery of every row.
+  */
+class EqualLsnBoundarySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val relation = Relation(1, "public", "click", 'f'.toByte, Vector(
+    ColumnDef(1, "id", 20, -1),
+    ColumnDef(0, "user_id", 20, -1),
+    ColumnDef(0, "value", 701, -1),
+    ColumnDef(0, "props", 25, -1)))
+
+  private def ins(id: Long): Insert = Insert(1, TupleData(Vector(
+    TextDatum(id.toString), TextDatum("7"), TextDatum("1.5"),
+    TextDatum("{}"))))
+
+  test("equal-LSN runs never straddle a batch or slice boundary") {
+    val walDir = Files.createTempDirectory("graft-eqlsn").toString
+    val out = Files.createTempDirectory("graft-eqlsn-out").toString
+    val ckpt = Files.createTempDirectory("graft-eqlsn-ckpt").toString
+    // one transaction: BEGIN, then multi-insert runs sharing LSNs —
+    // [100 x3] [200 x2] [300 x1] [400 x4] — then COMMIT
+    val begin = WalLog.Frame(90L,
+      PgOutputEncoder.encode(Begin(500L, 700000000000000L, 42)))
+    val rel = WalLog.Frame(80L, PgOutputEncoder.encode(relation))
+    val runs = Seq(100L -> 3, 200L -> 2, 300L -> 1, 400L -> 4)
+    var id = 0L
+    val data = runs.flatMap { case (lsn, k) =>
+      (1 to k).map { _ =>
+        id += 1
+        WalLog.Frame(lsn, PgOutputEncoder.encode(ins(id)))
+      }
+    }
+    val commit = WalLog.Frame(500L,
+      PgOutputEncoder.encode(Commit(0, 500L, 500L, 700000000000000L)))
+    WalLog.write(Paths.get(walDir, "00000000.wal"),
+      Seq(rel, begin) ++ data ++ Seq(commit))
+
+    // maxEventsPerBatch=1 and sliceEvents=1: every new LSN is both a batch
+    // cut and a slice cut — the worst case for a boundary splitting a run
+    val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+      ckpt, out, kafkaBootstrap = None, triggerMs = 0L,
+      maxEventsPerBatch = 1, sliceEvents = 1)
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 10, s"expected all 10 multi-insert rows, got ${got.count()}")
+    // every id delivered exactly once (drops and dupes both fail)
+    val ids = got.select(get_json_object(col("value"), "$.data.id").cast("long")
+      .as("id"))
+    assert(ids.distinct().count() == 10, "duplicate or missing ids")
+    assert(ids.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(1L, 10L))
+  }
+}

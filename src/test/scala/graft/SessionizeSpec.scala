@@ -84,4 +84,39 @@ class SessionizeSpec extends AnyFunSuite {
       assert(q.exception.isEmpty)
     } finally q.stop()
   }
+
+  test("watermarkDelay > gap: a late event opens its own past session (batch parity)") {
+    // delay 3 h, gap 30 min: an event 2 h older than the open session is
+    // ADMITTED by the watermark but more than a gap away — it must become
+    // its own session in the past, exactly as the batch query sessionizes
+    // it, not be silently absorbed into the newer session
+    import spark.implicits._
+    val t0 = 1700000000L * 1000000L
+    val h = 3600L * 1000000L
+    val dir = Files.createTempDirectory("graft-sess-late").toString
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "ts_us").coalesce(1).write.mode("append").parquet(dir)
+    writeBatch(Seq((1L, t0 + 2 * h)))  // opens session at t0+2h
+    writeBatch(Seq((1L, t0)))          // 2h late — admitted (delay 3h)
+    writeBatch(Seq((1L, t0 + 48 * h))) // sentinel: seals everything real
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts_us", "long")
+    val stream = Sessionize.sessions(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false").parquet(dir),
+      watermarkDelay = "3 hours")
+    val q = stream.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_late")
+        .filter(col("session_start_us") < t0 + 48 * h)
+        .select("session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((t0, t0, 1L), (t0 + 2 * h, t0 + 2 * h, 1L)),
+        s"late event must form its own session; got $got")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.source.wal.WalLog
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** WAL segment-log invariants under concurrent writers: torn tails stop the
+  * scan (never skip a segment's remaining bytes), and whole-segment writes
+  * appear atomically.
+  */
+class WalLogSpec extends AnyFunSuite {
+
+  private def frame(lsn: Long, n: Int) = WalLog.Frame(lsn, Array.fill(n)('I'.toByte))
+
+  test("a torn frame stops the scan instead of skipping to the next segment") {
+    val dir = Files.createTempDirectory("graft-wallog").toString
+    val seg0 = Paths.get(dir, "00000000.wal")
+    val seg1 = Paths.get(dir, "00000001.wal")
+    WalLog.write(seg0, Seq(frame(10, 4), frame(20, 4)))
+    WalLog.write(seg1, Seq(frame(40, 4)))
+    // a live appender's flush boundary: seg0 grows a PARTIAL frame header
+    Files.write(seg0, Array[Byte](0, 0, 0, 0, 0), StandardOpenOption.APPEND)
+
+    // the scan must yield seg0's two complete frames and STOP — consuming
+    // seg1's frame here would mean the torn tail is lost once completed
+    val scan = WalLog.scanFrames(dir)
+    val seen = try scan.map(e => e.lsn).toVector finally scan.close()
+    assert(seen == Vector(10L, 20L),
+      s"scan must stop at the torn tail, saw $seen")
+
+    // FrameIterator (the executor read path) has the same contract
+    val it = WalLog.read(dir, 0L, Long.MaxValue)
+    val read = it.map(_.lsn).toVector
+    assert(read == Vector(10L, 20L), s"reader must stop too, saw $read")
+  }
+
+  test("completed tail resumes from the saved cursor") {
+    val dir = Files.createTempDirectory("graft-wallog2").toString
+    val seg0 = Paths.get(dir, "00000000.wal")
+    WalLog.write(seg0, Seq(frame(10, 4)))
+    val scan1 = WalLog.scanFrames(dir)
+    val first = try scan1.toVector finally scan1.close()
+    assert(first.map(_.lsn) == Vector(10L))
+    // writer completes the segment (atomic replace with the fuller version)
+    WalLog.write(seg0, Seq(frame(10, 4), frame(20, 4), frame(30, 4)))
+    // resume from the saved (segment, offset) cursor — only the tail appears
+    val scan2 = WalLog.scanFrames(dir, first.last.segment, first.last.nextByteOffset)
+    val rest = try scan2.map(_.lsn).toVector finally scan2.close()
+    assert(rest == Vector(20L, 30L), s"expected the completed tail, saw $rest")
+  }
+
+  test("maxLsn reads the last segment only but still reflects the head") {
+    val dir = Files.createTempDirectory("graft-wallog3").toString
+    WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
+    WalLog.write(Paths.get(dir, "00000001.wal"), Seq(frame(30, 4), frame(40, 4)))
+    assert(WalLog.maxLsn(dir) == 40L)
+    assert(WalLog.maxLsn(Files.createTempDirectory("graft-empty").toString) == 0L)
+  }
+}
