@@ -133,6 +133,11 @@ final class ReplicationSpooler(
 
   import ReplicationWire._
 
+  // a previous appender may have crashed mid-frame: truncate the torn tail
+  // BEFORE picking the next segment index, or the stop-at-tear scan wedges
+  // on a tear that will never heal (the new appender writes elsewhere)
+  WalLog.repair(walDir)
+
   private var segIdx: Int = nextSegmentIndex()
   private var out: java.io.DataOutputStream = _
   private var outBytes: Long = 0L

@@ -153,12 +153,30 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
     // trigger re-scans that one frame), and the slice cut snapshots the
     // boundary before the new LSN's first frame is processed.
     var done = false
+    // the newest admitted run's provenance: an LSN's run is PROVEN complete
+    // only once a higher-LSN frame is visible after it (pgoutput guarantees
+    // one exists — every data run is followed by its transaction's COMMIT at
+    // a higher position). When the scan ends at the log head instead, the
+    // newest run may still be mid-flush in the appender's buffer — retreat
+    // the boundary to the previous distinct LSN and rewind the cursor to the
+    // run's start, so the next trigger re-admits the whole run.
+    var prevDistinct = lastPlanned
+    var runStartSeg = scanSeg
+    var runStartOffset = scanOffset
+    var runHasData = false
     while (!done && it.hasNext) {
       val e = it.next()
       val newLsn = e.lsn > lastPlanned
       if (newLsn && n >= maxPerBatch) {
         done = true // cut before e; scanSeg/scanOffset still point before it
       } else {
+        if (newLsn) {
+          prevDistinct = lastPlanned
+          runStartSeg = scanSeg
+          runStartOffset = scanOffset
+          runHasData = false
+        }
+        if (e.tag == 'I' || e.tag == 'U' || e.tag == 'D') runHasData = true
         if (newLsn && sliceEvents > 0 && sinceSlice >= sliceEvents) {
           snapshot()
           sinceSlice = 0
@@ -185,6 +203,20 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
           }
         }
       }
+    }
+    // Scan exhausted (not a budget cut): the newest run is unproven — its
+    // remaining frames may still sit in a live appender's buffer, and a
+    // boundary there would exclude them forever (readers filter on
+    // lsn > boundary). Retreat to the last proven-complete LSN — but ONLY
+    // when the run carries DATA frames: state frames (BEGIN/RELATION/COMMIT)
+    // flow to readers through the driver's boundary snapshots, not row
+    // output, so splitting them is harmless — and a quiescent pgoutput log
+    // always ends in a COMMIT, which must keep advancing the boundary or
+    // the final batch's source.commit() never fires.
+    if (!done && lastPlanned > before && runHasData) {
+      lastPlanned = prevDistinct
+      scanSeg = runStartSeg
+      scanOffset = runStartOffset
     }
     // Retention bound: planInputPartitions prunes keys below each batch
     // start, so steady-state holds ≤ 1 batch of snapshots. On an IDLE tick

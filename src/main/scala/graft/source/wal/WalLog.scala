@@ -40,10 +40,15 @@ object WalLog {
     // segmentFiles filters on the ".wal" suffix)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp.toFile)))
-    try frames.iterator.foreach { f =>
-      out.writeLong(f.lsn); out.writeInt(f.payload.length); out.write(f.payload)
-    } finally out.close()
-    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      try frames.iterator.foreach { f =>
+        out.writeLong(f.lsn); out.writeInt(f.payload.length); out.write(f.payload)
+      } finally out.close()
+      Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Sequential frame iterator over a file chain — ONE stream open at a
@@ -151,16 +156,69 @@ object WalLog {
     }
   }
 
-  /** Highest frame LSN in the log. LSNs ascend across segment files (the
-    * spooler rolls segments in order; the distributed render names them by
-    * range-partition id), so only the LAST segment needs reading — the
-    * drain-to-quiet poll calls this in a loop and must not re-read the
-    * whole log each tick. */
-  def maxLsn(dir: String): Long = {
+  /** Truncate a crashed appender's torn tail off the LAST segment. Scans
+    * stop at a torn frame (never skip — a LIVE appender completes it), but a
+    * crashed appender's buffered tail is lost and its restart rolls to a NEW
+    * segment, so that tear would never heal and the scan would wedge on it
+    * forever. Only the last segment can be an append tail (whole-file
+    * segments land via atomic rename), so repairing it on appender startup
+    * restores liveness. At-least-once is unaffected: the torn frame was
+    * never planned into a batch, and the server resends everything past the
+    * confirmed LSN.
+    *
+    * @return bytes truncated (0 = segment was clean) */
+  def repair(dir: String): Long = {
     val files = segmentFiles(dir)
     if (files.isEmpty) return 0L
-    val it = new FrameIterator(Seq(files.last), 0L, Long.MaxValue)
-    try it.foldLeft(0L)((m, f) => math.max(m, f.lsn)) finally it.close()
+    val last = files.last
+    val size = Files.size(last)
+    var good = 0L
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(last.toFile)))
+    try {
+      var done = false
+      while (!done) {
+        val lsnOrEnd =
+          try readLsnOrEnd(in)
+          catch { case _: EOFException => done = true; None }
+        lsnOrEnd match {
+          case None => done = true
+          case Some(_) =>
+            try {
+              val len = in.readInt()
+              if (len < 0) done = true // garbage length word = torn
+              else {
+                in.skipNBytes(len.toLong) // EOF mid-payload = torn
+                good += 12L + len
+              }
+            } catch { case _: EOFException => done = true }
+        }
+      }
+    } finally in.close()
+    if (good < size) {
+      val ch = java.nio.channels.FileChannel.open(last,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(good) finally ch.close()
+    }
+    size - good
+  }
+
+  /** Highest frame LSN in the log. LSNs ascend across segment files (the
+    * spooler rolls segments in order; the distributed render names them by
+    * range-partition id), so reading starts from the LAST segment — the
+    * drain-to-quiet poll calls this in a loop and must not re-read the
+    * whole log each tick. A freshly-rolled last segment can still be EMPTY
+    * (created, nothing flushed) — walk backwards until frames appear. */
+  def maxLsn(dir: String): Long = {
+    val files = segmentFiles(dir)
+    var k = files.length - 1
+    while (k >= 0) {
+      val it = new FrameIterator(Seq(files(k)), 0L, Long.MaxValue)
+      val m = try it.foldLeft(0L)((x, f) => math.max(x, f.lsn)) finally it.close()
+      if (m > 0L) return m
+      k -= 1
+    }
+    0L
   }
 
   /** Lightweight frame scan for driver-side admission control: yields

@@ -33,7 +33,12 @@ object Sessionize {
     * merge into) sessions strictly in the past of the newest one. A session
     * is emitted only once the watermark passes its end + gap, so no
     * admissible late event can still change it — matching the batch query
-    * on any (delay, gap) combination, not just delay < gap. */
+    * on any (delay, gap) combination, not just delay < gap.
+    *
+    * MIGRATION: the state encoding changed from a single Session to
+    * List[Session] — a checkpoint written by the earlier single-session
+    * build cannot be restarted against this one (Spark's state schema check
+    * fails the query); discard the checkpoint and reprocess. */
   def update(userId: Long, batch: Iterator[Event],
       state: GroupState[List[Session]]): Iterator[Session] = {
     var opens = state.getOption.getOrElse(Nil)
@@ -59,19 +64,26 @@ object Sessionize {
           opens = left ++ (Session(userId, e.ts_us, e.ts_us, 1L) :: rest)
       }
     }
-    // emit every session the watermark has sealed; keep the live tail
+    // emit every session the watermark has sealed; keep the live tail.
+    // Seal STRICTLY in µs: Spark admits events with event_time == watermark
+    // (only `< watermark` is late), and the batch query merges an event at
+    // exactly end + gap (it splits only on diff > gap) — so a session is
+    // still extendable while end + gap >= wm and must not be emitted yet.
     val wmMs = state.getCurrentWatermarkMs()
+    val wmUs = wmMs * 1000L
     val (sealedS, live) =
-      opens.partition(s => s.session_end_us / 1000L + GapUs / 1000L <= wmMs)
+      opens.partition(s => s.session_end_us + GapUs < wmUs)
     if (live.isEmpty) state.remove()
     else {
       state.update(live)
-      // next closure check at the earliest live horizon. Clamp to just
-      // above the current watermark: an event admitted by the late filter
-      // (previous batch's watermark) can sit more than `gap` behind the
-      // CURRENT one, and Spark throws if the timeout timestamp is not
+      // next closure check just past the earliest live horizon (+1 ms so
+      // the ms-truncated timer lands strictly beyond end + gap). Clamp to
+      // just above the current watermark: an event admitted by the late
+      // filter (previous batch's watermark) can sit more than `gap` behind
+      // the CURRENT one, and Spark throws if the timeout timestamp is not
       // strictly later than the watermark, killing the whole query.
-      val horizon = live.map(s => s.session_end_us / 1000L + GapUs / 1000L).min
+      val horizon =
+        live.map(s => (s.session_end_us + GapUs) / 1000L + 1L).min
       state.setTimeoutTimestamp(math.max(horizon, wmMs + 1L))
     }
     sealedS.iterator

@@ -69,4 +69,42 @@ class EqualLsnBoundarySpec extends AnyFunSuite {
     assert(ids.agg(min("id"), max("id")).head() ==
       org.apache.spark.sql.Row(1L, 10L))
   }
+
+  test("a data run visible mid-flush is retreated, not cut; state runs advance") {
+    // the appender's buffer can flush PART of an equal-LSN data run; the
+    // admission scan must not plan a boundary at that LSN until a higher
+    // frame proves the run complete — but a trailing COMMIT (state-only)
+    // must keep advancing the boundary or the last batch never commits
+    val walDir = Files.createTempDirectory("graft-midflush").toString
+    val seg = Paths.get(walDir, "00000000.wal")
+    val rel = WalLog.Frame(10L, PgOutputEncoder.encode(relation))
+    val begin = WalLog.Frame(20L,
+      PgOutputEncoder.encode(Begin(200L, 700000000000000L, 7)))
+    def insAt(lsn: Long, ids: Range) =
+      ids.map(i => WalLog.Frame(lsn, PgOutputEncoder.encode(ins(i.toLong))))
+
+    val stream = new graft.source.wal.PgWalMicroBatchStream(walDir, 1000)
+    // flush 1: only 2 of the run's 3 frames are on disk, no higher frame
+    WalLog.write(seg, Seq(rel, begin) ++ insAt(100L, 1 to 2))
+    val b1 = stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn
+    assert(b1 < 100L, s"boundary must stay below the unproven run, got $b1")
+    // flush 2: the full run plus its COMMIT (state-only) appears
+    WalLog.write(seg, Seq(rel, begin) ++ insAt(100L, 1 to 3) :+
+      WalLog.Frame(200L,
+        PgOutputEncoder.encode(Commit(0, 200L, 200L, 700000000000000L))))
+    val b2 = stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn
+    assert(b2 == 200L, s"boundary must advance through the commit, got $b2")
+    // the batch (b1, b2] must deliver all 3 rows of the run exactly once
+    val parts = stream.planInputPartitions(
+      graft.source.wal.LsnOffset(b1), graft.source.wal.LsnOffset(b2))
+    val readerFactory = stream.createReaderFactory()
+    val rows = parts.flatMap { pt =>
+      val r = readerFactory.createReader(pt)
+      val buf = scala.collection.mutable.Buffer.empty[Long]
+      try while (r.next()) buf += r.get().getLong(6) finally r.close()
+      buf
+    }
+    assert(rows.count(_ == 100L) == 3,
+      s"expected the full 3-frame run at lsn 100, got ${rows.toSeq}")
+  }
 }
