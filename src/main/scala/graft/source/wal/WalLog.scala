@@ -139,6 +139,22 @@ object WalLog {
     new FrameIterator(segmentFiles(dir).dropWhile(_.compareTo(segment) < 0),
       byteOffset, untilLsn)
 
+  /** STRICT skip. `InputStream.skipNBytes` is NOT strict over a file:
+    * `FileInputStream.skip` may seek past end-of-file without complaint, so
+    * a torn frame's truncated payload would be "skipped" successfully and
+    * poison the byte-offset bookkeeping. Reading into a scratch buffer is
+    * strict (`read` returns −1 at the true EOF) and stays allocation-light.
+    */
+  private def skipFully(in: DataInputStream, n: Long,
+      scratch: Array[Byte]): Unit = {
+    var left = n
+    while (left > 0) {
+      val got = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+      if (got < 0) throw new EOFException(s"torn frame: $left payload bytes missing")
+      left -= got
+    }
+  }
+
   /** Distinguish a CLEAN end of segment (no bytes of a next frame) from a
     * TORN frame: the first byte is read with `read()` (−1 at EOF is clean);
     * once any header byte exists, the remaining 7 must follow or the frame
@@ -173,6 +189,7 @@ object WalLog {
     val last = files.last
     val size = Files.size(last)
     var good = 0L
+    val scratch = new Array[Byte](8192)
     val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(last.toFile)))
     try {
@@ -188,7 +205,7 @@ object WalLog {
               val len = in.readInt()
               if (len < 0) done = true // garbage length word = torn
               else {
-                in.skipNBytes(len.toLong) // EOF mid-payload = torn
+                skipFully(in, len.toLong, scratch) // EOF mid-payload = torn
                 good += 12L + len
               }
             } catch { case _: EOFException => done = true }
@@ -231,6 +248,7 @@ object WalLog {
 
   final class FrameScan(files: Seq[Path], firstOffset: Long)
       extends Iterator[ScanEntry] with AutoCloseable {
+    private val scratch = new Array[Byte](8192)
     private var fileIdx = 0
     private var in: DataInputStream = _
     private var pos = 0L
@@ -271,7 +289,7 @@ object WalLog {
                   full(0) = tag
                   in.readFully(full, 1, len - 1)
                   full
-                } else { in.skipNBytes((len - 1).toLong); null }
+                } else { skipFully(in, (len - 1).toLong, scratch); null }
               pos += 12L + len
               return ScanEntry(lsn, cur, pos, tag, state)
             } catch { case _: EOFException => close(); return null }

@@ -49,6 +49,27 @@ class WalLogSpec extends AnyFunSuite {
     assert(rest == Vector(20L, 30L), s"expected the completed tail, saw $rest")
   }
 
+  test("repair truncates a crashed appender's torn tail, restoring liveness") {
+    val dir = Files.createTempDirectory("graft-wallog-repair").toString
+    val seg0 = Paths.get(dir, "00000000.wal")
+    WalLog.write(seg0, Seq(frame(10, 4), frame(20, 4)))
+    // crash artifact: a torn frame (header + partial payload) at the tail
+    Files.write(seg0, Array[Byte](0, 0, 0, 0, 0, 0, 0, 30, 0, 0, 0, 9, 'x'),
+      StandardOpenOption.APPEND)
+    val sizeBefore = Files.size(seg0)
+    val dropped = WalLog.repair(dir)
+    assert(dropped == 13L, s"expected 13 torn bytes dropped, got $dropped")
+    assert(Files.size(seg0) == sizeBefore - 13L)
+    // a restarted appender rolls to a NEW segment; the old tear must no
+    // longer stop the scan from reaching it
+    WalLog.write(Paths.get(dir, "00000001.wal"), Seq(frame(40, 4)))
+    val scan = WalLog.scanFrames(dir)
+    val seen = try scan.map(_.lsn).toVector finally scan.close()
+    assert(seen == Vector(10L, 20L, 40L), s"post-repair scan saw $seen")
+    // idempotent on a clean log
+    assert(WalLog.repair(dir) == 0L)
+  }
+
   test("maxLsn reads the last segment only but still reflects the head") {
     val dir = Files.createTempDirectory("graft-wallog3").toString
     WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
