@@ -278,13 +278,23 @@ object Bench {
       System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the single JSON line inside the driver's
+    // stdout tail window (86 queries × 9-decimal seconds overflowed it in r5
+    // → parsed:null); ms precision is far below this box's noise band anyway
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // wal_drain_10x is a 10× workload — including it in the suite total
-    // would break round-over-round comparability of "value"
-    val total = results.filterNot(_._1 == "wal_drain_10x").values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // would break round-over-round comparability of "value". Failed queries
+    // (recorded as -1.0) must not be summed either: they'd subtract from the
+    // total and corrupt it — list them separately instead.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results
+      .filterNot { case (k, v) => k == "wal_drain_10x" || v < 0 }.values.sum
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qs,""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +

@@ -204,16 +204,21 @@ object AnalyticsQueries {
               .cast("long")).otherwise(0L)).as("promo_rev_e4"),
           sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
             .cast("long")).as("total_rev_e4"))
-        .withColumn("promo_pm", expr("promo_rev_e4 * 1000000 div total_rev_e4"))
+        // decimal(38,0) intermediate: the e4-scaled money sum reaches ~9e12
+        // at sf0.1 and grows linearly with SF, so (sum * 1e6) in long crosses
+        // Long.MaxValue around sf1. decimal(38,0) gives 1e38 of headroom and
+        // `div` still lands in a long-typed per-million ratio.
+        .withColumn("promo_pm",
+          expr("cast(promo_rev_e4 as decimal(38,0)) * 1000000 div total_rev_e4"))
     },
     """SELECT
       |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
       |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
       |    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
       |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_e4,
-      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
       |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
-      |    ELSE 0 END) * 1000000 //
+      |    ELSE 0 END) AS HUGEINT) * 1000000 //
       |    sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS promo_pm
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |WHERE epoch_us(l.l_shipdate) >= 852076800000000
@@ -644,17 +649,19 @@ object AnalyticsQueries {
         .agg(sum(when(col("supp_nation") === "NATION_2", col("rev_e4"))
           .otherwise(0L)).as("nation_rev_e4"),
           sum(col("rev_e4")).as("market_rev_e4"))
+        // decimal(38,0) intermediate — same overflow class as promo_pm: the
+        // per-year market money sum * 1e6 crosses Long.MaxValue around sf1.
         .withColumn("share_pm",
-          expr("nation_rev_e4 * 1000000 div market_rev_e4"))
+          expr("cast(nation_rev_e4 as decimal(38,0)) * 1000000 div market_rev_e4"))
     },
     """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
       |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
       |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
       |    ELSE 0 END) AS BIGINT) AS nation_rev_e4,
       |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS market_rev_e4,
-      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+      |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
       |    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
-      |    ELSE 0 END) * 1000000 //
+      |    ELSE 0 END) AS HUGEINT) * 1000000 //
       |    sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS share_pm
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -748,7 +755,11 @@ object AnalyticsQueries {
         col("event_type"))
       .groupBy(col("dow"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-      .agg(count(lit(1))),
+      .agg(count(lit(1)))
+      // Spark's pivot yields NULL for an empty (dow, type) cell where the
+      // oracle's count(CASE ...) yields 0 — zero-fill so sparser fixtures
+      // can't produce a spurious NULL-vs-0 diff.
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error")),
     """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
       |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
       |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
@@ -837,8 +848,12 @@ object AnalyticsQueries {
       val w = Window.partitionBy(col("n_regionkey"))
       byNation
         .withColumn("region_rev_e4", sum(col("nation_rev_e4")).over(w))
+        // decimal(38,0) intermediate: region_rev_e4 is a REGION-level money
+        // sum (~5 nations' worth), the largest operand in the repo — at sf0.1
+        // nation_rev_e4 * 1e6 already crosses Long.MaxValue for the biggest
+        // nations. Reproduced as an ANSI ARITHMETIC_OVERFLOW in r5.
         .withColumn("share_pm",
-          expr("nation_rev_e4 * 1000000 div region_rev_e4"))
+          expr("cast(nation_rev_e4 as decimal(38,0)) * 1000000 div region_rev_e4"))
     },
     """WITH byn AS (
       |  SELECT n.n_name, n.n_regionkey,
@@ -849,7 +864,7 @@ object AnalyticsQueries {
       |  GROUP BY 1, 2)
       |SELECT n_name, n_regionkey, nation_rev_e4,
       |  CAST(sum(nation_rev_e4) OVER (PARTITION BY n_regionkey) AS BIGINT) AS region_rev_e4,
-      |  CAST(nation_rev_e4 * 1000000 //
+      |  CAST(CAST(nation_rev_e4 AS HUGEINT) * 1000000 //
       |    sum(nation_rev_e4) OVER (PARTITION BY n_regionkey) AS BIGINT) AS share_pm
       |FROM byn""".stripMargin)
 

@@ -124,6 +124,16 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
   private var lastBeginPayload: Array[Byte] = _
   private val boundaryState =
     scala.collection.mutable.Map.empty[Long, PgWalSeek]
+  // Retreat-stall detector: the head-run retreat assumes every data run is
+  // eventually followed by a higher-LSN frame (pgoutput's COMMIT). A direct
+  // WalLog producer whose log permanently ends with a complete data run (no
+  // trailing state frame) would have its final run withheld forever with no
+  // diagnostic — so count consecutive retreats of the SAME unproven head run
+  // and warn once past the threshold. (Contract note: WalLog.write callers
+  // should terminate every data run with a higher-LSN frame.)
+  private var retreatHeadLsn: Long = -1L
+  private var retreatCount: Int = 0
+  private val RetreatWarnThreshold = 50
 
   /** Soft admission control: advance at most `maxPerBatch` frames per
     * trigger so one giant backlog drains as bounded micro-batches. */
@@ -214,10 +224,21 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
     // always ends in a COMMIT, which must keep advancing the boundary or
     // the final batch's source.commit() never fires.
     if (!done && lastPlanned > before && runHasData) {
+      val headLsn = lastPlanned
       lastPlanned = prevDistinct
       scanSeg = runStartSeg
       scanOffset = runStartOffset
-    }
+      if (headLsn == retreatHeadLsn) {
+        retreatCount += 1
+        if (retreatCount == RetreatWarnThreshold)
+          org.slf4j.LoggerFactory.getLogger(classOf[PgWalMicroBatchStream]).warn(
+            s"pgwal: head run at lsn=$headLsn retreated for the " +
+              s"$RetreatWarnThreshold'th consecutive trigger — if the " +
+              "producer is done, it must append a higher-LSN frame (e.g. a " +
+              "COMMIT) to prove the run complete, or this run is withheld " +
+              "forever")
+      } else { retreatHeadLsn = headLsn; retreatCount = 1 }
+    } else { retreatHeadLsn = -1L; retreatCount = 0 }
     // Retention bound: planInputPartitions prunes keys below each batch
     // start, so steady-state holds ≤ 1 batch of snapshots. On an IDLE tick
     // (nothing admitted) the previous batch is fully planned and every

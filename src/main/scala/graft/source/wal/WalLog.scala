@@ -184,6 +184,7 @@ object WalLog {
     *
     * @return bytes truncated (0 = segment was clean) */
   def repair(dir: String): Long = {
+    sweepStaleTmp(dir)
     val files = segmentFiles(dir)
     if (files.isEmpty) return 0L
     val last = files.last
@@ -218,6 +219,23 @@ object WalLog {
       try ch.truncate(good) finally ch.close()
     }
     size - good
+  }
+
+  /** Delete orphaned `*.tmp` siblings left by a hard crash (kill -9 / power
+    * loss) between opening a temp file and its atomic rename — `write`'s
+    * exception path cleans up, but a process death can't. Readers never see
+    * them (segmentFiles filters on `.wal`), so this is hygiene, not
+    * correctness; called from `repair` so appender startup sweeps both torn
+    * tails and stale temps in one pass. Only safe at appender startup: a
+    * LIVE concurrent writer's in-flight temp must not be deleted. */
+  private def sweepStaleTmp(dir: String): Unit = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val it = Files.list(d)
+    try it.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp"))
+      .toVector.foreach(Files.deleteIfExists(_))
+    finally it.close()
   }
 
   /** Highest frame LSN in the log. LSNs ascend across segment files (the

@@ -70,6 +70,20 @@ class WalLogSpec extends AnyFunSuite {
     assert(WalLog.repair(dir) == 0L)
   }
 
+  test("repair sweeps stale *.tmp orphans from a hard crash") {
+    val dir = Files.createTempDirectory("graft-wallog-tmp").toString
+    WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4)))
+    // kill -9 between temp-open and atomic rename leaves the orphan behind
+    // (write()'s exception path can't run); readers never see it, but it
+    // accumulates forever without the startup sweep
+    Files.write(Paths.get(dir, "00000001.wal.tmp"), Array[Byte](1, 2, 3))
+    WalLog.repair(dir)
+    assert(!Files.exists(Paths.get(dir, "00000001.wal.tmp")))
+    // the completed segment is untouched
+    val it = WalLog.read(dir, 0L, Long.MaxValue)
+    assert(it.map(_.lsn).toVector == Vector(10L))
+  }
+
   test("maxLsn reads the last segment only but still reflects the head") {
     val dir = Files.createTempDirectory("graft-wallog3").toString
     WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
