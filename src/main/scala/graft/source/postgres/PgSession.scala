@@ -182,14 +182,22 @@ object PgSession {
     }
   }
 
-  /** Open a socket, perform startup + auth, wait for ReadyForQuery. */
+  /** Open a socket, negotiate TLS per the endpoint's sslmode (BEFORE any
+    * protocol bytes — the SSLRequest precedes the StartupMessage), perform
+    * startup + auth, wait for ReadyForQuery. */
   def connect(ep: SocketCopyBothChannel.Endpoint,
       connectTimeoutMs: Int = 15000,
       queryTimeoutMs: Int = 30000): PgSession = {
-    val socket = new Socket()
-    socket.setTcpNoDelay(true)
-    socket.connect(new InetSocketAddress(ep.host, ep.port), connectTimeoutMs)
-    socket.setSoTimeout(connectTimeoutMs)
+    val plain = new Socket()
+    plain.setTcpNoDelay(true)
+    plain.connect(new InetSocketAddress(ep.host, ep.port), connectTimeoutMs)
+    plain.setSoTimeout(connectTimeoutMs)
+    val socket =
+      try PgTls.negotiate(plain, ep.host, ep.ssl)
+      catch { case e: Throwable =>
+        try plain.close() catch { case _: java.io.IOException => }
+        throw e
+      }
     val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     def fail(msg: String): Nothing = {

@@ -20,7 +20,9 @@ object FakeWalsender {
 }
 
 /** Backend side of the replication handshake, scripted for tests: accepts
-  * ONE connection, performs startup + the configured auth exchange, answers
+  * ONE connection, answers the optional SSLRequest probe (like a real server
+  * always does — 'S' + TLS handshake when `tls` is configured, 'N'
+  * otherwise), performs startup + the configured auth exchange, answers
   * `START_REPLICATION` with CopyBothResponse, then pushes queued replication
   * payloads as CopyData and records every standby status update it receives.
   *
@@ -29,7 +31,8 @@ object FakeWalsender {
   * so a client/server agreement is a genuine two-sided check.
   */
 final class FakeWalsender(auth: FakeWalsender.Auth,
-    password: String = "secret") extends AutoCloseable {
+    password: String = "secret",
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   import FakeWalsender._
 
   private val server = new ServerSocket(0, 1,
@@ -41,6 +44,9 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   @volatile var startQuery: String = _
   @volatile var startupParams: Map[String, String] = Map.empty
   @volatile var failure: Throwable = _
+  /** True once the SSLRequest probe ended in a completed TLS handshake —
+    * the assertion surface for "the session actually ran encrypted". */
+  @volatile var tlsEstablished: Boolean = false
   private val outQ = new ConcurrentLinkedQueue[(Byte, Array[Byte])]()
   @volatile private var running = true
   val copyBothEntered = new CountDownLatch(1)
@@ -108,11 +114,37 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   thread.start()
 
   private def serve(): Unit = {
-    val sock = server.accept()
-    sock.setTcpNoDelay(true)
-    sock.setSoTimeout(10000)
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+    val accepted = server.accept()
+    accepted.setTcpNoDelay(true)
+    accepted.setSoTimeout(10000)
+    val in0 = new DataInputStream(accepted.getInputStream)
+    val out0 = new DataOutputStream(accepted.getOutputStream)
+
+    // ---- optional SSLRequest probe (protocol docs "SSL Session
+    // Encryption"): an 8-byte untagged packet with magic 80877103 arriving
+    // where a StartupMessage would. Answer 'S' and handshake when TLS is
+    // configured, 'N' otherwise — then the (real) startup message follows
+    // on whichever byte stream won. Magic written here from the docs,
+    // independent of the client encoder.
+    var len = in0.readInt()
+    var proto = in0.readInt()
+    val sock: java.net.Socket =
+      if (proto == 80877103) tls match {
+        case Some(ctx) =>
+          out0.writeByte('S'); out0.flush()
+          val ssl = ctx.getSocketFactory
+            .createSocket(accepted, null, accepted.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          ssl.startHandshake()
+          tlsEstablished = true
+          ssl
+        case None =>
+          out0.writeByte('N'); out0.flush(); accepted
+      } else accepted
+    val in = if (sock eq accepted) in0 else new DataInputStream(sock.getInputStream)
+    val out = if (sock eq accepted) out0 else new DataOutputStream(sock.getOutputStream)
+    if (proto == 80877103) { len = in.readInt(); proto = in.readInt() }
 
     def tagged(tag: Char, body: Array[Byte]): Unit = {
       out.writeByte(tag); out.writeInt(4 + body.length); out.write(body); out.flush()
@@ -135,8 +167,6 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
     }
 
     // ---- startup (untagged) ----
-    val len = in.readInt()
-    val proto = in.readInt()
     val sb = new Array[Byte](len - 8); in.readFully(sb)
     require(proto == PgWire.ProtocolV3, s"protocol $proto")
     startupParams = PgWire.cstrings(sb).grouped(2)
