@@ -237,12 +237,27 @@ object Bench {
         System.err.println(s"[bench] wal_drain_10x failed: ${e.getMessage}")
       }
 
-      // -------- latency floor: tiny trigger, single-event segments --------
-      // The micro-batch latency floor (per-batch wall-clock at trigger=5 ms
-      // with one event per arrival) — the honest number to quote next to the
-      // reference's <10 ms push-latency design claim: a micro-batch engine
-      // cannot beat its per-batch fixed cost, and this measures exactly that.
-      {
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
+    }
+
+    // -------- latency floor: tiny trigger, single-event segments --------
+    // The micro-batch latency floor (per-batch wall-clock at trigger=5 ms
+    // with one event per arrival) — the honest number to quote next to the
+    // reference's <10 ms push-latency design claim: a micro-batch engine
+    // cannot beat its per-batch fixed cost, and this measures exactly that.
+    // Independently gated (GRAFT_BENCH_FLOOR=1 with the drains off) so a
+    // contention-sensitive p99 can be re-measured alone on a quiet box.
+    val runFloor = sys.env.getOrElse("GRAFT_BENCH_FLOOR",
+      if (runDrain) "1" else "0") != "0"
+    if (runFloor) {
+      // passes > 1 (GRAFT_BENCH_FLOOR_PASSES) report the LAST pass only:
+      // pass 1 absorbs JIT/codegen/stream-startup when the floor runs
+      // without the suite's warm-up (a cold first micro-batch costs seconds
+      // and would swallow the whole arrival window into one batch)
+      val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES",
+        if (runSuite) "1" else "2").toInt
+      (1 to passes).foreach { pass =>
         val metricsF = new graft.metrics.GraftMetrics
         val listenerF = new graft.metrics.GraftQueryListener(metricsF)
         spark.streams.addListener(listenerF)
@@ -265,17 +280,17 @@ object Bench {
           q.processAllAvailable()
           q.stop()
           val (fp50, fp99) = metricsF.batchLatencyMs
-          floorP50 = fp50; floorP99 = fp99
+          if (pass == passes) {
+            floorP50 = fp50; floorP99 = fp99
+          }
           System.err.println(
-            s"[bench] latency_floor (trigger=5ms, 1-event batches): " +
-              s"p50=${fp50}ms p99=${fp99}ms")
+            s"[bench] latency_floor pass $pass/$passes (trigger=5ms, " +
+              s"1-event batches): p50=${fp50}ms p99=${fp99}ms")
         } catch { case e: Throwable =>
           // p50=0 in the JSON means "not measured", never "sub-ms floor"
           System.err.println(s"[bench] latency_floor failed: ${e.getMessage}")
         } finally spark.streams.removeListener(listenerF)
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }
 
     // 3-decimal rounding keeps the single JSON line inside the driver's
