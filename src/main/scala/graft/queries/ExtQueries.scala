@@ -385,6 +385,18 @@ object ExtQueries {
        |SELECT node AS doc_id, CAST(min(seed) AS BIGINT) AS component
        |FROM r GROUP BY node""".stripMargin)
 
+  // The high-diameter components variant behind the same API: alternating
+  // large-star/small-star rounds (Kiveris et al., SoCC'14) contract path
+  // length geometrically — O(log d) rounds where min propagation needs
+  // O(d). Same pair graph, same oracle SQL: the two implementations must
+  // agree value-exact, which is itself a cross-check of both fixpoints.
+  val dedupComponentsDoubling: (QFn, String) = (
+    (s, dir) => graft.dedup.Components
+      .connectedDoubling(
+        dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("component")),
+    dedupComponents._2)
+
   // Shingle CONTAINMENT (|A∩B| / |A|) on LSH candidate pairs — the
   // asymmetric near-dup signal Jaccard misses: a short document quoted
   // wholesale inside a long one has low Jaccard (the union is huge) but
@@ -1374,6 +1386,7 @@ object ExtQueries {
     "dedup_containment" -> dedupContainment,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_components" -> dedupComponents,
+    "dedup_components_doubling" -> dedupComponentsDoubling,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

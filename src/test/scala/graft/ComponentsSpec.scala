@@ -27,10 +27,15 @@ class ComponentsSpec extends AnyFunSuite {
 
   private def check(edges: Seq[(Long, Long)], tag: String): Unit = {
     import spark.implicits._
+    val want = unionFind(edges)
+    // both algorithms, same contract: min propagation AND the
+    // large-star/small-star doubling variant must match union-find exactly
     val got = Components.connected(edges.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = unionFind(edges)
-    assert(got == want, s"$tag: got $got, want $want")
+    assert(got == want, s"$tag/propagate: got $got, want $want")
+    val gotD = Components.connectedDoubling(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotD == want, s"$tag/doubling: got $gotD, want $want")
   }
 
   test("path graph converges across many propagation rounds") {
