@@ -947,7 +947,149 @@ object AnalyticsQueries {
       |       ELSE 'new' END AS status
       |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin)
 
+  // TPC-H Q18-shaped large-volume orders: the group-filter-THEN-join shape.
+  // The HAVING runs first, on the fact alone — one partial-aggregable sum
+  // per order key — so only the ~1–2% qualifying keys ever reach the
+  // dimension joins; the joins then run on the reduced set, and the final
+  // top-20 is a distributed TakeOrderedAndProject (each partition ships 20
+  // rows), never a global sort. Customer is NOT broadcast-hinted: it scales
+  // with the fact in TPC-H, so the hash join on the (already tiny) filtered
+  // side is the shape that survives 100 TB; AQE demotes it to broadcast
+  // when the qualifying set is small enough anyway.
+  val olapLargeOrders: (QFn, String) = (
+    (s, dir) => {
+      val big = ChangeLog.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("qty_e2"))
+        .filter(col("qty_e2") > 25000L)
+      val ord = ChangeLog.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_price_e2"))
+      val cust = ChangeLog.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("od_us"), col("total_price_e2"), col("qty_e2"))
+        .orderBy(col("total_price_e2").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |  epoch_us(o.o_orderdate) AS od_us,
+      |  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_price_e2,
+      |  big.qty_e2
+      |FROM (SELECT l_orderkey,
+      |        CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2
+      |      FROM lineitem GROUP BY 1
+      |      HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 25000) big
+      |JOIN orders o ON big.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY total_price_e2 DESC, o.o_orderkey LIMIT 20""".stripMargin)
+
+  // TPC-H Q17-shaped small-quantity revenue: a correlated scalar subquery
+  // (per-part average quantity) expressed as aggregate-then-self-join — the
+  // per-part aggregate is partial-aggregable and lands co-partitioned with
+  // the fact's own shuffle key, so the "subquery" costs one hash join, not
+  // a per-row probe. The 20%-of-average threshold compares by CROSS
+  // MULTIPLICATION (5·qty·n < Σqty), all in scaled integers — exact on both
+  // engines, no division, no rounding boundary to disagree on. Brand keys
+  // (1/25 of the part dim) are broadcast.
+  val olapSmallQtyRevenue: (QFn, String) = (
+    (s, dir) => {
+      val brandKeys = ChangeLog.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#7").select(col("p_partkey"))
+      val liB = ChangeLog.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_e2"),
+          col("l_extendedprice"))
+        .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val perPart = liB.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_e2")).as("sum_qty_e2"), count(lit(1)).as("n_li"))
+      liB.join(perPart, Seq("l_partkey"))
+        .filter(col("qty_e2") * 5L * col("n_li") < col("sum_qty_e2"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("small_rev_e2"),
+          count(lit(1)).as("n_small_lines"))
+    },
+    """WITH b AS (
+      |  SELECT l.l_partkey, CAST(floor(l.l_quantity * 100) AS BIGINT) AS qty_e2,
+      |    l.l_extendedprice
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#7'),
+      |pa AS (
+      |  SELECT l_partkey, CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
+      |    CAST(count(*) AS BIGINT) AS n_li
+      |  FROM b GROUP BY 1)
+      |SELECT
+      |  CAST(sum(CAST(floor(b.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_rev_e2,
+      |  CAST(count(*) AS BIGINT) AS n_small_lines
+      |FROM b JOIN pa ON b.l_partkey = pa.l_partkey
+      |WHERE 5 * b.qty_e2 * pa.n_li < pa.sum_qty_e2""".stripMargin)
+
+  // TPC-H Q22-shaped dormant high-balance customers: a global scalar
+  // subquery (average positive balance) + an ANTI join (no order since
+  // 1999-01-01). The one-row global aggregate broadcasts into a cross join;
+  // the above-average test is again cross-multiplied in scaled integers
+  // (acct·n > Σ — exact; headroom: acct_e2·n_pos ≈ 1e6·1.5e10 ≈ 1.5e16 at
+  // sf1e5, far under Long.Max). The anti join is a hash left-anti on the
+  // customer key — Catalyst plans NOT EXISTS the same way, but here it's
+  // explicit and the recent-orders side carries only the key column.
+  val olapDormantCustomers: (QFn, String) = (
+    (s, dir) => {
+      val cust = ChangeLog.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast("long").as("acct_e2"))
+      val g = cust.filter(col("acct_e2") > 0L)
+        .agg(sum(col("acct_e2")).as("sum_pos_e2"), count(lit(1)).as("n_pos"))
+      val recent = ChangeLog.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+        .filter(col("od_us") >= lit(915148800000000L)) // 1999-01-01 UTC
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(g))
+        .filter(col("acct_e2") * col("n_pos") > col("sum_pos_e2"))
+        .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_dormant"), sum(col("acct_e2")).as("sum_acct_e2"))
+    },
+    """WITH g AS (
+      |  SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_pos_e2,
+      |    CAST(count(*) AS BIGINT) AS n_pos
+      |  FROM customer WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > 0)
+      |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_dormant,
+      |  CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acct_e2
+      |FROM customer c, g
+      |WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * g.n_pos > g.sum_pos_e2
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND epoch_us(o.o_orderdate) >= 915148800000000)
+      |GROUP BY 1""".stripMargin)
+
+  // Fixed-width histogram over the event value — the numeric-profiling
+  // binning operator. The bucket is floor(value / 25.0): the SAME IEEE
+  // double division on both engines, so bin edges are bit-identical (a
+  // width_bucket() built-in computes (v-lo)·n/(hi-lo) whose rounding is
+  // implementation-defined — this formulation sidesteps that). One
+  // partial-aggregable groupBy; output is O(types × buckets), independent
+  // of event count.
+  val eventsHistogram: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") / 25.0).cast("long").as("bucket"), col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_e2")),
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+      |FROM events GROUP BY 1, 2""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_large_orders" -> olapLargeOrders,
+    "olap_small_qty_revenue" -> olapSmallQtyRevenue,
+    "olap_dormant_customers" -> olapDormantCustomers,
+    "events_histogram" -> eventsHistogram,
     "events_distinct_users" -> eventsDistinctUsers,
     "events_approx_distinct" -> eventsApproxDistinct,
     "events_user_gaps" -> eventsUserGaps,

@@ -1168,6 +1168,27 @@ object ExtQueries {
       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents) WHERE sample_rank <= 25""".stripMargin)
 
+  // Rate-based deterministic sampling — the zero-shuffle complement of
+  // [[pipelineSampleMix]]'s per-stratum top-k: instead of "exactly k per
+  // language" (needs a window, hence a shuffle), keep a document iff its
+  // md5 bucket (0..999) falls under the stratum's per-mille rate (en — the
+  // over-represented language — downsampled to 10%, every other language
+  // kept at 50%). A pure per-row filter: no window, no exchange, runs at
+  // scan speed on 100 TB, and reruns/backfills select the SAME rows (the
+  // hash is content-derived, not rand()) — so downstream incremental jobs
+  // see a stable sample across pipeline re-executions.
+  val pipelineSampleRate: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 1000).as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 100L).otherwise(500L)),
+    """SELECT doc_id, lang,
+      |  CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 1000 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 1000
+      |      < CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin)
+
   // Feature hashing (the hashing trick): distinct tokens → 1024-bucket
   // feature indices via the md5-prefix hash — how a bag-of-words corpus
   // becomes fixed-width ML features with NO vocabulary table (no global
@@ -1372,6 +1393,7 @@ object ExtQueries {
     "emb_quantize" -> embQuantize,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
+    "pipeline_sample_rate" -> pipelineSampleRate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,

@@ -380,4 +380,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       s"expected a codegen'd Project in:\n$p")
   }
+
+  test("pipeline_sample_rate is a zero-shuffle scan-speed filter") {
+    val p = plan("pipeline_sample_rate")
+    assert(!p.contains("Exchange"), s"rate sampling must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"rate sampling must not window:\n$p")
+  }
+
+  test("olap_large_orders: HAVING reduces the fact before joins; top-20 distributed") {
+    val p = plan("olap_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k, not a global sort, in:\n$p")
+    // the qty_e2 > threshold filter must sit on the aggregate, upstream of
+    // both joins — the group-filter-then-join shape
+    assert(p.indexOf("25000") >= 0, s"qty threshold filter missing from:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
+  test("olap_dormant_customers plans a hash LeftAnti, scalar agg broadcast") {
+    val p = plan("olap_dormant_customers")
+    assert(p.contains("LeftAnti"), s"expected a left-anti hash join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row global aggregate must broadcast in:\n$p")
+  }
+
+  test("olap_small_qty_revenue broadcasts brand keys; no cartesian") {
+    val p = plan("olap_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"brand-key dim join must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
 }
