@@ -1,0 +1,136 @@
+package graft.source.postgres
+
+import java.nio.file.{Files, Path, Paths}
+import scala.sys.process._
+
+/** Boots a throwaway REAL PostgreSQL server (`wal_level=logical`) for the
+  * live test tier and the live drain benchmark — NOT part of the pipeline
+  * runtime. The reference keeps the same capability in its load stand
+  * (`tests/load/` — a real server, a set-based SQL load generator, and the
+  * client drained against it); here the harness is in-process so `sbt test`
+  * and `graft.Bench` can run the live tier wherever postgres binaries
+  * happen to exist, and skip cleanly where they don't.
+  *
+  * Root note: postgres refuses to run as root, so when the JVM is root the
+  * server commands run through `su postgres|nobody`; otherwise directly.
+  * The instance lives under a fresh tmp dir on a free localhost port and is
+  * stopped (immediate mode) by [[stop]] or a JVM shutdown hook.
+  */
+final class PgServerHarness private (
+    val host: String, val port: Int, val superUser: String,
+    binDir: String, baseDir: Path, runAsUser: Option[String]) {
+
+  private def sh(cmd: String): Int = runAsUser match {
+    case Some(u) => Seq("su", u, "-s", "/bin/bash", "-c", s"cd /tmp && $cmd").!
+    case None => Seq("/bin/bash", "-c", cmd).!
+  }
+
+  def endpoint(user: String, password: Option[String]): SocketCopyBothChannel.Endpoint =
+    SocketCopyBothChannel.Endpoint(host, port, user, "postgres", password)
+
+  /** A fresh superuser session over the engine's own wire stack. */
+  def session(): PgSession = PgSession.connect(endpoint(superUser, None))
+
+  @volatile private var stopped = false
+  def stop(): Unit = if (!stopped) {
+    stopped = true
+    sh(s"$binDir/pg_ctl -D ${baseDir.resolve("data")} -m immediate stop " +
+      "> /dev/null 2>&1")
+    ()
+  }
+}
+
+object PgServerHarness {
+
+  val DefaultSuperUser = "graft"
+
+  def findBinDir: Option[String] = {
+    val candidates =
+      Seq("15", "16", "17", "14").map(v => s"/usr/lib/postgresql/$v/bin") ++
+        Seq("/usr/local/pgsql/bin", "/usr/local/bin", "/usr/bin")
+    candidates.find(d => Files.isExecutable(Paths.get(d, "initdb")) &&
+      Files.isExecutable(Paths.get(d, "pg_ctl")))
+  }
+
+  def binariesPresent: Boolean = findBinDir.isDefined
+
+  private def serverUser: Option[String] =
+    if (System.getProperty("user.name") != "root") None
+    else Seq("postgres", "nobody").find(u => Seq("id", "-u", u).! == 0)
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** Boot a fresh instance; None when binaries are missing or boot fails
+    * (reason on stderr). `scramUser` additionally creates a SCRAM-authed
+    * role and a pg_hba entry for it — the live auth test path. */
+  def start(superUser: String = DefaultSuperUser,
+      scramUser: Option[(String, String)] = None): Option[PgServerHarness] =
+    try findBinDir.flatMap { bin => boot(bin, superUser, scramUser) }
+    catch { case e: Throwable =>
+      System.err.println(s"[livepg] boot failed: $e")
+      None
+    }
+
+  private def boot(binDir: String, superUser: String,
+      scramUser: Option[(String, String)]): Option[PgServerHarness] = {
+    val host = "127.0.0.1"
+    val base = Files.createTempDirectory("graft-livepg-")
+    val dataDir = base.resolve("data")
+    val sock = base.resolve("sock")
+    Files.createDirectories(sock)
+    val port = freePort()
+    val asUser = serverUser
+    val h = new PgServerHarness(host, port, superUser, binDir, base, asUser)
+    def sh(cmd: String): Int = asUser match {
+      case Some(u) => Seq("su", u, "-s", "/bin/bash", "-c", s"cd /tmp && $cmd").!
+      case None => Seq("/bin/bash", "-c", cmd).!
+    }
+    asUser.foreach(u => Seq("chown", "-R", u, base.toString).!)
+    if (sh(s"$binDir/initdb -D $dataDir -A trust -U $superUser " +
+        s"> $base/initdb.log 2>&1") != 0) {
+      System.err.println(s"[livepg] initdb failed, see $base/initdb.log")
+      return None
+    }
+    // hba: SCRAM for the scram role (real SASL exchange incl. server
+    // signature), trust for everything else on loopback
+    val scramLine = scramUser.map { case (u, _) =>
+      s"host all $u $host/32 scram-sha-256\n" }.getOrElse("")
+    Files.writeString(dataDir.resolve("pg_hba.conf"),
+      scramLine + s"host all all $host/32 trust\nlocal all all trust\n")
+    asUser.foreach(u =>
+      Seq("chown", u, dataDir.resolve("pg_hba.conf").toString).!)
+    val opts = Seq(
+      s"-p $port",
+      s"-c listen_addresses=$host",
+      "-c wal_level=logical",
+      "-c max_wal_senders=8",
+      "-c max_replication_slots=8",
+      s"-c unix_socket_directories=$sock",
+      "-c log_min_messages=warning").mkString(" ")
+    if (sh(s"$binDir/pg_ctl -D $dataDir -o '$opts' -l $base/server.log " +
+        "-w -t 30 start") != 0) {
+      System.err.println(s"[livepg] pg_ctl start failed, see $base/server.log")
+      return None
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => h.stop()))
+    // ready = our own stack can connect and run a query
+    var s: PgSession = null
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (s == null && System.nanoTime() < deadline) {
+      try s = h.session()
+      catch { case _: Throwable => Thread.sleep(250) }
+    }
+    if (s == null) {
+      System.err.println("[livepg] server never became ready")
+      h.stop()
+      return None
+    }
+    try scramUser.foreach { case (u, pw) =>
+      s.simpleQuery(s"CREATE ROLE $u LOGIN REPLICATION PASSWORD '$pw'")
+    } finally s.close()
+    Some(h)
+  }
+}
