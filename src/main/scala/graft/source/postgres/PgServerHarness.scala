@@ -18,7 +18,10 @@ import scala.sys.process._
   */
 final class PgServerHarness private (
     val host: String, val port: Int, val superUser: String,
-    binDir: String, baseDir: Path, runAsUser: Option[String]) {
+    binDir: String, baseDir: Path, runAsUser: Option[String],
+    /** The server certificate (PEM) when TLS is enabled — the `sslrootcert`
+      * a verify-ca/verify-full client trusts. */
+    val serverCert: Option[Path]) {
 
   private def sh(cmd: String): Int = runAsUser match {
     case Some(u) => Seq("su", u, "-s", "/bin/bash", "-c", s"cd /tmp && $cmd").!
@@ -65,17 +68,38 @@ object PgServerHarness {
 
   /** Boot a fresh instance; None when binaries are missing or boot fails
     * (reason on stderr). `scramUser` additionally creates a SCRAM-authed
-    * role and a pg_hba entry for it — the live auth test path. */
+    * role and a pg_hba entry for it — the live auth test path. `tls = true`
+    * generates a self-signed server certificate (CN + IP SAN = loopback,
+    * requires an `openssl` binary) and starts the server with `ssl=on`;
+    * plaintext connections remain allowed (the hba `host` lines match
+    * both), so TLS and non-TLS clients can be tested side by side. */
   def start(superUser: String = DefaultSuperUser,
-      scramUser: Option[(String, String)] = None): Option[PgServerHarness] =
-    try findBinDir.flatMap { bin => boot(bin, superUser, scramUser) }
+      scramUser: Option[(String, String)] = None,
+      tls: Boolean = false): Option[PgServerHarness] =
+    try findBinDir.flatMap { bin => boot(bin, superUser, scramUser, tls) }
     catch { case e: Throwable =>
       System.err.println(s"[livepg] boot failed: $e")
       None
     }
 
+  private def openssl: Option[String] =
+    Seq("openssl", "/usr/bin/openssl", "/root/miniconda/bin/openssl")
+      .find(p => scala.util.Try(Seq(p, "version").! == 0).getOrElse(false))
+
+  /** Generate a self-signed cert+key for `ip` into `dir`; (cert, key). */
+  def selfSignedCert(dir: Path, ip: String,
+      cn: String = "livepg"): Option[(Path, Path)] = openssl.map { ssl =>
+    val cert = dir.resolve(s"$cn.crt"); val key = dir.resolve(s"$cn.key")
+    val rc = Seq(ssl, "req", "-new", "-x509", "-days", "2", "-nodes",
+      "-subj", s"/CN=$cn", "-addext", s"subjectAltName=IP:$ip",
+      "-keyout", key.toString, "-out", cert.toString).!
+    require(rc == 0, s"openssl cert generation failed (rc=$rc)")
+    (cert, key)
+  }
+
   private def boot(binDir: String, superUser: String,
-      scramUser: Option[(String, String)]): Option[PgServerHarness] = {
+      scramUser: Option[(String, String)],
+      tls: Boolean): Option[PgServerHarness] = {
     val host = "127.0.0.1"
     val base = Files.createTempDirectory("graft-livepg-")
     val dataDir = base.resolve("data")
@@ -83,7 +107,20 @@ object PgServerHarness {
     Files.createDirectories(sock)
     val port = freePort()
     val asUser = serverUser
-    val h = new PgServerHarness(host, port, superUser, binDir, base, asUser)
+    // TLS material before the chown so the server user can read the key
+    // (postgres additionally demands key perms 0600)
+    val certKey = if (tls) {
+      val ck = selfSignedCert(base, host, "livepg-server")
+      if (ck.isEmpty) {
+        System.err.println("[livepg] tls requested but no openssl; skipping")
+        return None
+      }
+      ck.foreach { case (_, key) =>
+        Seq("chmod", "600", key.toString).! }
+      ck
+    } else None
+    val h = new PgServerHarness(host, port, superUser, binDir, base, asUser,
+      certKey.map(_._1))
     def sh(cmd: String): Int = asUser match {
       case Some(u) => Seq("su", u, "-s", "/bin/bash", "-c", s"cd /tmp && $cmd").!
       case None => Seq("/bin/bash", "-c", cmd).!
@@ -102,14 +139,16 @@ object PgServerHarness {
       scramLine + s"host all all $host/32 trust\nlocal all all trust\n")
     asUser.foreach(u =>
       Seq("chown", u, dataDir.resolve("pg_hba.conf").toString).!)
-    val opts = Seq(
+    val tlsOpts = certKey.toSeq.flatMap { case (cert, key) =>
+      Seq("-c ssl=on", s"-c ssl_cert_file=$cert", s"-c ssl_key_file=$key") }
+    val opts = (Seq(
       s"-p $port",
       s"-c listen_addresses=$host",
       "-c wal_level=logical",
       "-c max_wal_senders=8",
       "-c max_replication_slots=8",
       s"-c unix_socket_directories=$sock",
-      "-c log_min_messages=warning").mkString(" ")
+      "-c log_min_messages=warning") ++ tlsOpts).mkString(" ")
     if (sh(s"$binDir/pg_ctl -D $dataDir -o '$opts' -l $base/server.log " +
         "-w -t 30 start") != 0) {
       System.err.println(s"[livepg] pg_ctl start failed, see $base/server.log")

@@ -214,30 +214,42 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
         }
       }
     }
-    // Scan exhausted (not a budget cut): the newest run is unproven — its
-    // remaining frames may still sit in a live appender's buffer, and a
-    // boundary there would exclude them forever (readers filter on
-    // lsn > boundary). Retreat to the last proven-complete LSN — but ONLY
-    // when the run carries DATA frames: state frames (BEGIN/RELATION/COMMIT)
-    // flow to readers through the driver's boundary snapshots, not row
-    // output, so splitting them is harmless — and a quiescent pgoutput log
-    // always ends in a COMMIT, which must keep advancing the boundary or
-    // the final batch's source.commit() never fires.
-    if (!done && lastPlanned > before && runHasData) {
+    // Scan exhausted (not a budget cut): the newest run is unproven — MORE
+    // frames may arrive later AT ITS OWN LSN, so a boundary there would
+    // exclude them forever (readers filter on lsn > boundary). This is not
+    // hypothetical buffer-flush caution: a REAL walsender reuses the
+    // trailing COMMIT's position as the NEXT transaction's start — observed
+    // live against PostgreSQL 15 (PgLiveWireSpec): `C@x, B@x, I@x` — the
+    // next tx's BEGIN and first change ride at exactly the previous
+    // commit's walStart. So NO tail run is provably complete, state frames
+    // included: advancing the boundary onto a trailing COMMIT loses the
+    // next transaction's first change (delivered-and-confirmed boundary,
+    // then data arrives below it — silent row loss, found by the live
+    // tier). Retreat every tail run to the last proven-complete LSN; a run
+    // is proven only once a HIGHER-LSN frame is visible after it. The final
+    // data batch still delivers and commits (its run is proven by the tx's
+    // own higher-LSN COMMIT); only trailing state frames stay pending,
+    // which costs nothing — they produce no rows, and readers get relation/
+    // begin state through the boundary snapshots.
+    if (!done && lastPlanned > before) {
       val headLsn = lastPlanned
       lastPlanned = prevDistinct
       scanSeg = runStartSeg
       scanOffset = runStartOffset
-      if (headLsn == retreatHeadLsn) {
-        retreatCount += 1
-        if (retreatCount == RetreatWarnThreshold)
-          org.slf4j.LoggerFactory.getLogger(classOf[PgWalMicroBatchStream]).warn(
-            s"pgwal: head run at lsn=$headLsn retreated for the " +
-              s"$RetreatWarnThreshold'th consecutive trigger — if the " +
-              "producer is done, it must append a higher-LSN frame (e.g. a " +
-              "COMMIT) to prove the run complete, or this run is withheld " +
-              "forever")
-      } else { retreatHeadLsn = headLsn; retreatCount = 1 }
+      // the stall diagnostic cares about DATA withheld at the head — a
+      // quiescent log's trailing COMMIT retreating forever is the norm
+      if (runHasData) {
+        if (headLsn == retreatHeadLsn) {
+          retreatCount += 1
+          if (retreatCount == RetreatWarnThreshold)
+            org.slf4j.LoggerFactory.getLogger(classOf[PgWalMicroBatchStream]).warn(
+              s"pgwal: head run at lsn=$headLsn retreated for the " +
+                s"$RetreatWarnThreshold'th consecutive trigger — if the " +
+                "producer is done, it must append a higher-LSN frame (e.g. a " +
+                "COMMIT) to prove the run complete, or this run is withheld " +
+                "forever")
+        } else { retreatHeadLsn = headLsn; retreatCount = 1 }
+      } else { retreatHeadLsn = -1L; retreatCount = 0 }
     } else { retreatHeadLsn = -1L; retreatCount = 0 }
     // Retention bound: planInputPartitions prunes keys below each batch
     // start, so steady-state holds ≤ 1 batch of snapshots. On an IDLE tick

@@ -70,11 +70,16 @@ class EqualLsnBoundarySpec extends AnyFunSuite {
       org.apache.spark.sql.Row(1L, 10L))
   }
 
-  test("a data run visible mid-flush is retreated, not cut; state runs advance") {
+  test("no tail run is provably complete: data runs retreat, and a trailing " +
+      "COMMIT must not become the boundary (real pgoutput reuses its LSN " +
+      "for the next transaction)") {
     // the appender's buffer can flush PART of an equal-LSN data run; the
     // admission scan must not plan a boundary at that LSN until a higher
-    // frame proves the run complete — but a trailing COMMIT (state-only)
-    // must keep advancing the boundary or the last batch never commits
+    // frame proves the run complete. The same holds for a trailing COMMIT:
+    // a real walsender starts the NEXT transaction at exactly the previous
+    // commit's walStart (observed live against PostgreSQL 15: C@x, B@x,
+    // I@x), so a boundary ON the commit LSN silently loses that next
+    // transaction's first change once it arrives.
     val walDir = Files.createTempDirectory("graft-midflush").toString
     val seg = Paths.get(walDir, "00000000.wal")
     val rel = WalLog.Frame(10L, PgOutputEncoder.encode(relation))
@@ -88,23 +93,48 @@ class EqualLsnBoundarySpec extends AnyFunSuite {
     WalLog.write(seg, Seq(rel, begin) ++ insAt(100L, 1 to 2))
     val b1 = stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn
     assert(b1 < 100L, s"boundary must stay below the unproven run, got $b1")
-    // flush 2: the full run plus its COMMIT (state-only) appears
+    // flush 2: the full run plus its COMMIT appears. The run at 100 is now
+    // proven (a higher frame follows) and must deliver; the trailing COMMIT
+    // at 200 is itself unproven — the boundary stops BELOW it
     WalLog.write(seg, Seq(rel, begin) ++ insAt(100L, 1 to 3) :+
       WalLog.Frame(200L,
         PgOutputEncoder.encode(Commit(0, 200L, 200L, 700000000000000L))))
     val b2 = stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn
-    assert(b2 == 200L, s"boundary must advance through the commit, got $b2")
+    assert(b2 == 100L,
+      s"boundary must deliver the proven run but stay below the trailing " +
+        s"commit, got $b2")
     // the batch (b1, b2] must deliver all 3 rows of the run exactly once
-    val parts = stream.planInputPartitions(
-      graft.source.wal.LsnOffset(b1), graft.source.wal.LsnOffset(b2))
     val readerFactory = stream.createReaderFactory()
-    val rows = parts.flatMap { pt =>
-      val r = readerFactory.createReader(pt)
-      val buf = scala.collection.mutable.Buffer.empty[Long]
-      try while (r.next()) buf += r.get().getLong(6) finally r.close()
-      buf
-    }
+    def rowsIn(lo: Long, hi: Long): Seq[Long] = stream.planInputPartitions(
+      graft.source.wal.LsnOffset(lo), graft.source.wal.LsnOffset(hi))
+      .flatMap { pt =>
+        val r = readerFactory.createReader(pt)
+        val buf = scala.collection.mutable.Buffer.empty[Long]
+        try while (r.next()) buf += r.get().getLong(6) finally r.close()
+        buf
+      }.toSeq
+    val rows = rowsIn(b1, b2)
     assert(rows.count(_ == 100L) == 3,
-      s"expected the full 3-frame run at lsn 100, got ${rows.toSeq}")
+      s"expected the full 3-frame run at lsn 100, got $rows")
+
+    // flush 3: the live-discovered shape — the next transaction CONTINUES
+    // AT THE COMMIT'S LSN (B@200, I@200), its own commit at 300. The run at
+    // 200 is now proven; its data row must be delivered, not lost below an
+    // already-planned boundary.
+    WalLog.write(seg, Seq(rel, begin) ++ insAt(100L, 1 to 3) ++ Seq(
+      WalLog.Frame(200L,
+        PgOutputEncoder.encode(Commit(0, 200L, 200L, 700000000000000L))),
+      WalLog.Frame(200L,
+        PgOutputEncoder.encode(Begin(300L, 700000000000001L, 8))),
+      WalLog.Frame(200L, PgOutputEncoder.encode(ins(4L))),
+      WalLog.Frame(300L,
+        PgOutputEncoder.encode(Commit(0, 300L, 300L, 700000000000001L)))))
+    val b3 = stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn
+    assert(b3 == 200L,
+      s"boundary must admit the proven continuation run at 200, got $b3")
+    val rows3 = rowsIn(b2, b3)
+    assert(rows3 == Seq(200L),
+      s"the next transaction's first change (riding the previous commit's " +
+        s"LSN) must be delivered exactly once, got $rows3")
   }
 }

@@ -60,9 +60,12 @@ class HardeningSpec extends AnyFunSuite {
       .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
         r.getString(3), r.getDouble(4), r.getString(5)))
     WalFixture.writeLog(ev, walDir)
-    // append a junk frame past the valid ones
+    // append a junk frame past the valid ones, PROVEN by a higher-LSN
+    // successor — an unproven tail run is (correctly) withheld from
+    // batches, so a bare trailing junk frame would never reach a decoder
     WalLog.write(java.nio.file.Paths.get(walDir, "00000001.wal"),
-      Seq(WalLog.Frame(999999L, Array[Byte]('Z', 1, 2, 3))))
+      Seq(WalLog.Frame(999999L, Array[Byte]('Z', 1, 2, 3)),
+        WalLog.Frame(1000999L, Array[Byte]('Z', 9, 9, 9))))
     val out = Files.createTempDirectory("graft-bad-out").toString
     val ckpt = Files.createTempDirectory("graft-bad-ckpt").toString
     val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,

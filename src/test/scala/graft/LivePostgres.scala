@@ -12,7 +12,8 @@ object LivePostgres {
   val ScramPassword = "tiger+sesame"
 
   private lazy val harness: Option[PgServerHarness] =
-    PgServerHarness.start(SuperUser, Some((ScramUser, ScramPassword)))
+    PgServerHarness.start(SuperUser, Some((ScramUser, ScramPassword)),
+      tls = true)
 
   lazy val available: Boolean = harness.isDefined
 
@@ -20,6 +21,10 @@ object LivePostgres {
 
   def endpoint(user: String, password: Option[String]): SocketCopyBothChannel.Endpoint =
     harness.get.endpoint(user, password)
+
+  /** The server's self-signed certificate — the sslrootcert for
+    * verify-ca/verify-full clients (None when TLS didn't come up). */
+  def serverCert: Option[java.nio.file.Path] = harness.flatMap(_.serverCert)
 
   /** A fresh superuser session over our own wire stack (trust auth). */
   def session(): PgSession = harness.get.session()

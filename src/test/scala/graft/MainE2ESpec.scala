@@ -152,11 +152,18 @@ class MainE2ESpec extends AnyFunSuite {
 
       // the child reported durable progress back over the wire: batch 2's
       // run committed batch 1, and the farewell status (spooler.close on
-      // the drain path) carried that confirmed LSN to the server
+      // the drain path) carried that confirmed LSN to the server. The
+      // confirmed position reaches the final DATA frame (0x902) but stays
+      // below the trailing COMMIT frame: a real walsender reuses a commit's
+      // LSN for the next transaction's first change (PgLiveWireSpec), so
+      // the boundary — and with it the confirmable position — must not
+      // advance onto an unproven trailing run. At-least-once is preserved:
+      // on restart the server re-sends from the last commit and consumers
+      // dedup on meta.lsn.
       assert(srv.statuses.toArray.exists {
-        case s: Status => s.flushed >= 0x910L
+        case s: Status => s.flushed >= 0x902L
         case _ => false
-      }, s"server never saw flushed >= 0/910: ${srv.statuses}")
+      }, s"server never saw flushed >= 0/902: ${srv.statuses}")
     } finally srv.close()
   }
 

@@ -86,6 +86,44 @@ class PgLiveWireSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("28P01"), s"got: ${bad.getMessage}")
   }
 
+  test("live TLS: SSLRequest + JSSE handshake against real postgres ssl=on; " +
+      "verify-full accepts the IP-SAN cert; a foreign root is refused") {
+    live()
+    assume(LivePostgres.serverCert.isDefined, "server booted without TLS")
+    val cert = LivePostgres.serverCert.get.toString
+    import graft.source.postgres.PgTls
+
+    // require: encrypted, unauthenticated — and provably ON TLS per the
+    // server's own accounting (pg_stat_ssl for this backend)
+    def tlsEndpoint(mode: String, root: Option[String]) =
+      LivePostgres.endpoint(LivePostgres.SuperUser, None)
+        .copy(ssl = PgTls.SslConfig(mode, root))
+    val sReq = PgSession.connect(tlsEndpoint("require", None))
+    try {
+      val r = sReq.simpleQuery(
+        "SELECT ssl::text AS on FROM pg_stat_ssl WHERE pid = pg_backend_pid()")
+      assert(r.single("on").contains("true"), "session not actually on TLS")
+      // the replication command set works over the encrypted session
+      assert(sReq.simpleQuery("IDENTIFY_SYSTEM").single("systemid")
+        .exists(_.nonEmpty))
+    } finally sReq.close()
+
+    // verify-full: chain verified against the self-signed root AND the
+    // dialed IP checked against the certificate's IP SAN
+    val sFull = PgSession.connect(tlsEndpoint("verify-full", Some(cert)))
+    try assert(sFull.simpleQuery("SELECT 1 AS one").single("one").contains("1"))
+    finally sFull.close()
+
+    // verify-ca with a DIFFERENT root: handshake must fail, never downgrade
+    val foreignDir = Files.createTempDirectory("livepg-foreign")
+    val foreign = graft.source.postgres.PgServerHarness
+      .selfSignedCert(foreignDir, "127.0.0.1", "foreign-ca")
+    assume(foreign.isDefined, "no openssl for the foreign-root case")
+    intercept[Exception] {
+      PgSession.connect(tlsEndpoint("verify-ca", Some(foreign.get._1.toString)))
+    }
+  }
+
   test("live cold start: snapshot READs see exactly pre-boundary rows; " +
       "CopyBoth streams exactly the post-boundary DML; confirmed_flush_lsn " +
       "advances on standby status") {
@@ -184,6 +222,97 @@ class PgLiveWireSpec extends AnyFunSuite {
       assert(boot.outcome == SnapshotBootstrap.Resumed)
       assert(boot.startLsn == 0xABCDEL)
     } finally s.close()
+  }
+
+  test("live full pipeline: postgres DML → wire pump → DSv2 source → sink; " +
+      "confirmed_flush_lsn advances only after the sink epoch") {
+    live()
+    import graft.source.postgres.WirePump
+    import graft.streaming.StreamingPipeline
+    val admin = LivePostgres.session()
+    admin.simpleQuery("CREATE TABLE public.live_pipe(" +
+      "id bigint PRIMARY KEY, v text)")
+    admin.simpleQuery("ALTER TABLE public.live_pipe REPLICA IDENTITY FULL")
+    val streams = Seq(StreamDef("live_pipe", "public.live_pipe",
+      Seq("insert", "update", "delete"), "cdc.live_pipe"))
+    val s = LivePostgres.session()
+    val boot = WireBootstrap.bootstrap(s, "graft_pipe_slot", "graft_pipe_pub",
+      streams, confirmedLsn = 0L, emit = _ => (), flushDelivery = () => ())
+    val walDir = Files.createTempDirectory("live_pipe_wal").toString
+    val out = Files.createTempDirectory("live_pipe_out").toString
+    val ckpt = Files.createTempDirectory("live_pipe_ckpt").toString
+    val ch = s.startReplication("graft_pipe_slot", "graft_pipe_pub",
+      ChangeEvent.lsnText(boot.startLsn), readTimeoutMs = 200)
+    val sp = new ReplicationSpooler(ch, walDir)
+    val spark = SparkTestBase.spark
+    val q = StreamingPipeline.start(spark, walDir, streams, ckpt, out,
+      kafkaBootstrap = None, triggerMs = 50L)
+    @volatile var wireDead: Throwable = null
+    val pump = new WirePump(sp,
+      onFatal = e => { wireDead = e; q.stop() }).start()
+    try {
+      admin.simpleQuery(
+        "INSERT INTO public.live_pipe VALUES (1, 'a'), (2, 'b')")
+      admin.simpleQuery("UPDATE public.live_pipe SET v = 'a2' WHERE id = 1")
+      admin.simpleQuery("DELETE FROM public.live_pipe WHERE id = 2")
+      // Main's drain-to-quiet shape: the wire spools asynchronously, so
+      // keep processing until the sink holds all four events
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var n = 0L
+      while (n < 4 && System.nanoTime() < deadline && wireDead == null) {
+        q.processAllAvailable()
+        n = try spark.read.parquet(out).count()
+          catch { case _: Throwable => 0L }
+        if (n < 4) Thread.sleep(200)
+      }
+      // Spark commits source offsets for epoch N during epoch N+1 (same as
+      // the built-in Kafka source), so nudge one more change through to
+      // force a later epoch and wait for the confirmed-LSN file to appear
+      admin.simpleQuery("INSERT INTO public.live_pipe VALUES (3, 'c')")
+      while ((WalLog.confirmed(walDir) == 0L || n < 5) &&
+          System.nanoTime() < deadline && wireDead == null) {
+        q.processAllAvailable()
+        n = try spark.read.parquet(out).count()
+          catch { case _: Throwable => 0L }
+        Thread.sleep(100)
+      }
+      q.stop()
+      assert(wireDead == null, s"wire died: $wireDead")
+      val vals = spark.read.parquet(out)
+        .select(org.apache.spark.sql.functions.col("topic"),
+          org.apache.spark.sql.functions.col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(vals.size == 5, s"expected 5 sink rows, got $vals")
+      assert(vals.forall(_._1 == "cdc.live_pipe"))
+      assert(vals.count(_._2.contains("\"op\":\"INSERT\"")) == 3)
+      assert(vals.count(_._2.contains("\"op\":\"UPDATE\"")) == 1)
+      assert(vals.count(_._2.contains("\"op\":\"DELETE\"")) == 1)
+      assert(vals.exists(_._2.contains("""{"id":1,"v":"a2"}""")),
+        "update must carry the new row")
+      assert(vals.exists(_._2.contains("""{"id":2,"v":"b"}""")),
+        "delete must carry the full old row (REPLICA IDENTITY FULL)")
+
+      // the DSv2 commit() wrote the confirmed LSN after the sink epoch;
+      // the spooler's status update carries it to the real server
+      val confirmed = WalLog.confirmed(walDir)
+      assert(confirmed > 0L, "sink epoch must have committed a confirmed LSN")
+      sp.sendStatus()
+      var advanced = false
+      val d2 = System.nanoTime() + 10L * 1000000000L
+      while (!advanced && System.nanoTime() < d2) {
+        val c = admin.simpleQuery("SELECT confirmed_flush_lsn AS c FROM " +
+          "pg_replication_slots WHERE slot_name = 'graft_pipe_slot'")
+          .single("c")
+        advanced = c.exists(v => v.nonEmpty && lsn(v) >= confirmed)
+        if (!advanced) { sp.sendStatus(); Thread.sleep(200) }
+      }
+      assert(advanced,
+        "server's confirmed_flush_lsn never reached the sink-committed LSN")
+    } finally {
+      pump.close()
+      try sp.close() catch { case _: Throwable => () }
+      admin.close()
+    }
   }
 
   test("live in-stream DDL: ALTER TABLE ADD COLUMN re-sends Relation; " +

@@ -30,6 +30,18 @@ class WalStreamSpec extends AnyFunSuite {
   test("micro-batch WAL source delivers every change exactly once, in order") {
     val out = Files.createTempDirectory("graft-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // private log copy: this test appends a nudge event (to prove the old
+    // tail and fire the deferred final commit) which must not leak into the
+    // shared fixture other tests count against
+    val walDir = {
+      val dir = Files.createTempDirectory("graft-wal-own").toString
+      val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+        .orderBy("event_id").collect().iterator
+        .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L,
+          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      WalFixture.writeLog(ev, dir)
+      dir
+    }
     val metrics = new GraftMetrics
     val listener = new GraftQueryListener(metrics)
     spark.streams.addListener(listener)
@@ -38,7 +50,6 @@ class WalStreamSpec extends AnyFunSuite {
         ckpt, out, kafkaBootstrap = None, triggerMs = 50L,
         maxEventsPerBatch = 1000)
       q.processAllAvailable()
-      q.stop()
 
       val got = spark.read.parquet(out)
       val expected = graft.queries.CdcQueries.cdcKafkaMessages._1(spark, SparkTestBase.sf)
@@ -57,13 +68,22 @@ class WalStreamSpec extends AnyFunSuite {
       assert(gotSet.exceptAll(expSet).count() == 0)
       assert(expSet.exceptAll(gotSet).count() == 0)
       // commit() confirmed delivered epochs (standby-status analog). Spark
-      // commits source offsets for epoch N during epoch N+1, so the FINAL
-      // epoch confirms on the next cycle/restart — identical to the built-in
-      // Kafka source, and safe: the slot retains WAL until confirmed.
+      // commits source offsets for epoch N during epoch N+1, so a QUIESCENT
+      // log's final epoch stays unconfirmed until new activity — and the
+      // boundary itself holds below the trailing COMMIT frame (a real
+      // walsender reuses that LSN for the next transaction; advancing onto
+      // it loses the continuation — PgLiveWireSpec's discovery). One more
+      // event proves the old tail and triggers the deferred commits.
+      val seen = scala.collection.mutable.Set.empty[String]
+      WalLog.write(java.nio.file.Paths.get(walDir, "99999999.wal"),
+        WalFixture.frames(WalFixture.Ev(2000000L, 1700000000000000L, 1L,
+          "click", 1.0, "{}"), seen))
+      q.processAllAvailable()
+      q.stop()
       val confirmed = WalLog.confirmed(walDir)
       assert(confirmed > 0 && confirmed <= WalLog.maxLsn(walDir))
-      // observe() metrics flowed through the listener
-      assert(metrics.eventsProcessed.get() == expected.count())
+      // observe() metrics flowed through the listener (+1 = the nudge event)
+      assert(metrics.eventsProcessed.get() == expected.count() + 1)
       assert(metrics.batchesProcessed.get() > 1) // admission control split batches
       assert(metrics.live && metrics.ready)
       assert(metrics.render.contains("graft_events_processed_total"))
