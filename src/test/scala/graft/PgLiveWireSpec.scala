@@ -315,6 +315,62 @@ class PgLiveWireSpec extends AnyFunSuite {
     }
   }
 
+  test("live parallel snapshot: N partitions adopt the SAME exported " +
+      "snapshot on their own connections and see identical pre-slot state " +
+      "despite concurrent DML") {
+    live()
+    import graft.source.postgres.WireSnapshot
+    val admin = LivePostgres.session()
+    admin.simpleQuery("CREATE TABLE public.live_snap(" +
+      "id bigint PRIMARY KEY, v bigint)")
+    admin.simpleQuery("INSERT INTO public.live_snap " +
+      "SELECT i, i * 7 FROM generate_series(1, 1000) AS g(i)")
+    // the exporting session: slot created with EXPORT_SNAPSHOT (must NOT be
+    // inside a transaction block on a walsender); the snapshot stays
+    // importable only while this session stays OPEN AND IDLE — no further
+    // command until the distributed scan completes
+    val exporter = LivePostgres.session()
+    val slot = WireBootstrap.createSlot(exporter, "graft_psnap_slot",
+      graft.source.postgres.Replication.ExportSnapshot)
+    val snapName = slot.snapshotName.getOrElse(fail("no snapshot_name"))
+    // post-slot DML that the snapshot must NOT see
+    admin.simpleQuery("INSERT INTO public.live_snap " +
+      "SELECT i, 0 FROM generate_series(1001, 1100) AS g(i)")
+    admin.simpleQuery("UPDATE public.live_snap SET v = -1 WHERE id <= 500")
+    admin.simpleQuery("DELETE FROM public.live_snap WHERE id BETWEEN 900 AND 1000")
+    try {
+      val spark = SparkTestBase.spark
+      val df = WireSnapshot.scan(spark,
+        LivePostgres.endpoint(LivePostgres.SuperUser, None), snapName,
+        "public.live_snap", "id", numPartitions = 4,
+        boundaryLsn = slot.consistentPoint).cache()
+      assert(df.rdd.getNumPartitions == 4, "scan must fan out as planned")
+      // exactly the 1000 pre-slot rows — none of the 100 post-slot inserts,
+      // none of the updates, all 101 post-slot-deleted rows still visible
+      assert(df.count() == 1000)
+      import org.apache.spark.sql.functions.{col, get_json_object, sum}
+      val ids = df.select(
+        get_json_object(col("data"), "$.id").cast("long").as("id"),
+        get_json_object(col("data"), "$.v").cast("long").as("v"))
+      assert(ids.agg(sum("id")).head().getLong(0) == 500500L,
+        "id set must be exactly 1..1000")
+      assert(ids.agg(sum("v")).head().getLong(0) == 500500L * 7,
+        "values must be the PRE-update state in every partition")
+      assert(df.select("op").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("READ"))
+      assert(df.select("lsn").distinct().count() == 1,
+        "every partition stamps the one consistent point")
+    } finally {
+      // first command after the scan — this invalidates the exported
+      // snapshot, which is fine now that every partition has committed
+      try exporter.simpleQuery(
+        graft.source.postgres.Replication.dropSlot("graft_psnap_slot"))
+      catch { case _: Throwable => () }
+      exporter.close()
+      admin.close()
+    }
+  }
+
   test("live in-stream DDL: ALTER TABLE ADD COLUMN re-sends Relation; " +
       "subsequent inserts carry the new column") {
     live()
