@@ -104,11 +104,14 @@ object Components {
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
+      // large is NOT checkpointed: it's consumed once by the small-star
+      // below, so materializing it separately would double the round's
+      // job count — the small-star's own checkpoint truncates the lineage
       val large = bidir.join(mins, col("u") === col("cu"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct()
       // small-star: per node x, m = min(x's smaller neighbors ∪ {x}); x and
       // each smaller neighbor re-point to m. Direction u > v preserved.
       val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
