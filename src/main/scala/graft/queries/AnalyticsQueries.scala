@@ -1085,7 +1085,40 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
       |FROM events GROUP BY 1, 2""".stripMargin)
 
+  // Salted fact-to-dim JOIN — the manual skew-mitigation pattern for a hot
+  // key (events_salted_agg covers the AGGREGATE flavor; this is the join):
+  // the per-user profile dim is replicated across 8 salt values and the
+  // fact picks a DETERMINISTIC per-row salt (hash of varying columns — not
+  // rand(), which breaks retry idempotency), so one hot user's rows spread
+  // over 8 reducers instead of one. Salting is pure plan shape: the oracle
+  // runs the UNSALTED join and the results must hash-match exactly — the
+  // property that makes the trick safe to deploy.
+  val eventsSkewJoin: (QFn, String) = (
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      val profile = ev.groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_us"))
+      val dim = profile.withColumn("salt",
+        explode(expr("sequence(0, 7)")))
+      val fact = ev.withColumn("salt",
+        pmod(hash(col("user_id"), col("ts_us")), lit(8)))
+      fact.join(dim, Seq("user_id", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts_us") - col("first_us") > 2592000000000L, 1L)
+            .otherwise(0L)).as("n_mature")) // >30 days after first sight
+    },
+    """WITH p AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN epoch_us(e.ts) - p.first_us > 2592000000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mature
+      |FROM events e JOIN p ON e.user_id = p.user_id
+      |GROUP BY 1""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,
     "olap_small_qty_revenue" -> olapSmallQtyRevenue,
     "olap_dormant_customers" -> olapDormantCustomers,

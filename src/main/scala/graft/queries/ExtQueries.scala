@@ -143,6 +143,36 @@ object ExtQueries {
        |  CAST(row_number() OVER (ORDER BY df DESC, w) AS BIGINT) AS df_rank
        |FROM top""".stripMargin)
 
+  // IDF-flavored rarity scoring in EXACT integers — the "how unusual is
+  // this document's vocabulary" signal used for corpus curation (rare-token
+  // documents are either high-value long tail or garbage; either way they
+  // get routed differently). Per token: weight = 1e6 div df (integer
+  // division — no log(), whose libm rounding differs across engines and
+  // breaks hash-exactness); per document: sum and integer mean over
+  // DISTINCT tokens. Two shuffles — the df build and the join back — the
+  // canonical IDF shape; the df side is corpus-vocabulary-sized and AQE
+  // broadcasts it when small.
+  val textRarityScore: (QFn, String) = (
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokensCol(col("text")))).as("w"))
+      val dfx = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      tok.join(dfx, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(expr("1000000 div df")).as("rarity_sum"))
+        .withColumn("rarity_mean", expr("rarity_sum div n_distinct"))
+    },
+    s"""$toksCte,
+       |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+       |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+       |j AS (SELECT t.doc_id, 1000000 // d.df AS wgt
+       |      FROM tok t JOIN dfx d ON t.w = d.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(wgt) AS BIGINT) AS rarity_sum,
+       |  CAST(sum(wgt) // count(*) AS BIGINT) AS rarity_mean
+       |FROM j GROUP BY doc_id""".stripMargin)
+
   // Repeated n-gram fraction — the standard repetition quality gate for
   // training corpora (the "duplicate n-gram fraction" family of filter
   // rules): documents dominated by repeated 2/3-grams are boilerplate or
@@ -1404,6 +1434,7 @@ object ExtQueries {
     "text_ngram_topk" -> textNgramTopk,
     "text_vocab_stats" -> textVocabStats,
     "text_repetition" -> textRepetition,
+    "text_rarity_score" -> textRarityScore,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_edit_distance" -> dedupEditDistance,

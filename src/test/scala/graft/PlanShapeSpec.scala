@@ -404,6 +404,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the one-row global aggregate must broadcast in:\n$p")
   }
 
+  test("events_skew_join: the join key carries the salt; no cartesian") {
+    val p = plan("events_skew_join")
+    // both join sides must key on (user_id, salt) — a plain user_id join
+    // means the salting silently fell out of the plan
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("user_id"))
+    assert(joinLine.exists(_.contains("salt")),
+      s"join must include the salt key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
   test("olap_small_qty_revenue broadcasts brand keys; no cartesian") {
     val p = plan("olap_small_qty_revenue")
     assert(p.contains("BroadcastHashJoin"),
