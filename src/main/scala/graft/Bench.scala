@@ -332,6 +332,48 @@ object Bench {
                 f"$secs%.2f s = ${n / secs}%.0f events/s (min of " +
                 f"${trials.size} trials)")
           }
+          // ---- 10× live point: ~1M-row backlog through the same wire ----
+          // One trial (like wal_drain_10x): substantiates that the wire
+          // client's throughput holds at a 1M-event retained backlog, not
+          // just the 99k headline. Generation is server-side set-based SQL
+          // (the reference's BATCH_SIZE discipline), untimed.
+          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_10X", "1") != "0") try {
+            val n10 = 999000
+            (n until (n + n10) by 111000).foreach { lo =>
+              admin.simpleQuery("INSERT INTO public.bench_records " +
+                s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
+                s"repeat('x', 100), now() FROM " +
+                s"generate_series(${lo + 1}, ${lo + 111000}) AS g(i)")
+            }
+            val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
+              "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+            val walDir = Files.createTempDirectory("graft-bench-live10").toString
+            val ch = h.session().startReplication("graft_bench_slot",
+              "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
+              readTimeoutMs = 1000)
+            val sp = new ReplicationSpooler(ch, walDir)
+            val t0 = System.nanoTime()
+            val deadline = t0 + 300L * 1000000000L
+            while (sp.lastReceivedLsn < end10 && System.nanoTime() < deadline)
+              sp.pumpOnce()
+            val secs10 = (System.nanoTime() - t0) / 1e9
+            sp.flush()
+            val nIns10 = WalLog.read(walDir, 0L, Long.MaxValue)
+              .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
+            sp.close()
+            val total10 = n + n10
+            if (nIns10 < total10)
+              System.err.println(
+                s"[bench] live_drain_10x WARNING: spooled $nIns10 of $total10")
+            else {
+              results("live_drain_10x") = secs10
+              System.err.println(
+                f"[bench] live_drain_10x: $total10 events over the real " +
+                  f"wire in $secs10%.2f s = ${total10 / secs10}%.0f events/s")
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
+          }
           admin.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
@@ -404,7 +446,8 @@ object Bench {
     // total and corrupt it — list them separately instead.
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
-      .filterNot { case (k, v) => k == "wal_drain_10x" || v < 0 }.values.sum
+      .filterNot { case (k, v) =>
+        k == "wal_drain_10x" || k == "live_drain_10x" || v < 0 }.values.sum
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qs,""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
