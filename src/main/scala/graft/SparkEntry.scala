@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CdcQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CdcQueries, ExtQueries, OlapDeepQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[Map[String, (CdcQueries.QFn, String)]] = Seq(
-    CdcQueries.all, ExtQueries.all, AnalyticsQueries.all)
+    CdcQueries.all, ExtQueries.all, AnalyticsQueries.all, OlapDeepQueries.all)
 
   /** Flagship: the full CDC pipeline — change-log → typed envelope →
     * broadcast routing fan-out → serialize-once JSON → Kafka-shaped

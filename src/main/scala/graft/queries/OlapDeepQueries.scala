@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.cdc.ChangeLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The deeper TPC-H-shaped OLAP tier: multi-fact join chains, disjunctive
+  * predicates, distribution queries, and exists/not-exists decorrelation —
+  * the query shapes a warehouse migration actually exercises beyond simple
+  * star rollups. (Q2/Q11/Q16/Q20 need a `partsupp` table the fixture set
+  * does not carry; Q12/Q19/Q21 are adapted to the columns that exist —
+  * lateness is derived from `l_shipdate - o_orderdate` because the fixtures
+  * have no commit/receipt dates, and Q19's disjunction runs on
+  * brand × size × quantity without the container/shipmode legs.)
+  *
+  * Parity rules follow [[AnalyticsQueries]]: money as floor-scaled integer
+  * units, dates compared in epoch-µs, deterministic tiebreaks on every
+  * top-k.
+  */
+object OlapDeepQueries {
+  import CdcQueries.QFn
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    ChangeLog.table(s, dir, name)
+
+  private val US_1996_01_01 = 820454400000000L
+  private val US_1997_01_01 = 852076800000000L
+  private val US_1997_07_01 = 867715200000000L
+  private val US_1999_01_01 = 915148800000000L
+  private val US_60_DAYS    = 5184000000000L
+
+  private def revE4 =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+      .cast("long").as("rev_e4")
+
+  // TPC-H Q7-shaped volume shipping: bilateral trade between two nations by
+  // ship year. Both nation filters are applied ON THE DIMENSION SIDE before
+  // any fact is touched — supplier and customer shrink to ~2/25 of their
+  // size and broadcast; the fact's only shuffle is the lineitem⋈orders hash
+  // join on the order key. The pair condition (supp ≠ cust nation) runs on
+  // two broadcast-joined name columns, not a second fact pass.
+  val olapVolumeShipping: (QFn, String) = (
+    (s, dir) => {
+      val natPair = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_4"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), revE4,
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"),
+          expr("year(cast(l_shipdate as timestamp))").cast("long").as("l_year"))
+        .filter(col("sd_us") >= lit(US_1996_01_01) &&
+          col("sd_us") < lit(US_1999_01_01))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_e4")).as("volume_e4"), count(lit(1)).as("n_lines"))
+    },
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS volume_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_3', 'NATION_4')
+      |  AND cn.n_name IN ('NATION_3', 'NATION_4')
+      |  AND sn.n_name <> cn.n_name
+      |  AND epoch_us(l.l_shipdate) >= 820454400000000
+      |  AND epoch_us(l.l_shipdate) < 915148800000000
+      |GROUP BY 1, 2, 3""".stripMargin)
+
+  // TPC-H Q9-shaped product profit: profit on a name-matched part family by
+  // supplier nation and order year. The part filter (`p_name LIKE
+  // '%widget%'`) reduces the dimension before broadcast — the fact is
+  // semi-reduced by the broadcast hash join, never scanned twice. The order
+  // year arrives via the single lineitem⋈orders shuffle; nations broadcast
+  // onto the supplier key. (No partsupp in the fixtures, so profit is
+  // discounted revenue without the supplycost leg.)
+  val olapProductProfit: (QFn, String) = (
+    (s, dir) => {
+      val widget = t(s, dir, "part")
+        .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("year(cast(o_orderdate as timestamp))").cast("long").as("o_year"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revE4)
+        .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"), col("o_year"))
+        .agg(sum(col("rev_e4")).as("profit_e4"), count(lit(1)).as("n_lines"))
+    },
+    """SELECT sn.n_name AS supp_nation,
+      |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS profit_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2""".stripMargin)
+
+  // TPC-H Q12-shaped shipping-delay priority impact: one fact⋈fact hash
+  // join on the order key, then a two-way conditional count per lateness
+  // bucket (no shipmode column in the fixtures — the bucket IS the derived
+  // lateness class). The CASE counts are partial-aggregable conditional
+  // sums; output is two rows regardless of scale.
+  val olapLateShipmentPriority: (QFn, String) = (
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("sd_us") - col("od_us") > lit(US_60_DAYS), "late_60d")
+            .otherwise("on_time").as("ship_bucket"),
+          col("o_orderpriority"))
+        .groupBy(col("ship_bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    },
+    """SELECT CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 5184000000000
+      |    THEN 'late_60d' ELSE 'on_time' END AS ship_bucket,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin)
+
+  // TPC-H Q13-shaped customer order-count distribution: aggregate the FACT
+  // first (one shuffle over orders alone — the left join then matches
+  // pre-aggregated counts, so the join input is |customers| + |custkeys
+  // with orders|, never |orders| rows), left-join customers to keep the
+  // zero-order population, and fold into the distribution. Output is
+  // O(distinct counts) — tiny at any scale.
+  val olapCustomerDistribution: (QFn, String) = (
+    (s, dir) => {
+      val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin)
+
+  // TPC-H Q15-shaped top supplier: per-supplier H1-1997 revenue, keep the
+  // row(s) equal to the global max. The max is a one-row broadcast cross
+  // join over the ALREADY-AGGREGATED per-supplier frame (|suppliers| rows,
+  // not |lineitem|), so the "scalar subquery" costs one extra reduction of
+  // an aggregate that exists anyway; the supplier name joins in by
+  // broadcast after the filter has cut the frame to the winner(s).
+  val olapTopSupplier: (QFn, String) = (
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), revE4,
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        .filter(col("sd_us") >= lit(US_1997_01_01) &&
+          col("sd_us") < lit(US_1997_07_01))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_e4")).as("total_rev_e4"))
+      val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_e4") === col("max_rev_e4"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+    },
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_e4
+      |  FROM lineitem
+      |  WHERE epoch_us(l_shipdate) >= 852076800000000
+      |    AND epoch_us(l_shipdate) < 867715200000000
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+      |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""".stripMargin)
+
+  // TPC-H Q19-shaped disjunctive revenue: an OR-of-ANDs predicate spanning
+  // both join sides. The brand IN-list is the conjunct common to every
+  // disjunct, so it pushes into the part scan and shrinks the broadcast to
+  // 3/25 of the dimension; the residual disjunction evaluates post-join
+  // inside whole-stage codegen. The anti-pattern this query guards against
+  // is a UNION of three scans — one fact pass, not three.
+  val olapDisjunctiveRevenue: (QFn, String) = (
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), revE4)
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 15.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10.0, 25.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20.0, 40.0))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(sum(col("rev_e4")).as("disc_rev_e4"), count(lit(1)).as("n_lines"))
+    },
+    """SELECT
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS disc_rev_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 15)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity BETWEEN 10 AND 25)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin)
+
+  // TPC-H Q21-shaped waiting suppliers: suppliers who were the SOLE late
+  // shipper on a finished multi-supplier order. The exists/not-exists pair
+  // decorrelates into ONE pass: per-(order, supplier) lateness by
+  // aggregation, then per-order (n_supp, n_late) as window sums OVER THE
+  // AGGREGATED frame — a join back of a per-order aggregate would scan and
+  // shuffle the fact twice (Spark does not share the common subtree), while
+  // the window re-shuffles only |order × supplier| aggregated rows and
+  // sorts within per-order groups of a handful of rows. No correlated
+  // per-row probe, no self-join of the raw fact. Top-20 is a distributed
+  // TakeOrderedAndProject with a key tiebreak.
+  val olapWaitingSuppliers: (QFn, String) = (
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+      val perSupp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("sd_us") - col("od_us") > lit(US_60_DAYS), 1L)
+          .otherwise(0L)).as("late"))
+      val byOrder = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(byOrder))
+        .withColumn("n_late", sum(col("late")).over(byOrder))
+        .filter(col("late") === 1L && col("n_supp") >= 2L &&
+          col("n_late") === 1L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_waiting"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    """WITH per_supp AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    max(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 5184000000000
+      |      THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |per_ord AS (
+      |  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      |  FROM per_supp GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, CAST(cnt.n_waiting AS BIGINT) AS n_waiting
+      |FROM (
+      |  SELECT ps.l_suppkey, count(*) AS n_waiting
+      |  FROM per_supp ps JOIN per_ord po ON ps.l_orderkey = po.l_orderkey
+      |  WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+      |  GROUP BY 1) cnt
+      |JOIN supplier s ON cnt.l_suppkey = s.s_suppkey
+      |ORDER BY n_waiting DESC, s.s_suppkey LIMIT 20""".stripMargin)
+
+  val all: Map[String, (QFn, String)] = Map(
+    "olap_volume_shipping" -> olapVolumeShipping,
+    "olap_product_profit" -> olapProductProfit,
+    "olap_late_shipment_priority" -> olapLateShipmentPriority,
+    "olap_customer_distribution" -> olapCustomerDistribution,
+    "olap_top_supplier" -> olapTopSupplier,
+    "olap_disjunctive_revenue" -> olapDisjunctiveRevenue,
+    "olap_waiting_suppliers" -> olapWaitingSuppliers)
+}

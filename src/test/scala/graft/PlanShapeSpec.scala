@@ -421,4 +421,49 @@ class PlanShapeSpec extends AnyFunSuite {
       s"brand-key dim join must broadcast in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
   }
+
+  test("olap_volume_shipping: nation filters cut dims pre-broadcast; facts join once") {
+    val p = plan("olap_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation-filtered dims must broadcast in:\n$p")
+    // the two-nation IN-list must land on the dimension scan side, not as a
+    // post-join residual over the fact
+    assert(p.contains("NATION_3"), s"nation filter missing from:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
+  test("olap_waiting_suppliers: decorrelated — no fact self-join, distributed top-k") {
+    val p = plan("olap_waiting_suppliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed partial top-k in:\n$p")
+    // the raw lineitem parquet must be scanned exactly once — the
+    // exists/not-exists pair is aggregation + window over one scan, not a
+    // self-join of the fact against itself
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"expected one lineitem scan, got $factScans in:\n$p")
+    assert(p.contains("Window"), s"per-order window sums missing from:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
+  test("olap_disjunctive_revenue: brand IN-list prunes the broadcast dim") {
+    val p = plan("olap_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"brand-filtered part dim must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunction must stay a residual on ONE equi-join, not degrade to:\n$p")
+  }
+
+  test("olap_customer_distribution aggregates orders before the left join") {
+    val p = plan("olap_customer_distribution")
+    // the left join's right side must be the pre-aggregated per-custkey
+    // counts: an aggregate must appear BELOW the join in the plan text
+    val joinIdx = p.linesIterator.indexWhere(_.contains("LeftOuter"))
+    val aggBelow = p.linesIterator.toSeq.drop(joinIdx + 1)
+      .exists(_.contains("HashAggregate"))
+    assert(joinIdx >= 0 && aggBelow,
+      s"orders must pre-aggregate below the left join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
 }
