@@ -47,6 +47,32 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
       |FROM events GROUP BY 1, 2""".stripMargin)
 
+  // Hopping (sliding) 1-hour windows with a 30-min slide: each event lands
+  // in size/slide = 2 overlapping windows via an explicit 2-row explode —
+  // exactly the expansion Spark's own `window(ts, "1 hour", "30 minutes")`
+  // performs internally (TimeWindow rewrites to an explode over slide
+  // slots); spelling it out keeps the ns-as-long event time in exact
+  // integer µs arithmetic on both engines. Cost is 2× the input rows into
+  // one partial-aggregable groupBy — never a self-join of the stream
+  // against shifted copies of itself.
+  val eventsHopWindow: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(tsUs.as("ts_us"), col("event_type"), col("value"))
+      .select(col("ts_us"), col("event_type"), col("value"),
+        explode(array(lit(0L), lit(1L))).as("k"))
+      .select(
+        ((expr("ts_us div 1800000000") - col("k")) * lit(1800000000L))
+          .as("window_start_us"),
+        col("event_type"), col("value"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_e6")),
+    """SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS window_start_us,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |GROUP BY 1, 2""".stripMargin)
+
   // Sessionization: per-user sessions split on >30 min inactivity gaps —
   // lag + running sum of boundary flags, the classic shuffle-once pattern
   // (one hash partition per user key, same as mapGroupsWithState state
@@ -1148,6 +1174,7 @@ object AnalyticsQueries {
     "olap_order_priority" -> olapOrderPriority,
     "events_funnel" -> eventsFunnel,
     "events_window_agg" -> eventsWindowAgg,
+    "events_hop_window" -> eventsHopWindow,
     "events_sessionize" -> eventsSessionize,
     "olap_pricing_summary" -> olapPricingSummary,
     "olap_top_customers" -> olapTopCustomers,

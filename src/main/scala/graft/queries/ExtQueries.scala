@@ -6,6 +6,8 @@ import graft.multimodal.Multimodal
 import graft.sim.Vectors
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1008,6 +1010,45 @@ object ExtQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
        |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin)
 
+  // Bloom-prefiltered decontamination — the shape that survives a benchmark
+  // set too large to broadcast-join against every corpus gram. The benchmark
+  // grams fold into a ~MB bloom bitmap via a DISTRIBUTED treeAggregate (only
+  // the bitmap reaches the driver — the same materialization Spark's own
+  // InjectRuntimeFilter performs for its bloom runtime filters); the corpus
+  // then probes the bitmap inside whole-stage codegen, so 99%+ of grams die
+  // at the scan without shuffling ANYTHING, and only bloom survivors (true
+  // hits + ~1% false positives) reach the exact join that removes the FPs.
+  // Result is therefore hash-identical to pipeline_decontaminate — the
+  // property that makes the prefilter safe to deploy; the oracle pins it.
+  val pipelineBloomDecontaminate: (QFn, String) = (
+    (s, dir) => {
+      val grams = shingles(s, dir).withColumnRenamed("s", "gram")
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "gram")
+      val benchH = bench.select(xxhash64(col("gram")).as("h"))
+      val bf = benchH.stat.bloomFilter("h",
+        math.max(benchH.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val mightContain = ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(lit(bos.toByteArray)),
+        ColumnBridge.expression(xxhash64(col("gram")))))
+      corpus.filter(mightContain)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    s"""$toksCte,
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |        FROM toks WHERE len(t) >= 3),
+       |g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM idx),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin)
+
   // Sub-document (chunk-level) exact dedup: fixed 20-token chunks hashed and
   // grouped — catches boilerplate shared ACROSS otherwise-distinct documents
   // that document-level dedup_exact cannot see. One explode + one groupBy on
@@ -1445,6 +1486,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_bloom_decontaminate" -> pipelineBloomDecontaminate,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "pipeline_dataset_rollup" -> pipelineDatasetRollup,
     "pipeline_grouping_sets" -> pipelineGroupingSets,

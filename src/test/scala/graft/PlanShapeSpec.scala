@@ -455,6 +455,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"disjunction must stay a residual on ONE equi-join, not degrade to:\n$p")
   }
 
+  test("pipeline_bloom_decontaminate: bitmap probe below the exact join; result = exact") {
+    val p = plan("pipeline_bloom_decontaminate")
+    // the might_contain probe must sit BELOW the broadcast join — bloom
+    // survivors only reach the exact verification, never the full corpus
+    val probeIdx = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinIdx = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(probeIdx >= 0, s"bloom probe missing from:\n$p")
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"bloom probe must be below (after in text) the exact join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+    // equivalence: the prefilter must not change the answer
+    val exact = SparkEntry.queries("pipeline_decontaminate")(spark, SparkTestBase.sf)
+    val bloom = SparkEntry.queries("pipeline_bloom_decontaminate")(spark, SparkTestBase.sf)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom-prefiltered result diverged from exact decontamination")
+  }
+
+  test("events_hop_window: explode then one aggregate — no self-join") {
+    val p = plan("events_hop_window")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the 2-slot explode in:\n$p")
+    assert(!p.contains("Join"), s"hop windows must not self-join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+  }
+
   test("olap_customer_distribution aggregates orders before the left join") {
     val p = plan("olap_customer_distribution")
     // the left join's right side must be the pre-aggregated per-custkey
