@@ -489,4 +489,51 @@ class PgLiveWireSpec extends AnyFunSuite {
       assert(evs(1)._1.data == """{"id":3,"v":"c","note":"fresh"}""")
     } finally { sp.close(); admin.close() }
   }
+
+  test("live TOAST: a ~1.3MB out-of-line value streams intact; unchanged " +
+      "TOAST on UPDATE arrives as the placeholder, not a fake NULL") {
+    live()
+    val admin = LivePostgres.session()
+    admin.simpleQuery(
+      "CREATE TABLE public.live_toast(id bigint PRIMARY KEY, big text, tag text)")
+    val streams = Seq(StreamDef("live_toast", "public.live_toast",
+      Seq("insert", "update"), "cdc.live_toast"))
+    val s = LivePostgres.session()
+    val boot = WireBootstrap.bootstrap(s, "graft_toast_slot",
+      "graft_toast_pub", streams, confirmedLsn = 0L,
+      emit = _ => fail("stream-only bootstrap must not snapshot"),
+      flushDelivery = () => ())
+    // ~1.28 MB of md5 hex — random enough that TOAST stores it out-of-line
+    // instead of inline-compressed, so the walsender emits a single >1MB
+    // pgoutput Insert frame (no other test pushes a frame this large
+    // through the real wire + spooler + WalLog path)
+    admin.simpleQuery("INSERT INTO public.live_toast " +
+      "SELECT 1, string_agg(md5(g::text), ''), 'v1' " +
+      "FROM generate_series(1, 40000) g")
+    // touches only `tag`: with default replica identity the new tuple
+    // carries 'u' (unchanged TOAST) for `big`
+    admin.simpleQuery("UPDATE public.live_toast SET tag = 'v2' WHERE id = 1")
+
+    val walDir = Files.createTempDirectory("live_wal_toast").toString
+    val ch = s.startReplication("graft_toast_slot", "graft_toast_pub",
+      ChangeEvent.lsnText(boot.startLsn), readTimeoutMs = 300)
+    val sp = new ReplicationSpooler(ch, walDir)
+    try {
+      val evs = drainEvents(sp, walDir, want = 2, timeoutMs = 30000)
+      assert(evs.size == 2, s"expected 2 events, got ${evs.size}")
+      val ins = evs(0)._1
+      assert(ins.op == Op.Insert)
+      // full fidelity: 40000 md5s × 32 hex chars inside the JSON envelope
+      assert(ins.data.length > 1280000,
+        s"TOASTed value truncated: data is ${ins.data.length} bytes")
+      assert(ins.data.contains("\"tag\":\"v1\""))
+      val upd = evs(1)._1
+      assert(upd.op == Op.Update)
+      assert(upd.data.contains("\"tag\":\"v2\""))
+      assert(upd.data.contains(
+        s"""\"big\":\"${ChangeEvent.ToastPlaceholder}\""""),
+        s"unchanged TOAST must surface the placeholder; got " +
+          upd.data.take(200))
+    } finally { sp.close(); admin.close() }
+  }
 }
