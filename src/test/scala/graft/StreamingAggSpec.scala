@@ -37,4 +37,41 @@ class StreamingAggSpec extends AnyFunSuite {
       assert(got.exceptAll(batch).count() == 0)
     } finally q.stop()
   }
+
+  test("watermarked hopping-window (1h slide 30min) counts match the batch " +
+      "2-slot explode formula") {
+    import graft.source.wal.WalFixture
+    val walDir = Files.createTempDirectory("graft-hopwal").toString
+    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      .orderBy("event_id").collect().iterator
+      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    WalFixture.writeLog(ev, walDir)
+
+    val stream = StreamingPipeline.walStream(spark, walDir)
+      .withColumn("event_time", col("commit_ts").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
+        col("resource"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hop_agg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hop_agg")
+        .select(col("window.start").cast("long").as("w"), col("resource"),
+          col("n"))
+      // the batch side of events_hop_window's expansion: each event lands in
+      // size/slide = 2 windows starting at (ts div slide − k) · slide
+      val batch = graft.cdc.ChangeLog.changelog(spark, SparkTestBase.sf)
+        .select(col("commit_ts"), col("resource"),
+          explode(array(lit(0L), lit(1L))).as("k"))
+        .select(((expr("commit_ts div 1800") - col("k")) * lit(1800L))
+          .as("w"), col("resource"))
+        .groupBy(col("w"), col("resource"))
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
 }
