@@ -303,7 +303,82 @@ object OlapDeepQueries {
       |JOIN supplier s ON cnt.l_suppkey = s.s_suppkey
       |ORDER BY n_waiting DESC, s.s_suppkey LIMIT 20""".stripMargin)
 
+  // TPC-H Q6-shaped forecast revenue: THE predicate-pushdown microbenchmark
+  // — a single fact scan, every predicate pushed to parquet (shipdate range
+  // reaches the scan as epoch-µs bounds; discount/quantity as double range
+  // filters), one global sum. No join, no shuffle beyond the one-row
+  // aggregate merge. Revenue here is price × discount (the forecast delta),
+  // floor-scaled per row before summing so partial-aggregation order can't
+  // flip a rounding boundary.
+  val olapForecastRevenue: (QFn, String) = (
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_discount"), col("l_quantity"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+      .filter(col("sd_us") >= lit(US_1997_01_01) &&
+        col("sd_us") < lit(883612800000000L) && // 1998-01-01 UTC
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long")).as("forecast_rev_e4"),
+        count(lit(1)).as("n_lines")),
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS forecast_rev_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) >= 852076800000000
+      |  AND epoch_us(l_shipdate) < 883612800000000
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+
+  // TPC-H Q10-shaped returned-item reporting: revenue lost to returns per
+  // customer over one quarter. The quarter filter pushes into the orders
+  // scan and the return-flag filter into the lineitem scan BEFORE their
+  // hash join, the per-customer aggregate runs on the joined fact, and the
+  // customer/nation dimensions broadcast onto the top-20 path — with the
+  // final ranking a distributed TakeOrderedAndProject, never a global sort.
+  val olapReturnedItems: (QFn, String) = (
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revE4)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"))
+        .filter(col("od_us") >= lit(US_1997_01_01) &&
+          col("od_us") < lit(859766400000000L)) // 1997-04-01 UTC
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acct_e2"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_e4")).as("lost_rev_e4"), count(lit(1)).as("n_lines"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("acct_e2"), col("lost_rev_e4"), col("n_lines"))
+        .orderBy(col("lost_rev_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acct_e2,
+      |  agg.lost_rev_e4, agg.n_lines
+      |FROM (
+      |  SELECT o.o_custkey,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS lost_rev_e4,
+      |    CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |    AND epoch_us(o.o_orderdate) >= 852076800000000
+      |    AND epoch_us(o.o_orderdate) < 859766400000000
+      |  GROUP BY 1) agg
+      |JOIN customer c ON agg.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY lost_rev_e4 DESC, c.c_custkey LIMIT 20""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_forecast_revenue" -> olapForecastRevenue,
+    "olap_returned_items" -> olapReturnedItems,
     "olap_volume_shipping" -> olapVolumeShipping,
     "olap_product_profit" -> olapProductProfit,
     "olap_late_shipment_priority" -> olapLateShipmentPriority,

@@ -480,6 +480,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
 
+  test("olap_forecast_revenue: range predicates reach the parquet scan") {
+    val p = plan("olap_forecast_revenue")
+    val pushed = p.linesIterator.find(l => l.contains("PushedFilters") &&
+      l.contains("lineitem"))
+      .orElse(p.linesIterator.find(_.contains("PushedFilters")))
+    assert(pushed.exists(l => l.contains("l_discount") &&
+      l.contains("l_quantity")),
+      s"discount/quantity ranges must push to the scan:\n$p")
+    assert(!p.contains("Join"), s"Q6 is a single scan, no join:\n$p")
+  }
+
+  test("olap_returned_items: return-flag pushed, dims broadcast, distributed top-20") {
+    val p = plan("olap_returned_items")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("l_returnflag")),
+      s"return-flag equality must push to the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be distributed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
   test("olap_customer_distribution aggregates orders before the left join") {
     val p = plan("olap_customer_distribution")
     // the left join's right side must be the pre-aggregated per-custkey
