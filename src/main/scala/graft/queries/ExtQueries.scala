@@ -1145,6 +1145,147 @@ object ExtQueries {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
       |  FROM scored) WHERE rn = 1""".stripMargin)
 
+  // Product-quantization encode (the OTHER embedding compression axis: int8
+  // keeps all 64 dims at 1 byte; PQ keeps m=4 subspace CODES at ~1 byte
+  // total per subspace — 64×4 bytes → 4, the memory layout every
+  // billion-vector ANN index uses). Codebooks are the first 8 vectors'
+  // subslices (deterministic stand-in for a trained codebook, the
+  // cluster_assign convention). Shape: each vector explodes into its 4
+  // subvectors, scores 8 broadcast centroids per subspace (32 tiny rows per
+  // vector, all map-side), argmin per (vec, subspace) via the
+  // partial-aggregable min(struct) idiom, then ONE groupBy pivots the 4
+  // codes back into a row. Distances are EXACT scaled integers — each
+  // squared term floor-scales to e8 units before an integer sum (a rounded
+  // DOUBLE sum diverges: DuckDB's list_sum and Spark's left-fold add in
+  // different orders, and a 4dp round at the boundary flips) — with the
+  // code id as argmin tiebreak.
+  val embPqCodes: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val sub = e.select(col("vec_id"),
+          explode(expr("transform(sequence(0, 3), " +
+            "j -> struct(j as subspace, slice(embedding, j * 16 + 1, 16) as sv))"))
+            .as("x"))
+        .select(col("vec_id"), col("x.subspace").as("subspace"),
+          col("x.sv").as("sv"))
+      val cents = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("subspace").as("c_subspace"),
+          col("sv").as("cv"))
+      sub.join(broadcast(cents), col("subspace") === col("c_subspace"))
+        .select(col("vec_id"), col("subspace"), col("cid"),
+          expr("aggregate(zip_with(sv, cv, (a, b) -> " +
+            "cast(floor((cast(a as double) - cast(b as double)) * " +
+            "(cast(a as double) - cast(b as double)) * 100000000) as bigint)), " +
+            "0L, (acc, x) -> acc + x)").as("d2_e8"))
+        .groupBy(col("vec_id"), col("subspace"))
+        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(when(col("subspace") === 0, col("m.cid"))).as("code0"),
+          max(when(col("subspace") === 1, col("m.cid"))).as("code1"),
+          max(when(col("subspace") === 2, col("m.cid"))).as("code2"),
+          max(when(col("subspace") === 3, col("m.cid"))).as("code3"),
+          sum(col("m.d2_e8")).as("err_sq_e8"))
+    },
+    """WITH sub AS (
+      |  SELECT vec_id, j AS subspace, embedding[j * 16 + 1 : j * 16 + 16] AS sv
+      |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |cents AS (
+      |  SELECT vec_id AS cid, subspace AS c_subspace, sv AS cv
+      |  FROM sub WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT s.vec_id, s.subspace, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CAST(floor((s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      100000000) AS BIGINT))) AS BIGINT) AS d2_e8
+      |  FROM sub s JOIN cents c ON s.subspace = c.c_subspace),
+      |best AS (
+      |  SELECT vec_id, subspace, cid, d2_e8 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d2_e8, cid) AS rn FROM scored) WHERE rn = 1)
+      |SELECT vec_id,
+      |  max(CASE WHEN subspace = 0 THEN cid END) AS code0,
+      |  max(CASE WHEN subspace = 1 THEN cid END) AS code1,
+      |  max(CASE WHEN subspace = 2 THEN cid END) AS code2,
+      |  max(CASE WHEN subspace = 3 THEN cid END) AS code3,
+      |  CAST(sum(d2_e8) AS BIGINT) AS err_sq_e8
+      |FROM best GROUP BY vec_id""".stripMargin)
+
+  // PQ asymmetric-distance top-k (the SERVING side of emb_pq_codes): each
+  // query precomputes a 4×8 lookup table of exact subspace distances to the
+  // centroids, and a candidate's distance is the SUM OF 4 LUT ENTRIES keyed
+  // by its stored codes — query time never touches a raw vector, which is
+  // the whole point of PQ at 10⁹ vectors: the scan side carries 4 small
+  // code ints per row, the LUT broadcasts at qids × 32 rows, the per-(qid,
+  // candidate) sum is partial-aggregable, and ranking reuses the bruteforce
+  // window shape. ADC is approximate BY DESIGN (codes quantize the
+  // candidate); the oracle replicates the same ADC math, so the gate is
+  // still value-exact.
+  val simPqAdcTopk: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val sub = e.select(col("vec_id"),
+          explode(expr("transform(sequence(0, 3), " +
+            "j -> struct(j as subspace, slice(embedding, j * 16 + 1, 16) as sv))"))
+            .as("x"))
+        .select(col("vec_id"), col("x.subspace").as("subspace"),
+          col("x.sv").as("sv"))
+      val cents = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("subspace").as("c_subspace"),
+          col("sv").as("cv"))
+      val scored = sub.join(broadcast(cents),
+          col("subspace") === col("c_subspace"))
+        .select(col("vec_id"), col("subspace"), col("cid"),
+          expr("aggregate(zip_with(sv, cv, (a, b) -> " +
+            "cast(floor((cast(a as double) - cast(b as double)) * " +
+            "(cast(a as double) - cast(b as double)) * 100000000) as bigint)), " +
+            "0L, (acc, x) -> acc + x)").as("d2_e8"))
+      val codes = scored.groupBy(col("vec_id"), col("subspace"))
+        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("subspace"), col("m.cid").as("code"))
+      val lut = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("subspace").as("l_subspace"),
+          col("cid").as("l_cid"), col("d2_e8"))
+      codes.join(broadcast(lut),
+          col("subspace") === col("l_subspace") && col("code") === col("l_cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2_e8")).as("adc_e8"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc_e8"), col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("cid"), col("adc_e8"), col("rank"))
+    },
+    """WITH sub AS (
+      |  SELECT vec_id, j AS subspace, embedding[j * 16 + 1 : j * 16 + 16] AS sv
+      |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |cents AS (
+      |  SELECT vec_id AS cid, subspace AS c_subspace, sv AS cv
+      |  FROM sub WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT s.vec_id, s.subspace, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CAST(floor((s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      100000000) AS BIGINT))) AS BIGINT) AS d2_e8
+      |  FROM sub s JOIN cents c ON s.subspace = c.c_subspace),
+      |codes AS (
+      |  SELECT vec_id, subspace, cid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d2_e8, cid) AS rn FROM scored) WHERE rn = 1),
+      |adc AS (
+      |  SELECT l.vec_id AS qid, c.vec_id,
+      |    CAST(sum(l.d2_e8) AS BIGINT) AS adc_e8
+      |  FROM codes c JOIN scored l
+      |    ON l.vec_id < 10 AND l.subspace = c.subspace AND l.cid = c.code
+      |  WHERE l.vec_id <> c.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS cid, adc_e8, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_e8, vec_id) AS BIGINT) AS rank FROM adc)
+      |WHERE rank <= 5""".stripMargin)
+
   // Per-vector symmetric int8 quantization (the storage/serving compression
   // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
   // q_i = floor(x_i/scale + 0.5) — the explicit half-up formula, spelled the
@@ -1462,6 +1603,8 @@ object ExtQueries {
   val all: Map[String, (QFn, String)] = Map(
     "cluster_assign" -> clusterAssign,
     "emb_quantize" -> embQuantize,
+    "emb_pq_codes" -> embPqCodes,
+    "sim_pq_adc_topk" -> simPqAdcTopk,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,

@@ -480,6 +480,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
 
+  test("sim_pq_adc_topk: LUT broadcasts; ADC sum is an equi-join, never nested-loop") {
+    val p = plan("sim_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4x8-per-query LUT must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC must stay an equi-join on (subspace, code):\n$p")
+  }
+
   test("olap_forecast_revenue: range predicates reach the parquet scan") {
     val p = plan("olap_forecast_revenue")
     val pushed = p.linesIterator.find(l => l.contains("PushedFilters") &&
