@@ -1025,12 +1025,17 @@ object AnalyticsQueries {
     (s, dir) => {
       val brandKeys = ChangeLog.table(s, dir, "part")
         .filter(col("p_brand") === "Brand#7").select(col("p_partkey"))
+      // localCheckpoint: the brand slice feeds BOTH the per-part aggregate
+      // and the per-line probe — unmaterialized, Spark evaluates the
+      // subtree twice and scans the fact twice; materialized, the 1/25
+      // slice is read once and reused (the olap_set_ops precedent)
       val liB = ChangeLog.table(s, dir, "lineitem")
         .select(col("l_partkey"),
           floor(col("l_quantity") * 100).cast("long").as("qty_e2"),
           col("l_extendedprice"))
         .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"))
         .drop("p_partkey")
+        .localCheckpoint()
       val perPart = liB.groupBy(col("l_partkey"))
         .agg(sum(col("qty_e2")).as("sum_qty_e2"), count(lit(1)).as("n_li"))
       liB.join(perPart, Seq("l_partkey"))

@@ -177,11 +177,14 @@ object OlapDeepQueries {
       |GROUP BY 1""".stripMargin)
 
   // TPC-H Q15-shaped top supplier: per-supplier H1-1997 revenue, keep the
-  // row(s) equal to the global max. The max is a one-row broadcast cross
-  // join over the ALREADY-AGGREGATED per-supplier frame (|suppliers| rows,
-  // not |lineitem|), so the "scalar subquery" costs one extra reduction of
-  // an aggregate that exists anyway; the supplier name joins in by
-  // broadcast after the filter has cut the frame to the winner(s).
+  // row(s) equal to the global max. The per-supplier frame is
+  // localCheckpoint-MATERIALIZED (|suppliers| narrow rows — cheap at any
+  // scale) because both the max reduction and the winner filter consume it:
+  // without the checkpoint Spark evaluates the subtree twice and the FACT
+  // is scanned twice — invisible at test scale, 2× the dominant cost at
+  // 100 TB. The one-row max then broadcast-crosses back; the supplier name
+  // joins in by broadcast after the filter has cut the frame to the
+  // winner(s).
   val olapTopSupplier: (QFn, String) = (
     (s, dir) => {
       val rev = t(s, dir, "lineitem")
@@ -191,6 +194,7 @@ object OlapDeepQueries {
           col("sd_us") < lit(US_1997_07_01))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_e4")).as("total_rev_e4"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_rev_e4") === col("max_rev_e4"))

