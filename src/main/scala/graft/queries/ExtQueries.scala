@@ -1081,9 +1081,11 @@ object ExtQueries {
 
   // Dataset card: the per-(lang, source) composition summary published with
   // a training corpus — doc counts, char/token volume and corpus share.
-  // One scan, one partial-agg-friendly groupBy; the corpus total is a 1-row
-  // broadcast scalar (same shape as events_funnel), so no second pass and
-  // no window over the whole corpus.
+  // ONE corpus scan and one partial-agg-friendly groupBy: the corpus total
+  // is Σ n_docs over the checkpointed per-group frame (a few dozen rows),
+  // NOT a second aggregate over the raw corpus — unmaterialized, that
+  // "cheap count" re-scanned and re-TOKENIZED every document (the scan
+  // audit caught it); the 1-row total then broadcast-crosses back.
   val pipelineDatasetCard: (QFn, String) = (
     (s, dir) => {
       val base = docs(s, dir).select(col("lang"), col("source"),
@@ -1092,7 +1094,8 @@ object ExtQueries {
       val grouped = base.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
           sum(col("nt")).as("total_tokens"))
-      val total = base.agg(count(lit(1)).as("corpus_docs"))
+        .localCheckpoint()
+      val total = grouped.agg(sum(col("n_docs")).as("corpus_docs"))
       grouped.crossJoin(broadcast(total))
         .withColumn("share_pm", expr("n_docs * 1000000 div corpus_docs"))
         .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),

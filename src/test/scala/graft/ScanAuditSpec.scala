@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard: no query may scan a FACT parquet more than once in its
+  * executed plan unless allowlisted with a reason. At test scale a duplicate
+  * subtree is invisible; at 100 TB a second fact scan doubles the dominant
+  * cost — this is how olap_top_supplier, olap_small_qty_revenue and
+  * pipeline_dataset_card's hidden double-scans were caught and fixed
+  * (localCheckpoint the shared reduced frame).
+  *
+  * Two caveats baked into the allowlist: (1) differently-FILTERED sides of a
+  * self-join are two cheap pruned scans, not a doubled pass; (2) plan TEXT
+  * overcounts `.persist()`-shared subtrees (the parquet scan prints inside
+  * every InMemoryRelation use but executes once) — the shingle family is
+  * listed for that reason.
+  */
+class ScanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val facts = Seq("lineitem", "orders", "events", "documents",
+    "embeddings")
+
+  /** name -> reason a >1 fact-scan count is the intended shape. */
+  private val allow: Map[String, String] = Map(
+    // query-vs-corpus self-joins: the query/centroid side is a pruned scan
+    "sim_topk_bruteforce" -> "query side pruned (vec_id<10)",
+    "sim_topk_agg" -> "query side pruned",
+    "sim_ivf_topk" -> "query side pruned",
+    "sim_lsh_ann" -> "query side pruned",
+    "sim_ann_recall" -> "sampled truth side + query side, both pruned",
+    "sim_knn_graph" -> "cell self-join: both sides cell-pruned",
+    "sim_pq_adc_topk" -> "codes + LUT sides; LUT pruned (vec_id<10)",
+    "cluster_assign" -> "centroid side pruned (vec_id<8)",
+    "emb_pq_codes" -> "codebook side pruned (vec_id<8)",
+    "dedup_embedding_cosine" -> "LSH band self-join over pruned projections",
+    // differently-filtered slices of one table meeting in a join/union
+    "events_asof_join" -> "clicks vs purchases slices, filters pushed",
+    "events_range_join" -> "probe vs context slices, filters pushed",
+    "events_funnel" -> "three stage slices, per-stage pushed filters",
+    "events_fill_gaps" -> "hour spine bounds + observed aggregate",
+    "events_skew_join" -> "profile dim derived from the fact + fact probe",
+    "events_retention_cohort" -> "first-seen aggregate joined back to fact",
+    "olap_full_outer_reconcile" -> "two snapshot slices by design",
+    "text_rarity_score" ->
+      ("df aggregate joined back to exploded tokens; materializing the " +
+        "exploded corpus would cost more than re-tokenizing"),
+    // changelog composition semantics (snapshot + stream + redelivery)
+    "cdc_at_least_once_dedup" -> "redelivery overlap built from slices",
+    "cdc_snapshot_then_stream" -> "snapshot + stream + boundary slices",
+    // persisted shingle subtree: plan text repeats the scan per use, the
+    // cache executes it once
+    "dedup_minhash_lsh" -> "persisted shingles, text overcount",
+    "dedup_minhash_estimate" -> "persisted shingles, text overcount",
+    "dedup_ngram_jaccard" -> "persisted shingles, text overcount",
+    "dedup_containment" -> "persisted shingles, text overcount",
+    "dedup_edit_distance" -> "persisted shingles, text overcount",
+    "pipeline_clean_corpus" -> "persisted shingles, text overcount",
+    "pipeline_decontaminate" -> "persisted shingles, text overcount",
+    "pipeline_bloom_decontaminate" -> "persisted shingles, text overcount")
+
+  test("no un-allowlisted query scans a fact table twice") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allow.contains(n) }
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
+        facts.flatMap { t =>
+          val n = p.linesIterator.count(l =>
+            l.contains("Scan parquet") && l.contains(s"$t.parquet"))
+          if (n > 1) Some(s"$name: $t scanned ${n}x") else None
+        }
+      }
+    assert(violations.isEmpty,
+      "fact double-scans (checkpoint the shared frame or allowlist " +
+        "with a reason):\n" + violations.mkString("\n"))
+  }
+}
