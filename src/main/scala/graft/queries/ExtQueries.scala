@@ -1255,10 +1255,19 @@ object ExtQueries {
         .filter(col("qid") =!= col("vec_id"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d2_e8")).as("adc_e8"))
-        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("adc_e8"), col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("vec_id").as("cid"), col("adc_e8"), col("rank"))
+        // ranking via the heap aggregate, NOT a per-qid window: a window
+        // funnels the entire scored corpus of one query through one
+        // reducer, the heap ships k rows per partition (score = −adc, so
+        // the max-heap keeps the smallest distances; e8 sums < 2^53, so the
+        // double round-trips exactly; heap tie-break = lowest id = the
+        // oracle's ORDER BY adc_e8, vec_id)
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("adc_e8")).cast("double"), col("vec_id"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("adc_e8"),
+          (col("pos") + 1).cast("long").as("rank"))
     },
     """WITH sub AS (
       |  SELECT vec_id, j AS subspace, embedding[j * 16 + 1 : j * 16 + 16] AS sv

@@ -493,13 +493,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
 
-  test("sim_pq_adc_topk: LUT broadcasts; ADC sum is an equi-join, never nested-loop") {
+  test("sim_pq_adc_topk: LUT broadcasts; heap ranking, never a per-qid window") {
     val p = plan("sim_pq_adc_topk")
     assert(p.contains("BroadcastHashJoin"),
       s"the 4x8-per-query LUT must broadcast in:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"ADC must stay an equi-join on (subspace, code):\n$p")
+    assert(p.contains("top_k_by_score") && !p.contains("Window"),
+      s"ranking must be the heap aggregate, not a corpus-wide window:\n$p")
   }
 
   test("olap_forecast_revenue: range predicates reach the parquet scan") {
