@@ -1176,10 +1176,7 @@ object ExtQueries {
           col("sv").as("cv"))
       sub.join(broadcast(cents), col("subspace") === col("c_subspace"))
         .select(col("vec_id"), col("subspace"), col("cid"),
-          expr("aggregate(zip_with(sv, cv, (a, b) -> " +
-            "cast(floor((cast(a as double) - cast(b as double)) * " +
-            "(cast(a as double) - cast(b as double)) * 100000000) as bigint)), " +
-            "0L, (acc, x) -> acc + x)").as("d2_e8"))
+          graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
         .groupBy(col("vec_id"), col("subspace"))
         .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
         .groupBy(col("vec_id"))
@@ -1240,10 +1237,7 @@ object ExtQueries {
       val scored = sub.join(broadcast(cents),
           col("subspace") === col("c_subspace"))
         .select(col("vec_id"), col("subspace"), col("cid"),
-          expr("aggregate(zip_with(sv, cv, (a, b) -> " +
-            "cast(floor((cast(a as double) - cast(b as double)) * " +
-            "(cast(a as double) - cast(b as double)) * 100000000) as bigint)), " +
-            "0L, (acc, x) -> acc + x)").as("d2_e8"))
+          graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
       val codes = scored.groupBy(col("vec_id"), col("subspace"))
         .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
         .select(col("vec_id"), col("subspace"), col("m.cid").as("code"))
