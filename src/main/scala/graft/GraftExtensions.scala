@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SimHashAgg, TopKByScore, TopKStrByScore}
+import graft.functions.{CosineSimilarity, L2DistanceE8, SimHashAgg, TopKByScore, TopKStrByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "cosine_similarity(a, b) takes exactly two arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("l2_distance_e8"),
+      new ExpressionInfo(classOf[L2DistanceE8].getName, "l2_distance_e8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "l2_distance_e8(a, b) takes exactly two arguments")
+        L2DistanceE8(children.head, children(1))
       }))
 
     // the k argument must be a foldable literal — the heap size is fixed at

@@ -26,6 +26,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ex.getMessage.toLowerCase.contains("two arguments") ||
         ex.getMessage.toLowerCase.contains("cosine_similarity"))
 
+      val d = spark.sql(
+        "SELECT l2_distance_e8(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").head().getLong(0)
+      assert(d == 400000000L, s"l2_distance_e8: $d")
+
       // the custom aggregates resolve from SQL too (analyzer wraps the
       // returned AggregateFunction); k is a plan-time literal
       val top = spark.sql(
