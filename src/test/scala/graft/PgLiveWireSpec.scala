@@ -490,6 +490,61 @@ class PgLiveWireSpec extends AnyFunSuite {
     } finally { sp.close(); admin.close() }
   }
 
+  test("live types: real-server text forms promote by OID — numeric NaN " +
+      "stays a string, non-finite floats stay text, bool/ints/floats are " +
+      "JSON scalars, bytea/array/jsonb/uuid verbatim") {
+    live()
+    val admin = LivePostgres.session()
+    admin.simpleQuery(
+      "CREATE TABLE public.live_types(id bigint PRIMARY KEY, n numeric, " +
+        "f float8, b bool, by bytea, j jsonb, arr text[], u uuid, r real)")
+    val streams = Seq(StreamDef("live_types", "public.live_types",
+      Seq("insert"), "cdc.live_types"))
+    val s = LivePostgres.session()
+    val boot = WireBootstrap.bootstrap(s, "graft_types_slot",
+      "graft_types_pub", streams, confirmedLsn = 0L,
+      emit = _ => fail("stream-only bootstrap must not snapshot"),
+      flushDelivery = () => ())
+    admin.simpleQuery("INSERT INTO public.live_types VALUES (" +
+      "1, 'NaN'::numeric, 'Infinity'::float8, true, '\\x0102fe'::bytea, " +
+      "'{\"k\": [1, \"x\"]}'::jsonb, ARRAY['a','b c'], " +
+      "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::uuid, 1.5)")
+    admin.simpleQuery("INSERT INTO public.live_types VALUES (" +
+      "2, 12345678901234567890.123456789, '-Infinity'::float8, false, " +
+      "NULL, NULL, NULL, NULL, -2.25)")
+
+    val walDir = Files.createTempDirectory("live_wal_types").toString
+    val ch = s.startReplication("graft_types_slot", "graft_types_pub",
+      ChangeEvent.lsnText(boot.startLsn), readTimeoutMs = 300)
+    val sp = new ReplicationSpooler(ch, walDir)
+    try {
+      val evs = drainEvents(sp, walDir, want = 2)
+      assert(evs.size == 2, s"expected 2 events, got ${evs.size}")
+      val d1 = evs(0)._1.data
+      // numeric NaN must be the STRING "NaN" (a bare NaN is invalid JSON);
+      // float8 Infinity likewise; bool is a bare JSON true; real is a bare
+      // JSON number; bytea keeps the server's \x hex form (escaped)
+      assert(d1.contains("\"n\":\"NaN\""), d1)
+      assert(d1.contains("\"f\":\"Infinity\""), d1)
+      assert(d1.contains("\"b\":true"), d1)
+      assert(d1.contains("\"by\":\"\\\\x0102fe\""), d1)
+      assert(d1.contains("\"r\":1.5"), d1)
+      assert(d1.contains("\"u\":\"a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11\""), d1)
+      // jsonb verbatim as an escaped JSON string value
+      assert(d1.contains("\"j\":\"{\\\"k\\\": [1, \\\"x\\\"]}\""), d1)
+      // pg array text form, inner quotes escaped
+      assert(d1.contains("\"arr\":\"{a,\\\"b c\\\"}\""), d1)
+      val d2 = evs(1)._1.data
+      // numeric keeps FULL precision as a string — the reference's
+      // decimal.handling.mode=string spirit (no double round-trip)
+      assert(d2.contains("\"n\":\"12345678901234567890.123456789\""), d2)
+      assert(d2.contains("\"f\":\"-Infinity\""), d2)
+      assert(d2.contains("\"b\":false"), d2)
+      assert(d2.contains("\"by\":null") && d2.contains("\"u\":null"), d2)
+      assert(d2.contains("\"r\":-2.25"), d2)
+    } finally { sp.close(); admin.close() }
+  }
+
   test("live TOAST: a ~1.3MB out-of-line value streams intact; unchanged " +
       "TOAST on UPDATE arrives as the placeholder, not a fake NULL") {
     live()
