@@ -73,6 +73,33 @@ object AnalyticsQueries {
       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
       |GROUP BY 1, 2""".stripMargin)
 
+  // Rolling 7-day active users (WAU per day): the sliding DISTINCT — which
+  // no window frame can express, since count(DISTINCT) doesn't decompose
+  // over frames and a per-day self-join of the event log is 7 fact passes.
+  // Shape: reduce the fact to distinct (user, day) FIRST (one shuffle, and
+  // the frame is |user-days|, not |events|), explode each into the 7
+  // window-days it contributes to, then one two-phase exact distinct per
+  // window-day. Output is O(days); work is |user-days| × 7 regardless of
+  // event volume. Partial windows at the range edges are included — same
+  // rule on both engines.
+  val eventsRollingWau: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("w_day"))
+      .groupBy(col("w_day"))
+      .agg(countDistinct(col("user_id")).as("wau")),
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |  FROM events),
+      |sl AS (SELECT user_id, day + k AS w_day
+      |       FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k))
+      |SELECT w_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |FROM sl GROUP BY 1""".stripMargin)
+
   // Sessionization: per-user sessions split on >30 min inactivity gaps —
   // lag + running sum of boundary flags, the classic shuffle-once pattern
   // (one hash partition per user key, same as mapGroupsWithState state
@@ -1180,6 +1207,7 @@ object AnalyticsQueries {
     "events_funnel" -> eventsFunnel,
     "events_window_agg" -> eventsWindowAgg,
     "events_hop_window" -> eventsHopWindow,
+    "events_rolling_wau" -> eventsRollingWau,
     "events_sessionize" -> eventsSessionize,
     "olap_pricing_summary" -> olapPricingSummary,
     "olap_top_customers" -> olapTopCustomers,

@@ -504,6 +504,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ranking must be the heap aggregate, not a corpus-wide window:\n$p")
   }
 
+  test("events_rolling_wau: fact reduced to user-days BEFORE the 7-slot explode") {
+    val p = plan("events_rolling_wau")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"one events scan expected, got $scans in:\n$p")
+    assert(!p.contains("Join"), s"sliding distinct must not self-join:\n$p")
+    // the distinct aggregate must sit BELOW the explode (later in plan text)
+    val genIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Generate") || l.contains("explode"))
+    val distinctBelow = p.linesIterator.toSeq.drop(genIdx + 1)
+      .exists(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && distinctBelow,
+      s"distinct(user, day) must run before the slot explode in:\n$p")
+  }
+
   test("olap_forecast_revenue: range predicates reach the parquet scan") {
     val p = plan("olap_forecast_revenue")
     val pushed = p.linesIterator.find(l => l.contains("PushedFilters") &&
