@@ -1212,6 +1212,88 @@ object ExtQueries {
       |  CAST(sum(d2_e8) AS BIGINT) AS err_sq_e8
       |FROM best GROUP BY vec_id""".stripMargin)
 
+  // Two Lloyd iterations of k-means (the TRAINING step cluster_assign
+  // serves): init = first 8 vectors, then twice (assign by squared-L2 →
+  // recompute centroids as per-dimension means). Everything runs in exact
+  // scaled integers so the oracle can replicate it bit-for-bit: vectors
+  // quantize once to e6 units (|x| < 0.6 → |x_e6| < 6e5; per-dim squared
+  // diff < 1.5e12, ×64 dims < 1e14 — long-safe), and centroid means use
+  // floor(double(sum)/n) — floor-division semantics agree across engines
+  // where integer `div`/`//` DISAGREE on negative sums (Spark truncates
+  // toward zero, DuckDB floors), and member sums stay far below 2^53 so
+  // the double is exact. Long-form layout throughout: (vec, dim, x) rows,
+  // centroids a 512-row broadcast, distances one partial-aggregable sum
+  // per (vec, cluster) — the standard distributed-k-means shape, linear in
+  // |vectors| × dims × k per iteration, no all-pairs anywhere. Ties pick
+  // the lowest cluster id on both engines. Output: per-cluster member
+  // count, inertia, and a centroid checksum — 8 rows at any scale.
+  val clusterTrain2Iter: (QFn, String) = (
+    (s, dir) => {
+      val ve = emb(s, dir).select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
+        .localCheckpoint() // feeds every round: quantize + explode ONCE
+      def assign(cents: DataFrame): DataFrame =
+        ve.join(broadcast(cents), "dim")
+          .select(col("vec_id"), col("cluster"),
+            ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+              .as("sq"))
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(sum(col("sq")).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+          .select(col("vec_id"), col("m.cluster").as("cluster"),
+            col("m.d2").as("d2"))
+      def recenter(asg: DataFrame): DataFrame =
+        ve.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+          .groupBy(col("cluster"), col("dim"))
+          .agg(floor(sum(col("x_e6")).cast("double") / count(lit(1)))
+            .cast("long").as("c_e6"))
+      val init = ve.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("dim"), col("x_e6").as("c_e6"))
+      val cents2 = recenter(assign(init))
+      val final2 = assign(cents2)
+      val sizes = final2.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      val checks = cents2.groupBy(col("cluster"))
+        .agg(sum(col("c_e6")).as("centroid_sum_e6"))
+      sizes.join(checks, Seq("cluster"))
+        .select(col("cluster"), col("n_members"), col("inertia"),
+          col("centroid_sum_e6"))
+    },
+    """WITH ve AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x_e6
+      |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      |init AS (SELECT vec_id AS cluster, dim, x_e6 AS c_e6 FROM ve WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT v.vec_id, c.cluster,
+      |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+      |  FROM ve v JOIN init c ON v.dim = c.dim GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2, cluster) AS rn FROM d1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT a.cluster, v.dim,
+      |    CAST(floor(CAST(sum(v.x_e6) AS DOUBLE) / count(*)) AS BIGINT) AS c_e6
+      |  FROM ve v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2i AS (
+      |  SELECT v.vec_id, c.cluster,
+      |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+      |  FROM ve v JOIN c2 c ON v.dim = c.dim GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2, cluster) AS rn FROM d2i) WHERE rn = 1)
+      |SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(a.d2) AS BIGINT) AS inertia, cs.centroid_sum_e6
+      |FROM a2 a JOIN (
+      |  SELECT cluster, CAST(sum(c_e6) AS BIGINT) AS centroid_sum_e6
+      |  FROM c2 GROUP BY 1) cs ON a.cluster = cs.cluster
+      |GROUP BY 1, 4""".stripMargin)
+
   // PQ asymmetric-distance top-k (the SERVING side of emb_pq_codes): each
   // query precomputes a 4×8 lookup table of exact subspace distances to the
   // centroids, and a candidate's distance is the SUM OF 4 LUT ENTRIES keyed
@@ -1608,6 +1690,7 @@ object ExtQueries {
 
   val all: Map[String, (QFn, String)] = Map(
     "cluster_assign" -> clusterAssign,
+    "cluster_train_2iter" -> clusterTrain2Iter,
     "emb_quantize" -> embQuantize,
     "emb_pq_codes" -> embPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
