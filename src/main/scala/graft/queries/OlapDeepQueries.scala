@@ -380,7 +380,42 @@ object OlapDeepQueries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |ORDER BY lost_rev_e4 DESC, c.c_custkey LIMIT 20""".stripMargin)
 
+  // Market-basket co-occurrence: part pairs ordered together, top-20 by
+  // support. NOT a self-join (which would scan and shuffle the fact twice
+  // and re-distinct each side): ONE scan collects each order's distinct
+  // sorted part set (basket ~7 elements), pairs explode from the array
+  // in-task bounded by basket² — |orders| × O(basket²) rows, linear in the
+  // fact — and one aggregate counts support. Top-20 is a distributed
+  // TakeOrderedAndProject. The oracle states the same result as the
+  // textbook self-join; sort_array + slice keep p1 < p2 once per pair.
+  // Same shape = token co-occurrence in an NLP pipeline (collect window,
+  // explode pairs, bound by window size).
+  val olapMarketBasket: (QFn, String) = (
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |  AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_market_basket" -> olapMarketBasket,
     "olap_forecast_revenue" -> olapForecastRevenue,
     "olap_returned_items" -> olapReturnedItems,
     "olap_volume_shipping" -> olapVolumeShipping,

@@ -504,6 +504,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ranking must be the heap aggregate, not a corpus-wide window:\n$p")
   }
 
+  test("olap_market_basket: pair generation is an in-task explode, not a self-join") {
+    val p = plan("olap_market_basket")
+    assert(!p.contains("Join"), s"basket pairs must not self-join:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the in-task pair explode in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be distributed in:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"one lineitem scan expected, got $scans in:\n$p")
+  }
+
   test("events_rolling_wau: fact reduced to user-days BEFORE the 7-slot explode") {
     val p = plan("events_rolling_wau")
     val scans = p.linesIterator.count(l =>
