@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   * order-free), so swapping it in changes no result bit.
   *
   * Null/shape semantics follow [[CosineSimilarity]]: null input → null,
-  * null element → null, mismatched lengths → error.
+  * null element → null, mismatched lengths → error. Inputs are assumed
+  * FINITE (embedding columns always are): on a NaN element this node's
+  * `(long) Math.floor(NaN)` yields 0 where the composed form's ANSI
+  * double→bigint cast would error — the only input class where the two
+  * diverge.
   */
 case class L2DistanceE8(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -220,8 +220,14 @@ final class ReplicationSpooler(
   }
 
   def close(): Unit = {
-    sendStatus()
-    if (out != null) out.close()
-    channel.close()
+    // best-effort farewell status: on an already-dead wire (the common
+    // close path after a pump fatal) the write throws — that must not leak
+    // the open segment file or mask the close of the channel itself
+    try sendStatus()
+    catch { case scala.util.control.NonFatal(_) => () }
+    finally {
+      try { if (out != null) out.close() }
+      finally channel.close()
+    }
   }
 }

@@ -16,7 +16,7 @@ class ReplicationWireSpec extends AnyFunSuite {
 
   /** In-memory walsender: a scripted queue of server messages plus a log of
     * everything the standby wrote back. */
-  final class FakeChannel extends CopyBothChannel {
+  class FakeChannel extends CopyBothChannel {
     val toSend = mutable.Queue.empty[Array[Byte]]
     val written = mutable.ArrayBuffer.empty[Array[Byte]]
     var closed = false
@@ -164,5 +164,26 @@ class ReplicationWireSpec extends AnyFunSuite {
     sp.sendStatus()
     val (_, flushed, _, _, _) = statusOf(ch.written.last)
     assert(flushed == WalLog.confirmed(walDir))
+  }
+
+  test("close on a dead wire neither throws nor leaks: farewell status " +
+      "failure still closes segment file and channel") {
+    val walDir = Files.createTempDirectory("graft-deadwire").toString
+    val ch = new FakeChannel {
+      var dead = false
+      override def write(msg: Array[Byte]): Unit = {
+        if (dead) throw new java.io.IOException("broken pipe")
+        super.write(msg)
+      }
+    }
+    val sp = new ReplicationSpooler(ch, walDir)
+    ch.toSend += encodeXLogData(XLogData(100L, 100L, 0L, Array[Byte](1, 2, 3)))
+    sp.pump()
+    ch.dead = true
+    sp.close() // farewell status throws inside — must be swallowed
+    assert(ch.closed, "channel must close even when the farewell fails")
+    // the spooled frame survived the ugly shutdown (file handle was closed)
+    val frames = WalLog.read(walDir, afterLsn = -1L, untilLsn = Long.MaxValue)
+    assert(frames.exists(_.lsn == 100L))
   }
 }
