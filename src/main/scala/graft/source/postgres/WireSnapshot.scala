@@ -36,6 +36,19 @@ object WireSnapshot {
   /** One partition's scan bounds (inclusive). */
   final case class PkRange(lo: Long, hi: Long)
 
+  /** Split [lo, hi] into ≤n contiguous, disjoint, covering ranges. BigInt
+    * internally: a sparse bigint key can span more than Long.Max/n, where
+    * long `span * i` silently wraps into overlapping (data-duplicating) or
+    * inverted (data-LOSING) ranges. */
+  private[graft] def splitRanges(lo: Long, hi: Long, n: Int): Seq[PkRange] =
+    (0 until math.max(1, n)).map { i =>
+      val m = math.max(1, n)
+      val span = BigInt(hi) - BigInt(lo) + 1
+      val a = BigInt(lo) + span * i / m
+      val b = BigInt(lo) + span * (i + 1) / m - 1
+      PkRange(a.toLong, b.toLong)
+    }.filter(r => r.hi >= r.lo)
+
   /** The envelope row every snapshot partition emits — field-compatible
     * with [[ChangeEvent]] flattened (op, data, meta.*). */
   final case class SnapshotRow(op: String, data: String, source: String,
@@ -76,18 +89,15 @@ object WireSnapshot {
     bounds match {
       case None => spark.emptyDataset[SnapshotRow].toDF()
       case Some((lo, hi)) =>
-        val n = math.max(1, numPartitions)
-        val span = hi - lo + 1
-        val ranges = (0 until n).map { i =>
-          val a = lo + span * i / n
-          val b = lo + span * (i + 1) / n - 1
-          PkRange(a, b)
-        }.filter(r => r.hi >= r.lo)
-        // one range per Spark partition: each task opens its own wire
-        // session, adopts the exported snapshot, and cursors its key range
+        val ranges = splitRanges(lo, hi, numPartitions)
+        // EXACTLY one range per Spark partition: parallelize with explicit
+        // numSlices slices the seq positionally — a repartition(n) would
+        // HASH the range rows, landing 2 ranges on some tasks and 0 on
+        // others and silently halving snapshot parallelism
         val host = ep.host; val port = ep.port; val user = ep.user
         val db = ep.database; val pass = ep.password; val ssl = ep.ssl
-        spark.createDataset(ranges).repartition(ranges.size)
+        spark.createDataset(
+          spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)))
           .mapPartitions { it =>
             val epLocal = SocketCopyBothChannel.Endpoint(
               host, port, user, db, pass, ssl)
