@@ -1079,6 +1079,36 @@ object ExtQueries {
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin)
 
+  // Deterministic k-per-stratum sample (few-shot example / eval-subset
+  // selection): the 3 docs with the smallest md5-prefix per (lang, source).
+  // Hash-order sampling is retry-stable and seedless-reproducible (rand()
+  // is neither); the per-group top-k runs on the HEAP aggregate — k rows
+  // per partition cross the shuffle, where a row_number window would sort
+  // every stratum's full corpus slice. Engine parity: Spark scores by the
+  // PARSED 32-bit hash prefix (negated — the heap keeps highest), the
+  // oracle orders by the hex PREFIX STRING — fixed-width lowercase hex
+  // compares identically either way.
+  val pipelineSamplePerGroup: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("lang"), col("source"))
+      .agg(graft.functions.TopKByScore.topK(
+        (-col("h")).cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), col("source"), col("t.id").as("doc_id"),
+        (-col("t.score")).cast("long").as("h"),
+        (col("pos") + 1).cast("long").as("rank")),
+    """SELECT lang, source, doc_id, h, rank FROM (
+      |  SELECT lang, source, doc_id,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |    CAST(row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+      |      AS BIGINT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3""".stripMargin)
+
   // Dataset card: the per-(lang, source) composition summary published with
   // a training corpus — doc counts, char/token volume and corpus share.
   // ONE corpus scan and one partial-agg-friendly groupBy: the corpus total
@@ -1697,6 +1727,7 @@ object ExtQueries {
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,
+    "pipeline_sample_per_group" -> pipelineSamplePerGroup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,

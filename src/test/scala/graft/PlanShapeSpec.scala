@@ -504,6 +504,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ranking must be the heap aggregate, not a corpus-wide window:\n$p")
   }
 
+  test("pipeline_sample_per_group: heap top-k per stratum, no per-group sort window") {
+    val p = plan("pipeline_sample_per_group")
+    assert(p.contains("top_k_by_score") && !p.contains("Window"),
+      s"per-stratum sample must use the heap aggregate, not a window:\n$p")
+    assert(!p.contains("Join"), s"sampling is one scan + one aggregate:\n$p")
+  }
+
   test("olap_market_basket: pair generation is an in-task explode, not a self-join") {
     val p = plan("olap_market_basket")
     assert(!p.contains("Join"), s"basket pairs must not self-join:\n$p")
