@@ -429,6 +429,64 @@ object ExtQueries {
       .select(col("node").as("doc_id"), col("component")),
     dedupComponents._2)
 
+  // SoftDeDup weighting: instead of DROPPING near-duplicates, every doc in
+  // an n-member near-dup cluster gets sampling weight 1/n (per-million) —
+  // the total probability mass of a duplicated document stays ~constant,
+  // which modern data recipes prefer over hard removal (dropping loses the
+  // distributional signal that a doc was popular). Composition: the
+  // components operator labels the near-dup graph, cluster sizes come from
+  // ONE aggregate of the (tiny, checkpointed) label frame, and the corpus
+  // left-joins the weights — docs outside the graph coalesce to weight 1.
+  val dedupSoftWeights: (QFn, String) = (
+    (s, dir) => {
+      // tiny (near-dup docs only) and consumed twice — sizes + join
+      val comp = graft.dedup.Components
+        .connected(dedupNgramJaccard._1(s, dir)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("cdoc"), col("component"))
+        .localCheckpoint()
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      val weights = comp.join(sizes, Seq("component"))
+        .select(col("cdoc"), col("csize"))
+      docs(s, dir).select(col("doc_id"))
+        .join(weights, col("doc_id") === col("cdoc"), "left_outer")
+        .select(col("doc_id"),
+          expr("cast(1000000 as bigint) div coalesce(csize, cast(1 as bigint))")
+            .as("weight_pm"))
+    },
+    s"""${toksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |           GROUP BY c.doc_a, c.doc_b),
+       |jac AS (SELECT * FROM (
+       |  SELECT m.doc_a, m.doc_b,
+       |    round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) AS jaccard
+       |  FROM common m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |r(node, seed) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.seed FROM r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, CAST(min(seed) AS BIGINT) AS component
+       |         FROM r GROUP BY node),
+       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+       |       FROM comp GROUP BY 1),
+       |w AS (SELECT c.node, s2.csize FROM comp c JOIN sz s2 USING (component))
+       |SELECT d.doc_id,
+       |  CAST(1000000 // coalesce(w.csize, 1) AS BIGINT) AS weight_pm
+       |FROM documents d LEFT JOIN w ON d.doc_id = w.node""".stripMargin)
+
   // Shingle CONTAINMENT (|A∩B| / |A|) on LSH candidate pairs — the
   // asymmetric near-dup signal Jaccard misses: a short document quoted
   // wholesale inside a long one has low Jaccard (the union is huge) but
@@ -1743,6 +1801,7 @@ object ExtQueries {
     "dedup_containment" -> dedupContainment,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_components" -> dedupComponents,
+    "dedup_soft_weights" -> dedupSoftWeights,
     "dedup_components_doubling" -> dedupComponentsDoubling,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
