@@ -490,6 +490,63 @@ class PgLiveWireSpec extends AnyFunSuite {
     } finally { sp.close(); admin.close() }
   }
 
+  test("live delta snapshot: a read-opted table ADDED after bootstrap gets " +
+      "boundary-scanned READs for itself only; the stream resumes unbroken") {
+    live()
+    val admin = LivePostgres.session()
+    admin.simpleQuery(
+      "CREATE TABLE public.live_da(a bigint PRIMARY KEY, v text)")
+    admin.simpleQuery(
+      "CREATE TABLE public.live_db(b bigint PRIMARY KEY, w text)")
+    admin.simpleQuery("INSERT INTO public.live_da VALUES (1, 'a1')")
+    admin.simpleQuery("INSERT INTO public.live_db VALUES (10, 'b1')")
+
+    val sA = Seq(StreamDef("da", "public.live_da",
+      Seq("insert", "read"), "cdc.da"))
+    val s1 = LivePostgres.session()
+    val reads1 = ArrayBuffer.empty[ChangeEvent]
+    val b1 = WireBootstrap.bootstrap(s1, "graft_delta_slot",
+      "graft_delta_pub", sA, confirmedLsn = 0L, emit = reads1 += _,
+      flushDelivery = () => ())
+    assert(b1.outcome.isInstanceOf[SnapshotBootstrap.Snapshotted])
+    assert(reads1.map(_.meta.resource).distinct == Seq("public.live_da"))
+    s1.close() // simulated restart; the slot and ledger survive on-server
+
+    // operator adds a second read-opted stream; the engine resumes from its
+    // confirmed position (here: the original consistent point)
+    val sAB = sA :+ StreamDef("db", "public.live_db",
+      Seq("insert", "read"), "cdc.db")
+    val s2 = LivePostgres.session()
+    val reads2 = ArrayBuffer.empty[ChangeEvent]
+    val b2 = WireBootstrap.bootstrap(s2, "graft_delta_slot",
+      "graft_delta_pub", sAB, confirmedLsn = b1.startLsn,
+      emit = reads2 += _, flushDelivery = () => ())
+    b2.outcome match {
+      case SnapshotBootstrap.DeltaSnapshotted(_, res) =>
+        assert(res == Seq("public.live_db"), s"delta set: $res")
+      case other => fail(s"expected DeltaSnapshotted, got $other")
+    }
+    // ONLY the new table re-scanned — no duplicate READs for live_da —
+    // and it carries its pre-existing row
+    assert(reads2.map(_.meta.resource).distinct == Seq("public.live_db"))
+    assert(reads2.exists(_.data == """{"b":10,"w":"b1"}"""), reads2.map(_.data))
+    assert(b2.startLsn == b1.startLsn)
+
+    // the widened publication streams BOTH tables from here on
+    admin.simpleQuery("INSERT INTO public.live_da VALUES (2, 'a2')")
+    admin.simpleQuery("INSERT INTO public.live_db VALUES (11, 'b2')")
+    val walDir = Files.createTempDirectory("live_wal_delta").toString
+    val ch = s2.startReplication("graft_delta_slot", "graft_delta_pub",
+      ChangeEvent.lsnText(b2.startLsn), readTimeoutMs = 300)
+    val sp = new ReplicationSpooler(ch, walDir)
+    try {
+      val evs = drainEvents(sp, walDir, want = 2)
+      assert(evs.map(_._1.data) == Seq(
+        """{"a":2,"v":"a2"}""", """{"b":11,"w":"b2"}"""),
+        s"streamed: ${evs.map(_._1.data)}")
+    } finally { sp.close(); admin.close() }
+  }
+
   test("live types: real-server text forms promote by OID — numeric NaN " +
       "stays a string, non-finite floats stay text, bool/ints/floats are " +
       "JSON scalars, bytea/array/jsonb/uuid verbatim") {
