@@ -27,6 +27,10 @@ final case class MediaResize(
 final case class MediaFeatures(
     doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long)
 
+final case class PpmDecoded(
+    doc_id: Long, width: Long, height: Long, maxval: Long,
+    mean_r_e4: Long, mean_g_e4: Long, mean_b_e4: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -92,6 +96,69 @@ object Multimodal {
         def f(i: Int): Long =
           if (i.toLong * stride < n) (r.media(i * stride) & 0xFF).toLong else 0L
         MediaFeatures(r.doc_id, f(0), f(1), f(2), f(3))
+      }
+    }
+  }
+
+  /** REAL image decode — binary PPM (P6), the one raster format a pure-JVM
+    * build can parse with no codec library: header `P6 <w> <h> <maxval>`
+    * with arbitrary whitespace and `#` comments, then w·h·3 raw RGB bytes.
+    * Returns None unless the payload is well-formed P6 with a complete
+    * pixel payload. This is the boundary where [[fakeDecode]]'s stub ends:
+    * PPM decodes for real; compressed formats (JPEG/PNG) still need the
+    * external codec the container doesn't ship. */
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && bytes(i).toChar.isDigit) i += 1
+      if (i == start) None else Some(new String(bytes, start, i - start).toInt)
+    }
+    for {
+      w <- int(); h <- int(); mx <- int()
+      // exactly ONE whitespace byte separates maxval from the raster
+      if i < bytes.length && bytes(i).toChar.isWhitespace
+      off = i + 1
+      if w > 0 && h > 0 && mx > 0 && mx < 65536 &&
+        bytes.length - off >= w.toLong * h * 3
+    } yield (w, h, mx, off)
+  }
+
+  /** Partition-wise REAL decode of P6 payloads: header parse + full pixel
+    * walk, per-channel means in exact e4 integer units (sum·10⁴ div n —
+    * order-free, engine-exact). Malformed payloads are dropped (a real
+    * media pipeline quarantines them; the oracle constructs only valid
+    * ones). Same mapPartitions shape as the stubs — swap-in proof that the
+    * boundary holds for a genuine decoder. */
+  def decodePpmMeta(ds: Dataset[MediaRecord]): Dataset[PpmDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePpm(r.media).map { case (w, h, mx, off) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val n = w.toLong * h
+          var p = 0L
+          while (p < n) {
+            val base = off + (p * 3).toInt
+            sr += r.media(base) & 0xFF
+            sg += r.media(base + 1) & 0xFF
+            sb += r.media(base + 2) & 0xFF
+            p += 1
+          }
+          PpmDecoded(r.doc_id, w.toLong, h.toLong, mx.toLong,
+            sr * 10000 / n, sg * 10000 / n, sb * 10000 / n)
+        }
       }
     }
   }

@@ -994,6 +994,45 @@ object ExtQueries {
       |  md5(text) AS px_hash
       |FROM documents""".stripMargin)
 
+  // REAL image decode, no codec library: binary PPM (P6) payloads are built
+  // deterministically from the fixture (header + w·h·3 raw RGB bytes cycled
+  // from the ASCII text), then [[Multimodal.decodePpm]] ACTUALLY PARSES the
+  // header — dimensions come out of the bytes, not the row — and walks every
+  // pixel for exact e4-integer channel means. This is where the mm tier
+  // stops being a stub: the oracle reconstructs the same construction in
+  // SQL, so a parser bug (offset, whitespace rule, channel order) is a
+  // value diff, not a shrug. Same mapPartitions decode shape as the stubs —
+  // swap-in proof the boundary holds for a genuine decoder.
+  val mmDecodePpm: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.decodePpmMeta(media).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, ascii(substring(px, i, 1)) AS v,
+      |    (i - 1) % 3 AS ch
+      |  FROM g, unnest(generate_series(1, CAST(w * h * 3 AS INTEGER))) AS t(i))
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(255 AS BIGINT) AS maxval,
+      |  CAST(sum(CASE WHEN ch = 0 THEN v END) * 10000 // (w * h) AS BIGINT) AS mean_r_e4,
+      |  CAST(sum(CASE WHEN ch = 1 THEN v END) * 10000 // (w * h) AS BIGINT) AS mean_g_e4,
+      |  CAST(sum(CASE WHEN ch = 2 THEN v END) * 10000 // (w * h) AS BIGINT) AS mean_b_e4
+      |FROM b GROUP BY doc_id, w, h""".stripMargin)
+
   // Frame sampling over an opaque media payload — the video half of the
   // multimodal plumbing: a deterministic frame index (64-byte frames at
   // 25 fps here; a real codec's keyframe index in production), strided so at
@@ -1822,6 +1861,7 @@ object ExtQueries {
     "sim_ann_recall" -> simAnnRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub,
+    "mm_decode_ppm" -> mmDecodePpm,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stub" -> mmResizeStub,
     "mm_feature_stub" -> mmFeatureStub,
