@@ -490,6 +490,46 @@ class PgLiveWireSpec extends AnyFunSuite {
     } finally { sp.close(); admin.close() }
   }
 
+  test("live sparse-key parallel snapshot: PK range spanning the long " +
+      "extremes splits without overflow — every row lands in exactly one " +
+      "partition's cursor") {
+    live()
+    import graft.source.postgres.WireSnapshot
+    val admin = LivePostgres.session()
+    admin.simpleQuery("CREATE TABLE public.live_sparse(" +
+      "id bigint PRIMARY KEY, v bigint)")
+    // keys spread across nearly the whole bigint domain — the span is far
+    // over Long.Max/n, the exact regime where naive long range math wraps
+    // into overlapping (duplicating) or inverted (LOSING) ranges
+    admin.simpleQuery("INSERT INTO public.live_sparse VALUES " +
+      "(-9223372036854775800, 1), (-4611686018427387904, 2), (-1, 3), " +
+      "(0, 4), (1, 5), (4611686018427387904, 6), (9223372036854775800, 7)")
+    val exporter = LivePostgres.session()
+    val slot = WireBootstrap.createSlot(exporter, "graft_sparse_slot",
+      graft.source.postgres.Replication.ExportSnapshot)
+    val snapName = slot.snapshotName.getOrElse(fail("no snapshot_name"))
+    try {
+      val spark = SparkTestBase.spark
+      val df = WireSnapshot.scan(spark,
+        LivePostgres.endpoint(LivePostgres.SuperUser, None), snapName,
+        "public.live_sparse", "id", numPartitions = 7,
+        boundaryLsn = slot.consistentPoint).cache()
+      // all 7 rows, each exactly once (no range overlap), none lost (no
+      // inverted/gapped range)
+      assert(df.count() == 7)
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      val vs = df.select(get_json_object(col("data"), "$.v").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(vs == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L), s"got $vs")
+    } finally {
+      try exporter.simpleQuery(
+        graft.source.postgres.Replication.dropSlot("graft_sparse_slot"))
+      catch { case _: Throwable => () }
+      exporter.close()
+      admin.close()
+    }
+  }
+
   test("live delta snapshot: a read-opted table ADDED after bootstrap gets " +
       "boundary-scanned READs for itself only; the stream resumes unbroken") {
     live()
