@@ -433,36 +433,65 @@ object Bench {
       }
     }
 
-    // 3-decimal rounding keeps the single JSON line inside the driver's
-    // stdout tail window (86 queries × 9-decimal seconds overflowed it in r5
-    // → parsed:null); ms precision is far below this box's noise band anyway
+    // The driver records only the LAST 2000 characters of stdout (BENCH_r06:
+    // "tail" is exactly 2000 chars and sbt's "[success] Total time" epilogue
+    // eats ~75 of them). The 118-query map is ~3 KB, so any single line that
+    // carries it has its HEAD cut out of the window → parsed:null in r5 AND
+    // r6. Structural fix: TWO lines. The full artifact goes first (and to a
+    // file), then a compact summary line — bounded at headline metrics plus
+    // the top-12 slowest suite queries, well under 1 KB — goes LAST so it
+    // always survives the tail window whole, no matter how the suite grows.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    // wal_drain_10x is a 10× workload — including it in the suite total
-    // would break round-over-round comparability of "value". Failed queries
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    // Exclusions from the summed "value": the 10× points are a different
+    // workload scale, and live_drain only runs where postgres binaries exist
+    // — summing any of them breaks round-over-round / cross-machine
+    // comparability. They stay as individual query entries. Failed queries
     // (recorded as -1.0) must not be summed either: they'd subtract from the
     // total and corrupt it — list them separately instead.
+    val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain")
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
-      .filterNot { case (k, v) =>
-        k == "wal_drain_10x" || k == "live_drain_10x" || v < 0 }.values.sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qs,""" +
+      .filterNot { case (k, v) => nonComparable(k) || v < 0 }.values.sum
+    val summaryKeys =
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""n_queries":${results.size},""" +
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
-      s""""sf":"$sfDir"}"""
-    // stdout line for the driver (fork + StdoutOutput keep it unprefixed) AND
-    // a file copy — under tmp or GRAFT_BENCH_OUT, never the repo CWD (a CWD
-    // write lands untracked in git status and concurrent runs clobber it)
-    println(json)
-    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT",
-      s"${sys.props("java.io.tmpdir")}/graft_bench_out.json")
-    Files.writeString(Paths.get(outPath), json + "\n")
+      s""""sf":"$sfDir""""
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      summaryKeys + s""","queries":${jmap(results.toSeq)}}"""
+    // Compact map: the drain/latency headline points plus the 12 slowest
+    // suite queries (the ones worth comparing round-over-round by eye).
+    val headline = Seq("wal_drain", "wal_drain_2slot", "wal_drain_10x",
+      "live_drain", "live_drain_10x")
+      .flatMap(k => results.get(k).map(k -> _))
+    val slowest = results.toSeq
+      .filterNot { case (k, v) => nonComparable(k) ||
+        k.startsWith("wal_drain") || v < 0 }
+      .sortBy(-_._2).take(12)
+    val compactJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":${jmap(headline ++ slowest)},""" + summaryKeys +
+      s""","full_queries":"bench_out/latest.json"}"""
+    // Full artifact to a file the judge/driver can open: bench_out/ in the
+    // CWD (the driver runs sbt from the repo root; the dir is gitignored so
+    // the write never dirties `git status`). GRAFT_BENCH_OUT overrides.
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", {
+      Files.createDirectories(Paths.get("bench_out"))
+      "bench_out/latest.json"
+    })
+    Files.writeString(Paths.get(outPath), fullJson + "\n")
+    // stdout (fork + StdoutOutput keep both lines unprefixed): full first,
+    // compact LAST — a tail-window scanner finds the compact line intact.
+    println(fullJson)
+    println(compactJson)
     spark.stop()
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf~1 scale-step smoke (VERDICT r6 #5): replicate the sf0.1 fixtures 10×
+  * by unioning key-shifted copies (no generator needed — every foreign key
+  * is shifted by the same per-entity span, so referential integrity holds
+  * across replicas), write them as a real parquet dir, then run the round's
+  * most expensive queries against it UNCHANGED and report per-query seconds
+  * plus join-strategy plan shape (broadcast vs sort-merge vs shuffled-hash
+  * counts) at both scales. The r5 decimal-overflow class was only caught
+  * because the bench ran 10× above the oracle gate — this main makes that
+  * probe a one-command step for each next scale rung.
+  *
+  * Usage: runMain graft.ScaleSmoke [outDir]
+  *   GRAFT_SMOKE_SRC   source fixture dir   (default /root/testdata/sf0.1)
+  *   GRAFT_SMOKE_COPIES replicas            (default 10)
+  *   GRAFT_SMOKE_ONLY  comma list of queries (default: the top-10 list)
+  */
+object ScaleSmoke {
+
+  /** The 10 most expensive suite queries by BENCH_r06 time. */
+  val DefaultQueries: Seq[String] = Seq(
+    "olap_market_basket", "olap_waiting_suppliers", "pipeline_clean_corpus",
+    "olap_nation_share", "olap_set_ops", "olap_ship_priority",
+    "pipeline_bloom_decontaminate", "sim_ann_recall", "sim_knn_graph",
+    "olap_order_cheapest_line")
+
+  /** key columns to shift per table: (table, cols, span source table+col). */
+  private def replicate(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    // one span per key FAMILY, from the table that owns the key — shifting
+    // l_orderkey and o_orderkey by the SAME span keeps joins intact
+    def span(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+    val spans = Map(
+      "custkey" -> span(tbl("customer"), "c_custkey"),
+      "orderkey" -> span(tbl("orders"), "o_orderkey"),
+      "partkey" -> span(tbl("part"), "p_partkey"),
+      "suppkey" -> span(tbl("supplier"), "s_suppkey"),
+      "doc_id" -> span(tbl("documents"), "doc_id"),
+      "vec_id" -> span(tbl("embeddings"), "vec_id"),
+      "event_id" -> span(tbl("events"), "event_id"),
+      "user_id" -> span(tbl("events"), "user_id"))
+    // per-table shifted key columns (family → columns)
+    val shifted: Map[String, Seq[(String, String)]] = Map(
+      "customer" -> Seq("c_custkey" -> "custkey"),
+      "orders" -> Seq("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+      "lineitem" -> Seq("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+        "l_suppkey" -> "suppkey"),
+      "part" -> Seq("p_partkey" -> "partkey"),
+      "supplier" -> Seq("s_suppkey" -> "suppkey"),
+      "documents" -> Seq("doc_id" -> "doc_id"),
+      "embeddings" -> Seq("vec_id" -> "vec_id"),
+      "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
+      // dims replicate by reference only — copied once, unshifted
+      "region" -> Seq.empty, "nation" -> Seq.empty)
+    shifted.foreach { case (name, keys) =>
+      val base = tbl(name)
+      val big =
+        if (keys.isEmpty) base
+        else (0 until copies).map { k =>
+          keys.foldLeft(base) { case (df, (c, fam)) =>
+            df.withColumn(c, (col(c) + lit(k * spans(fam))).cast("long"))
+          }
+        }.reduce(_ unionByName _)
+      big.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[smoke] wrote $name ×${if (keys.isEmpty) 1 else copies}")
+    }
+  }
+
+  private def joinShape(p: String): String = {
+    def c(s: String) = p.linesIterator.count(_.contains(s))
+    s"bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
+      s"shj=${c("ShuffledHashJoin")} bnl=${c("BroadcastNestedLoopJoin")} " +
+      s"cart=${c("CartesianProduct")} exch=${c("Exchange")}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("GRAFT_SMOKE_SRC", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("GRAFT_SMOKE_COPIES", "10").toInt
+    val out = args.headOption.getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft_smoke_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/lineitem.parquet")))
+      replicate(spark, src, out, copies)
+    else System.err.println(s"[smoke] reusing replicated dir $out")
+
+    val names = sys.env.get("GRAFT_SMOKE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def shape(dir: String): String =
+        joinShape(fn(spark, dir).queryExecution.executedPlan.toString)
+      val small = shape(src)
+      val t0 = System.nanoTime()
+      val r = try {
+        fn(spark, out).write.format("noop").mode("overwrite").save(); "ok"
+      } catch { case e: Throwable => s"FAIL: ${e.getMessage.take(120)}" }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val big = try shape(out) catch { case _: Throwable => "n/a" }
+      val flip = if (small != big) "  PLAN-FLIP" else ""
+      f"$name%-30s $secs%7.2fs  $r%s$flip%n    sf0.1: $small%n    sf~1 : $big"
+    }
+    println("=== ScaleSmoke (10x sf0.1) ===")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

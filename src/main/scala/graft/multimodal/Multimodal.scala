@@ -31,6 +31,15 @@ final case class PpmDecoded(
     doc_id: Long, width: Long, height: Long, maxval: Long,
     mean_r_e4: Long, mean_g_e4: Long, mean_b_e4: Long)
 
+final case class PpmResized(
+    doc_id: Long, out_x: Long, out_y: Long, r: Long, g: Long, b: Long)
+
+final case class PpmFeatures(
+    doc_id: Long,
+    r_min: Long, r_max: Long, r_mean_e4: Long, r_m2_e4: Long,
+    g_min: Long, g_max: Long, g_mean_e4: Long, g_m2_e4: Long,
+    b_min: Long, b_max: Long, b_mean_e4: Long, b_m2_e4: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -104,9 +113,12 @@ object Multimodal {
     * build can parse with no codec library: header `P6 <w> <h> <maxval>`
     * with arbitrary whitespace and `#` comments, then w·h·3 raw RGB bytes.
     * Returns None unless the payload is well-formed P6 with a complete
-    * pixel payload. This is the boundary where [[fakeDecode]]'s stub ends:
-    * PPM decodes for real; compressed formats (JPEG/PNG) still need the
-    * external codec the container doesn't ship. */
+    * pixel payload. maxval must be < 256: the spec's 16-bit variant
+    * (maxval ≥ 256, 2 big-endian bytes per sample) is REJECTED rather than
+    * mis-read as 1-byte samples — the raster validation and pixel walks
+    * below assume exactly one byte per sample. This is the boundary where
+    * [[fakeDecode]]'s stub ends: PPM decodes for real; compressed formats
+    * (JPEG/PNG) still need the external codec the container doesn't ship. */
   def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
@@ -130,7 +142,7 @@ object Multimodal {
       // exactly ONE whitespace byte separates maxval from the raster
       if i < bytes.length && bytes(i).toChar.isWhitespace
       off = i + 1
-      if w > 0 && h > 0 && mx > 0 && mx < 65536 &&
+      if w > 0 && h > 0 && mx > 0 && mx < 256 &&
         bytes.length - off >= w.toLong * h * 3
     } yield (w, h, mx, off)
   }
@@ -158,6 +170,99 @@ object Multimodal {
           }
           PpmDecoded(r.doc_id, w.toLong, h.toLong, mx.toLong,
             sr * 10000 / n, sg * 10000 / n, sb * 10000 / n)
+        }
+      }
+    }
+  }
+
+  /** REAL resize — integer box-filter downsample over the decoded P6 raster,
+    * no external library. Exact-integer contract: for decimation factor `f`,
+    * output pixel (ox, oy) channel c = floor(sum of the f×f input block at
+    * (ox·f, oy·f) / f²); out_w = ⌊w/f⌋, out_h = ⌊h/f⌋ (a trailing partial
+    * row/column is discarded, so every output pixel averages a FULL block —
+    * that's what keeps the kernel order-free and oracle-exact). Emitted as
+    * one row per output pixel so the oracle checks every resampled value,
+    * not a summary. Same partition-wise shape as every decode here: at
+    * 100 TB the resample is embarrassingly parallel and the full raster
+    * never crosses an exchange — only the (much smaller) resized pixels do,
+    * and only if a downstream op asks for a shuffle. Malformed payloads are
+    * dropped, same policy as [[decodePpmMeta]]. */
+  def resizePpm(ds: Dataset[MediaRecord], factor: Int = 2): Dataset[PpmResized] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        decodePpm(rec.media).toSeq.flatMap { case (w, h, _, off) =>
+          val ow = w / factor
+          val oh = h / factor
+          val n = factor * factor
+          for (oy <- 0 until oh; ox <- 0 until ow) yield {
+            var sr = 0; var sg = 0; var sb = 0
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              val rowBase = off +
+                ((oy * factor + dy).toLong * w + ox * factor) * 3
+              while (dx < factor) {
+                val base = (rowBase + dx * 3).toInt
+                sr += rec.media(base) & 0xFF
+                sg += rec.media(base + 1) & 0xFF
+                sb += rec.media(base + 2) & 0xFF
+                dx += 1
+              }
+              dy += 1
+            }
+            PpmResized(rec.doc_id, ox.toLong, oy.toLong,
+              (sr / n).toLong, (sg / n).toLong, (sb / n).toLong)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL feature extraction — per-channel color moments over the decoded P6
+    * raster: min, max, mean (e4 integer units) and the second central moment
+    * (e4), the classic color-moment image descriptor (Stricker & Orengo's
+    * first two moments per channel, plus range). Exact-integer contract: the
+    * second moment is computed as (n·Σx² − (Σx)²)·10⁴ / n² in Long
+    * arithmetic with a single floor division at the end, so the value is
+    * order-free and engine-exact (a running float variance is neither).
+    * Headroom: Σx² ≤ 255²·n, so the pre-division product stays < 2⁶³ for
+    * any raster under ~4.5 billion pixels per image. Same partition-wise
+    * decode shape as the rest of the tier — this is the second stub
+    * graduation (after resize): a real vector of real image statistics, not
+    * byte probes. A vision ENCODER still needs the model runtime the
+    * container doesn't ship; that boundary is unchanged. */
+  def featuresPpm(ds: Dataset[MediaRecord]): Dataset[PpmFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        decodePpm(rec.media).map { case (w, h, _, off) =>
+          val n = w.toLong * h
+          val mins = Array(255L, 255L, 255L)
+          val maxs = Array(0L, 0L, 0L)
+          val sums = Array(0L, 0L, 0L)
+          val sqs = Array(0L, 0L, 0L)
+          var p = 0L
+          while (p < n) {
+            val base = off + (p * 3).toInt
+            var c = 0
+            while (c < 3) {
+              val v = (rec.media(base + c) & 0xFF).toLong
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              sums(c) += v
+              sqs(c) += v * v
+              c += 1
+            }
+            p += 1
+          }
+          def mean(c: Int): Long = sums(c) * 10000 / n
+          def m2(c: Int): Long = (n * sqs(c) - sums(c) * sums(c)) * 10000 / (n * n)
+          PpmFeatures(rec.doc_id,
+            mins(0), maxs(0), mean(0), m2(0),
+            mins(1), maxs(1), mean(1), m2(1),
+            mins(2), maxs(2), mean(2), m2(2))
         }
       }
     }

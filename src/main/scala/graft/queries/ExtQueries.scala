@@ -305,6 +305,17 @@ object ExtQueries {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
+  /** Benchmark gram set (distinct word-3-shingles of the doc_id % 97 = 0
+    * eval slice), persisted once per (session, dir): the decontamination
+    * family evaluates it up to three times per run (bloom sizing count,
+    * bloom bitmap build, exact broadcast join) — without this entry each of
+    * those re-ran the filter→distinct shuffle over the shingle subtree. */
+  private def benchGrams(s: SparkSession, dir: String): DataFrame =
+    subtreeCache.getOrElseUpdate((s, "bench_grams", dir),
+      shingles(s, dir).withColumnRenamed("s", "gram")
+        .filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct().persist())
+
   /** MinHash signatures (8 hashes), persisted for the same reuse reason. */
   private def sigDF(s: SparkSession, dir: String): DataFrame =
     subtreeCache.getOrElseUpdate((s, "sig", dir), {
@@ -1033,6 +1044,104 @@ object ExtQueries {
       |  CAST(sum(CASE WHEN ch = 2 THEN v END) * 10000 // (w * h) AS BIGINT) AS mean_b_e4
       |FROM b GROUP BY doc_id, w, h""".stripMargin)
 
+  // REAL resize — the mm_resize_stub graduation: the same deterministic P6
+  // payloads as mm_decode_ppm are DECODED (header actually parsed) and then
+  // box-filter downsampled by 2 in exact integer math — each output pixel is
+  // floor(mean of its full 2×2 input block), per channel, one row per output
+  // pixel so the oracle re-derives EVERY resampled value from the raw bytes.
+  // A trailing odd row/column is discarded (full-block contract; documented
+  // in Multimodal.resizePpm). No codec, no float, no shuffle.
+  val mmResize: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.resizePpm(media, factor = 2).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, w, h, px, tx.ox AS ox, ty.oy AS oy
+      |  FROM g,
+      |    unnest(generate_series(0, CAST(w // 2 - 1 AS INTEGER))) AS tx(ox),
+      |    unnest(generate_series(0, CAST(h // 2 - 1 AS INTEGER))) AS ty(oy))
+      |SELECT doc_id, CAST(ox AS BIGINT) AS out_x, CAST(oy AS BIGINT) AS out_y,
+      |  CAST((ascii(substring(px, ((oy*2)*w + ox*2)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 1, 1))) // 4
+      |    AS BIGINT) AS r,
+      |  CAST((ascii(substring(px, ((oy*2)*w + ox*2)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 2, 1))) // 4
+      |    AS BIGINT) AS g,
+      |  CAST((ascii(substring(px, ((oy*2)*w + ox*2)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 3, 1))) // 4
+      |    AS BIGINT) AS b
+      |FROM o""".stripMargin)
+
+  // REAL feature extraction — the second stub graduation: per-channel COLOR
+  // MOMENTS (min, max, mean e4, second central moment e4 — the classic
+  // image-retrieval descriptor) computed from the actually-decoded P6
+  // raster in exact integer arithmetic; the oracle recomputes every moment
+  // from the raw bytes, so the whole pixel walk is value-pinned. The model
+  // boundary honesty is unchanged: a vision ENCODER still needs a runtime
+  // this container doesn't ship — but the feature path up to it is now a
+  // real kernel over real pixels, not byte probes.
+  val mmFeaturePpm: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.featuresPpm(media).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, ascii(substring(px, i, 1)) AS v, (i - 1) % 3 AS ch
+      |  FROM g, unnest(generate_series(1, CAST(w * h * 3 AS INTEGER))) AS t(i)),
+      |a AS (
+      |  SELECT doc_id, ch, CAST(w * h AS BIGINT) AS n,
+      |    min(v) AS mn, max(v) AS mx, sum(v) AS s, sum(v * v) AS ss
+      |  FROM b GROUP BY doc_id, ch, w * h)
+      |SELECT doc_id,
+      |  CAST(max(CASE WHEN ch = 0 THEN mn END) AS BIGINT) AS r_min,
+      |  CAST(max(CASE WHEN ch = 0 THEN mx END) AS BIGINT) AS r_max,
+      |  CAST(max(CASE WHEN ch = 0 THEN s * 10000 // n END) AS BIGINT) AS r_mean_e4,
+      |  CAST(max(CASE WHEN ch = 0 THEN (n * ss - s * s) * 10000 // (n * n) END) AS BIGINT) AS r_m2_e4,
+      |  CAST(max(CASE WHEN ch = 1 THEN mn END) AS BIGINT) AS g_min,
+      |  CAST(max(CASE WHEN ch = 1 THEN mx END) AS BIGINT) AS g_max,
+      |  CAST(max(CASE WHEN ch = 1 THEN s * 10000 // n END) AS BIGINT) AS g_mean_e4,
+      |  CAST(max(CASE WHEN ch = 1 THEN (n * ss - s * s) * 10000 // (n * n) END) AS BIGINT) AS g_m2_e4,
+      |  CAST(max(CASE WHEN ch = 2 THEN mn END) AS BIGINT) AS b_min,
+      |  CAST(max(CASE WHEN ch = 2 THEN mx END) AS BIGINT) AS b_max,
+      |  CAST(max(CASE WHEN ch = 2 THEN s * 10000 // n END) AS BIGINT) AS b_mean_e4,
+      |  CAST(max(CASE WHEN ch = 2 THEN (n * ss - s * s) * 10000 // (n * n) END) AS BIGINT) AS b_m2_e4
+      |FROM a GROUP BY doc_id""".stripMargin)
+
   // Frame sampling over an opaque media payload — the video half of the
   // multimodal plumbing: a deterministic frame index (64-byte frames at
   // 25 fps here; a real codec's keyframe index in production), strided so at
@@ -1090,8 +1199,7 @@ object ExtQueries {
       // corpus gram multiset). Only the small benchmark side deduplicates
       // across documents before broadcasting.
       val grams = shingles(s, dir).withColumnRenamed("s", "gram")
-      val bench = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct()
+      val bench = benchGrams(s, dir)
       val corpus = grams.filter(col("doc_id") % 97 =!= 0)
         .select("doc_id", "gram")
       corpus.join(broadcast(bench), "gram")
@@ -1120,8 +1228,10 @@ object ExtQueries {
   val pipelineBloomDecontaminate: (QFn, String) = (
     (s, dir) => {
       val grams = shingles(s, dir).withColumnRenamed("s", "gram")
-      val bench = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct()
+      // persisted once (subtreeCache): the sizing count, the bitmap build,
+      // and the exact join below all read the SAME materialized bench set —
+      // this was three filter→distinct recomputes before r7
+      val bench = benchGrams(s, dir)
       val corpus = grams.filter(col("doc_id") % 97 =!= 0)
         .select("doc_id", "gram")
       val benchH = bench.select(xxhash64(col("gram")).as("h"))
@@ -1665,9 +1775,10 @@ object ExtQueries {
 
   // Resize planning over opaque media: decode (stub) → integer fit-to-box
   // geometry + output byte budget, partition-wise and shuffle-free. The
-  // pixel resample itself is codec territory (stub boundary); the plan-side
-  // numbers are what sizes partitions for the 100 TB media pass.
-  val mmResizeStub: (QFn, String) = (
+  // pixel resample for the P6 raster is REAL now (mm_resize above); this
+  // plan-side variant keeps the geometry/byte-budget numbers that size
+  // partitions for the 100 TB media pass BEFORE touching pixels.
+  val mmResizePlan: (QFn, String) = (
     (s, dir) => Multimodal.resizeMeta(Multimodal.mediaTable(docs(s, dir))).toDF(),
     """WITH d AS (
       |  SELECT doc_id,
@@ -1863,7 +1974,9 @@ object ExtQueries {
     "mm_decode_stub" -> mmDecodeStub,
     "mm_decode_ppm" -> mmDecodePpm,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_resize_stub" -> mmResizeStub,
+    "mm_resize" -> mmResize,
+    "mm_resize_plan" -> mmResizePlan,
+    "mm_feature_ppm" -> mmFeaturePpm,
     "mm_feature_stub" -> mmFeatureStub,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)

@@ -168,7 +168,10 @@ object PgServerHarness {
       return None
     }
     try scramUser.foreach { case (u, pw) =>
-      s.simpleQuery(s"CREATE ROLE $u LOGIN REPLICATION PASSWORD '$pw'")
+      // quote-escape: a password containing ' must not break (or worse,
+      // rewrite) the statement — test-only harness, but SQL stays SQL
+      val quoted = pw.replace("'", "''")
+      s.simpleQuery(s"CREATE ROLE $u LOGIN REPLICATION PASSWORD '$quoted'")
     } finally s.close()
     Some(h)
   }

@@ -348,14 +348,25 @@ object SocketCopyBothChannel {
     }
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .getOrElse("postgres")
-    // query params: only the TLS pair is recognized; an unknown key is a
-    // hard error (a typo'd ssl_mode silently ignored = plaintext to prod)
+    // query params: the TLS pair is honored; common benign libpq params are
+    // accepted and ignored (URIs written for psql/libpq must keep working);
+    // anything ELSE is a hard error — the check exists because a typo'd
+    // ssl_mode silently ignored means plaintext to prod, and that class of
+    // near-miss ("sslmode" misspellings, unknown security knobs) must fail
+    // closed rather than pass as "benign unknown".
     val params = Option(u.getQuery).map(_.split("&").iterator.filter(_.nonEmpty)
       .map(_.split("=", 2) match {
         case Array(k, v) => k -> v
         case Array(k) => k -> ""
       }).toMap).getOrElse(Map.empty)
-    val unknown = params.keySet -- Set("sslmode", "sslrootcert")
+    // libpq connection params that don't change what THIS client sends on
+    // the wire (or that it already enforces internally: connect_timeout has
+    // its own argument). Security-adjacent keys are deliberately NOT here.
+    val benign = Set("application_name", "connect_timeout", "options",
+      "client_encoding", "fallback_application_name", "keepalives",
+      "keepalives_idle", "keepalives_interval", "keepalives_count",
+      "target_session_attrs", "tcp_user_timeout")
+    val unknown = params.keySet -- Set("sslmode", "sslrootcert") -- benign
     require(unknown.isEmpty,
       s"unrecognized URI parameter(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val ssl = PgTls.SslConfig(params.getOrElse("sslmode", "disable"),

@@ -118,6 +118,19 @@ trait CopyBothChannel extends AutoCloseable {
   *    delivered epoch IS the handoff — the server's restart point only
   *    advances after sink delivery, preserving the at-least-once contract
   *    end-to-end over the wire.
+  *
+  * Large-transaction bound — the classic CDC failure mode (a multi-GB bulk
+  * UPDATE in one transaction): the reference buffers each whole transaction
+  * in memory between BEGIN and COMMIT; THIS spooler never does — every frame
+  * appends straight to the segment file, so a giant transaction costs
+  * bounded memory (one frame) and unbounded DISK, and the downstream decode
+  * streams it back frame-by-frame the same way. The residual risk is disk
+  * exhaustion, silent until the filesystem fails: `maxTransactionBytes`
+  * (opt-in; unlimited by default because killing a legitimate bulk load is
+  * worse than a disk alert) fails LOUDLY mid-transaction once a single
+  * transaction's spooled payload bytes exceed the bound — the operator gets
+  * the LSN and byte count, and restart re-streams from the confirmed LSN
+  * (nothing unconfirmed is lost; at-least-once holds).
   */
 final class ReplicationSpooler(
     channel: CopyBothChannel,
@@ -129,7 +142,10 @@ final class ReplicationSpooler(
       * (wal_sender_timeout=0) gets several chances to refresh the wire
       * heartbeat before the watchdog would trip. */
     solicitAfterMicros: Long = 30L * 1000000,
-    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
+    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L,
+    /** Loud-failure ceiling on one transaction's spooled payload bytes
+      * (BEGIN through COMMIT). Default unlimited — see the class doc. */
+    maxTransactionBytes: Long = Long.MaxValue) {
 
   import ReplicationWire._
 
@@ -163,10 +179,25 @@ final class ReplicationSpooler(
     outBytes = 0L
   }
 
+  // bytes spooled for the in-flight transaction (reset at BEGIN and after
+  // COMMIT); pgoutput tags ride in the payload's first byte
+  private var txBytes: Long = 0L
+
   private def append(lsn: Long, payload: Array[Byte]): Unit = {
+    val tag: Byte = if (payload.nonEmpty) payload(0) else 0
+    if (tag == 'B') txBytes = 0L
+    txBytes += payload.length
+    if (txBytes > maxTransactionBytes)
+      throw new IllegalStateException(
+        s"transaction at lsn=$lsn exceeded maxTransactionBytes: spooled " +
+          s"$txBytes > $maxTransactionBytes bytes before COMMIT — a bulk " +
+          "DML this size must be chunked (or the bound raised); the stream " +
+          "stops HERE so the spool disk cannot fill silently, and restart " +
+          "resumes from the confirmed LSN with nothing unconfirmed lost")
     if (out == null || outBytes >= segmentBytes) roll()
     out.writeLong(lsn); out.writeInt(payload.length); out.write(payload)
     outBytes += 12L + payload.length
+    if (tag == 'C') txBytes = 0L
   }
 
   private def pgClock(): Long = nowMicros() - PgEpochShiftMicros

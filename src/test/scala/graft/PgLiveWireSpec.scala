@@ -688,4 +688,102 @@ class PgLiveWireSpec extends AnyFunSuite {
           upd.data.take(200))
     } finally { sp.close(); admin.close() }
   }
+
+  test("live endurance crash/restart: spooler killed mid-drain of a 500k " +
+      "backlog, reopened from the spooled position — exact retained-event " +
+      "accounting, zero gaps, duplicates only from the boundary transaction") {
+    live()
+    val admin = LivePostgres.session()
+    admin.simpleQuery("CREATE TABLE public.live_endurance(" +
+      "id bigint PRIMARY KEY, payload text)")
+    val streams = Seq(StreamDef("live_endurance", "public.live_endurance",
+      Seq("insert"), "cdc.live_endurance"))
+    val s1 = LivePostgres.session()
+    val boot = WireBootstrap.bootstrap(s1, "graft_end_slot", "graft_end_pub",
+      streams, confirmedLsn = 0L,
+      emit = _ => fail("stream-only bootstrap must not snapshot"),
+      flushDelivery = () => ())
+    // 500k rows in 50k-row transactions (the reference load generator's
+    // set-based shape, ~100-byte payloads) — the same backlog scale the
+    // check-gaps contract runs against (reference CHANGELOG.md:27-30)
+    val n = 500000
+    var lsnMid = 0L
+    (0 until n by 50000).foreach { lo =>
+      admin.simpleQuery("INSERT INTO public.live_endurance " +
+        s"SELECT i, repeat('x', 100) FROM " +
+        s"generate_series(${lo + 1}, ${lo + 50000}) AS g(i)")
+      if (lo + 50000 == n / 2)
+        lsnMid = lsn(admin.simpleQuery(
+          "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+    }
+    val endLsn = lsn(admin.simpleQuery(
+      "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+
+    val walDir = Files.createTempDirectory("live_end_wal").toString
+    // phase 1: drain ~half the backlog, then die. The spooler never buffers
+    // a transaction — frames hit the segment file as they arrive — so the
+    // durable position at death is whatever was flushed, and that is the
+    // resume point (lastReceivedLsn equals it after flush()).
+    val ch1 = s1.startReplication("graft_end_slot", "graft_end_pub",
+      ChangeEvent.lsnText(boot.startLsn), readTimeoutMs = 1000)
+    val sp1 = new ReplicationSpooler(ch1, walDir)
+    val d1 = System.nanoTime() + 120L * 1000000000L
+    while (sp1.lastReceivedLsn < lsnMid && System.nanoTime() < d1)
+      sp1.pumpOnce()
+    assert(sp1.lastReceivedLsn >= lsnMid, "phase 1 never reached mid-backlog")
+    sp1.flush()
+    val resumeFrom = sp1.lastReceivedLsn
+    assert(resumeFrom < endLsn, "crash must land mid-backlog to bite")
+    try sp1.close() catch { case _: Throwable => () }
+
+    // phase 2: reopen the SAME spool dir from the spooled position. The
+    // walsender replays from the boundary transaction's BEGIN (a tx is
+    // filtered by its COMMIT position), so the only legal duplicates are
+    // that one transaction's already-spooled prefix.
+    val s2 = LivePostgres.session()
+    val ch2 = s2.startReplication("graft_end_slot", "graft_end_pub",
+      ChangeEvent.lsnText(resumeFrom), readTimeoutMs = 1000)
+    val sp2 = new ReplicationSpooler(ch2, walDir)
+    try {
+      val d2 = System.nanoTime() + 180L * 1000000000L
+      while (sp2.lastReceivedLsn < endLsn && System.nanoTime() < d2)
+        sp2.pumpOnce()
+      sp2.flush()
+      assert(sp2.lastReceivedLsn >= endLsn, "phase 2 never drained the tail")
+
+      // exact retained-event accounting over the union of both phases'
+      // segments: decode every spooled frame through the production
+      // converter and count per-id deliveries
+      val reg = new RelationRegistry
+      val conv = new Converter(reg)
+      val idRe = """"id":(-?\d+)""".r
+      val counts = new scala.collection.mutable.LongMap[Int](n * 2)
+      var frames = 0L
+      WalLog.read(walDir, afterLsn = -1L, untilLsn = Long.MaxValue)
+        .foreach { f =>
+          frames += 1
+          conv.convert(PgOutputDecoder.decode(f.payload), f.lsn).foreach { e =>
+            if (e.op == Op.Insert)
+              idRe.findFirstMatchIn(e.data).foreach { m =>
+                val id = m.group(1).toLong
+                counts(id) = counts.getOrElse(id, 0) + 1
+              }
+          }
+        }
+      // zero gaps: every one of the 500k ids retained at least once
+      assert(counts.size == n, s"gap: retained ${counts.size} of $n ids " +
+        s"(spooled $frames frames)")
+      // at-least-once, tightly: an id is delivered once, or twice when its
+      // transaction straddled the crash — never more, and the doubled ids
+      // are bounded by one 50k-row transaction
+      val over = counts.valuesIterator.count(_ > 2)
+      assert(over == 0, s"$over ids delivered more than twice")
+      val dup = counts.valuesIterator.count(_ == 2)
+      assert(dup <= 50000, s"duplicates ($dup) exceed one boundary " +
+        "transaction's worth")
+    } finally {
+      try sp2.close() catch { case _: Throwable => () }
+      admin.close()
+    }
+  }
 }

@@ -52,6 +52,16 @@ class PgTlsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SocketCopyBothChannel.parseUri("postgres://localhost/db?ssl_mode=require")
     }
+    // benign libpq params on an existing URI must not break the parse —
+    // accepted and ignored, while TLS settings on the same URI still bind
+    val mixed = SocketCopyBothChannel.parseUri(
+      "postgres://bob@localhost/cdc?application_name=graft&connect_timeout=10" +
+        "&sslmode=require&options=-csearch_path%3Dpublic")
+    assert(mixed.ssl == PgTls.SslConfig("require", None))
+    // but a security-adjacent unknown key still fails closed
+    intercept[IllegalArgumentException] {
+      SocketCopyBothChannel.parseUri("postgres://localhost/db?sslcert=/x.pem")
+    }
   }
 
   test("sslmode=require: handshake completes, CopyBoth streams encrypted, " +

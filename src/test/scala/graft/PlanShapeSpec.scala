@@ -299,8 +299,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nBoth + n97 == k97, s"$nBoth + $n97 != |k97| $k97")
   }
 
-  test("mm_resize_stub / mm_feature_stub are shuffle-free partition-wise decodes") {
-    Seq("mm_resize_stub", "mm_feature_stub").foreach { name =>
+  test("mm_resize / mm_resize_plan / mm_feature_stub are shuffle-free partition-wise") {
+    Seq("mm_resize", "mm_resize_plan", "mm_feature_ppm",
+        "mm_feature_stub").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
       assert(p.contains("MapPartitions"),
@@ -308,9 +309,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // resize geometry invariant: output fits the 224 box on the long side
     import org.apache.spark.sql.functions.col
-    val r = SparkEntry.queries("mm_resize_stub")(SparkTestBase.spark, SparkTestBase.sf)
+    val r = SparkEntry.queries("mm_resize_plan")(SparkTestBase.spark, SparkTestBase.sf)
     assert(r.filter(col("out_w") > 224 || col("out_h") > 224).count() == 0,
       "resize exceeded the target box")
+    // real-resize invariant: every output channel value is a valid byte
+    val rr = SparkEntry.queries("mm_resize")(SparkTestBase.spark, SparkTestBase.sf)
+    assert(rr.filter(col("r") < 0 || col("r") > 255 ||
+      col("g") < 0 || col("g") > 255 || col("b") < 0 || col("b") > 255)
+      .count() == 0, "resized channel value out of byte range")
   }
 
   test("olap_nation_share broadcasts every dimension; facts join hash once") {

