@@ -112,7 +112,7 @@ object Bench {
     val runDrain = sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1") != "0"
     try if (runDrain) {
       val scale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
-      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev0 = WalFixture.eventsUs(spark, sfDir)
       // replicate with shifted ids for scale > 1 (same schema, same op mix;
       // LSNs stay unique because they derive from event_id)
       val idSpan = {
@@ -147,9 +147,7 @@ object Bench {
               val pid = org.apache.spark.TaskContext.getPartitionId()
               val seen = scala.collection.mutable.Set.empty[String]
               val frames = it.flatMap { r =>
-                WalFixture.frames(WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L,
-                  r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)),
-                  seen)
+                WalFixture.frames(WalFixture.evFromRow(r), seen)
               }
               WalLog.write(Paths.get(walDir, f"${firstSeg + pid}%08d.wal"), frames)
             }

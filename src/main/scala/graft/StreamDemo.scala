@@ -28,10 +28,9 @@ object StreamDemo {
     val ckptDir = Files.createTempDirectory("graft-demo-ckpt").toString
 
     val t0 = System.nanoTime()
-    val ev = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id")
+    val ev = WalFixture.eventsUs(spark, sfDir).orderBy("event_id")
       .collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     val nEvents = WalFixture.writeLog(ev, walDir)
     println(f"[demo] rendered $nEvents events as pgoutput WAL in ${(System.nanoTime() - t0) / 1e9}%.2f s at $walDir")
 

@@ -38,15 +38,16 @@ object ChangeLog {
   def rowIdCol(lsnNum: Column): Column = lsnNum % 97
 
   def changelog(spark: SparkSession, sfDir: String): DataFrame = {
-    // The harness writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4 only
-    // reads with the nanosAsLong flag (as a nanosecond LongType). Commit time
+    // The harness has written `ts` as parquet TIMESTAMP(NANOS) (readable in
+    // Spark 4 only as a nanosecond LongType under the nanosAsLong flag) in
+    // some rounds and TIMESTAMP(MICROS) (TimestampNTZ) in others. Commit time
     // is Unix SECONDS in the envelope (converter.zig:95-98); integer `div`
     // keeps full precision (a double round-trip would lose bits at 1.7e18 ns).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = table(spark, sfDir, "events")
     val commitTs = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts")).cast("long")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
     }
     ev.select(
       lsnTextCol(col("event_id")).as("lsn"),

@@ -23,10 +23,20 @@ object AnalyticsQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ChangeLog.table(s, dir, "events")
+    val df = ChangeLog.table(s, dir, "events")
+    // Normalize `ts` to a NANOSECOND Long whatever the harness wrote this
+    // round — TIMESTAMP(NANOS) already reads as a ns Long under nanosAsLong;
+    // TIMESTAMP(MICROS) reads as TimestampNTZ and is converted here (µs
+    // × 1000 stays far below Long.Max until year ~2262, same bound the ns
+    // physical type itself has). Downstream expressions all assume ns.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
-  /** Event ts in µs as a long (nanosAsLong gives ns; integer div keeps
+  /** Event ts in µs as a long (events() normalizes to ns; integer div keeps
     * precision; DuckDB side is epoch_us). */
   private def tsUs = expr("ts div 1000")
 

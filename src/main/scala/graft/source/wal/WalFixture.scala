@@ -82,4 +82,27 @@ object WalFixture {
     }
     n
   }
+
+  /** `events.parquet` with `ts` normalized to epoch MICROSECONDS as a Long,
+    * whatever physical type the harness wrote this round: TIMESTAMP(NANOS)
+    * (readable only as a ns Long under `nanosAsLong`), TIMESTAMP(MICROS)
+    * (TimestampNTZ / LocalDateTime under `inferTimestampNTZ`), or an
+    * adjusted-to-UTC instant. Every fixture/bench consumer goes through
+    * here so a harness schema change lands in exactly one place. */
+  def eventsUs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    df.withColumn("ts", tsUs)
+  }
+
+  /** Row → [[Ev]] for a frame from [[eventsUs]] (ts already µs). */
+  def evFromRow(r: org.apache.spark.sql.Row): Ev =
+    Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getDouble(4), r.getString(5))
 }

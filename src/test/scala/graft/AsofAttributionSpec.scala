@@ -1,5 +1,6 @@
 package graft
 
+import graft.source.wal.WalFixture
 import graft.streaming.AsofAttribution
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -12,8 +13,8 @@ class AsofAttributionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("streamed attribution over ordered arrivals matches the batch as-of join") {
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
+      .select(col("user_id"), col("ts").as("ts_us"),
         col("event_id"), col("event_type"))
     // three file batches split by VALUE ranges of ts_us (never row ranges:
     // a µs tie straddling a batch boundary would reorder a click behind

@@ -49,10 +49,9 @@ class GuardsSpec extends AnyFunSuite {
   test("pgwal source options are case-insensitive") {
     import graft.source.wal.{WalFixture, WalLog}
     val walDir = java.nio.file.Files.createTempDirectory("graft-ci-wal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").limit(20).collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
     val df = spark.readStream
       .format(classOf[graft.source.wal.PgWalSource].getName)

@@ -55,10 +55,9 @@ class HardeningSpec extends AnyFunSuite {
   test("a corrupt WAL frame fails the streaming query instead of skipping") {
     import graft.source.wal.{WalFixture, WalLog}
     val walDir = Files.createTempDirectory("graft-bad-wal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").limit(50).collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
     // append a junk frame past the valid ones, PROVEN by a higher-LSN
     // successor — an unproven tail run is (correctly) withheld from
@@ -82,10 +81,9 @@ class HardeningSpec extends AnyFunSuite {
   test("re-appended WAL content with already-processed LSNs is not re-delivered") {
     import graft.source.wal.{WalFixture, WalLog}
     val walDir = Files.createTempDirectory("graft-resend-wal").toString
-    def events(n: Int) = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    def events(n: Int) = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").limit(n).collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(events(100), walDir)
     val out = Files.createTempDirectory("graft-resend-out").toString
     val ckpt = Files.createTempDirectory("graft-resend-ckpt").toString

@@ -18,10 +18,9 @@ class RocksDbStateSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val walDir = Files.createTempDirectory("graft-rocks-wal").toString
-      val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
         .orderBy("event_id").collect().iterator
-        .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-          r.getString(3), r.getDouble(4), r.getString(5)))
+        .map(WalFixture.evFromRow)
       WalFixture.writeLog(ev, walDir)
       val stream = UpsertState.materialize(
         StreamingPipeline.walStream(spark, walDir, maxEventsPerBatch = 500))

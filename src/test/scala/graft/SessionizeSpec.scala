@@ -1,5 +1,6 @@
 package graft
 
+import graft.source.wal.WalFixture
 import graft.streaming.Sessionize
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -14,8 +15,8 @@ class SessionizeSpec extends AnyFunSuite {
     // events as a file stream (two file batches so sessions span triggers),
     // plus one far-future sentinel event per user that pushes the watermark
     // past every real session's horizon, closing them all
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
+      .select(col("user_id"), col("ts").as("ts_us"))
     val maxUs = ev.agg(max("ts_us")).head().getLong(0)
     val sentinels = ev.select(col("user_id")).distinct()
       .withColumn("ts_us", lit(maxUs + 86400L * 1000000L))

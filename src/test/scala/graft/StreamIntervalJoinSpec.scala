@@ -1,5 +1,6 @@
 package graft
 
+import graft.source.wal.WalFixture
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -16,8 +17,8 @@ class StreamIntervalJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("watermarked stream-stream interval join converges to the batch range join") {
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
+      .select(col("user_id"), col("ts").as("ts_us"),
         col("event_id"), col("event_type"))
     val dir = Files.createTempDirectory("graft-ssj-src").toString
     // two event-time-ordered file batches (value split, never row split)

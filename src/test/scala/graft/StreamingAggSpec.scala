@@ -13,10 +13,9 @@ class StreamingAggSpec extends AnyFunSuite {
   test("watermarked tumbling-window counts over the WAL stream match batch") {
     import graft.source.wal.WalFixture
     val walDir = Files.createTempDirectory("graft-aggwal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
 
     val stream = StreamingPipeline.walStream(spark, walDir)
@@ -42,10 +41,9 @@ class StreamingAggSpec extends AnyFunSuite {
       "2-slot explode formula") {
     import graft.source.wal.WalFixture
     val walDir = Files.createTempDirectory("graft-hopwal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
 
     val stream = StreamingPipeline.walStream(spark, walDir)

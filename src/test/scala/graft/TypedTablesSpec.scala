@@ -29,10 +29,9 @@ class TypedTablesSpec extends AnyFunSuite {
   test("typed projection of one table from the WAL stream") {
     import graft.source.wal.WalFixture
     val walDir = Files.createTempDirectory("graft-typed-wal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").filter(col("event_id") < 200).collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
 
     val rel = registry.get(1).get
@@ -50,7 +49,7 @@ class TypedTablesSpec extends AnyFunSuite {
       assert(got.select("props").head().getString(0).startsWith("{"))
       // only click-table rows were parsed
       val total = spark.table("typed_click").count()
-      val clicks = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      val clicks = WalFixture.eventsUs(spark, SparkTestBase.sf)
         .filter(col("event_id") < 200).filter(col("event_type") === "click").count()
       assert(total == clicks)
     } finally q.stop()

@@ -13,10 +13,9 @@ class UpsertStateSpec extends AnyFunSuite {
   test("flatMapGroupsWithState materialization matches batch upsert state") {
     import graft.source.wal.WalFixture
     val walDir = Files.createTempDirectory("graft-upsert-wal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id").collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
 
     // small batches so state persists across many micro-batches

@@ -17,12 +17,11 @@ class WalStreamSpec extends AnyFunSuite {
 
   private lazy val walDir: String = {
     val dir = Files.createTempDirectory("graft-wal").toString
-    val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
       .orderBy("event_id")
       .collect()
       .iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, dir)
     dir
   }
@@ -35,10 +34,9 @@ class WalStreamSpec extends AnyFunSuite {
     // shared fixture other tests count against
     val walDir = {
       val dir = Files.createTempDirectory("graft-wal-own").toString
-      val ev = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
         .orderBy("event_id").collect().iterator
-        .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L,
-          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+        .map(WalFixture.evFromRow)
       WalFixture.writeLog(ev, dir)
       dir
     }

@@ -14,8 +14,8 @@ object DrainBreakdown {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id").collect()
-    def toEv(r: org.apache.spark.sql.Row) = WalFixture.Ev(r.getLong(0), r.getLong(1)/1000L, r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))
+    val rows = WalFixture.eventsUs(spark, sfDir).orderBy("event_id").collect()
+    def toEv(r: org.apache.spark.sql.Row) = WalFixture.evFromRow(r)
     def mkWal(): String = {
       val d = Files.createTempDirectory("bdwal").toString
       val (p, b) = rows.splitAt(1000)
@@ -70,8 +70,8 @@ object DrainBreakdown2 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rows = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id").collect()
-    def toEv(r: org.apache.spark.sql.Row) = graft.source.wal.WalFixture.Ev(r.getLong(0), r.getLong(1)/1000L, r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))
+    val rows = WalFixture.eventsUs(spark, sfDir).orderBy("event_id").collect()
+    def toEv(r: org.apache.spark.sql.Row) = graft.source.wal.WalFixture.evFromRow(r)
     import java.nio.file.{Files, Paths}
     def mkWal(): String = {
       val d = Files.createTempDirectory("bd2wal").toString

@@ -11,10 +11,9 @@ object DrainProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet").orderBy("event_id")
+    val ev = WalFixture.eventsUs(spark, sfDir).orderBy("event_id")
       .collect().iterator
-      .map(r => WalFixture.Ev(r.getLong(0), r.getLong(1) / 1000L, r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
+      .map(WalFixture.evFromRow)
     WalFixture.writeLog(ev, walDir)
     spark.stop()
     (1 to 3).foreach { round =>

@@ -14,7 +14,7 @@ object DrainScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val rows = WalFixture.eventsUs(spark, "/root/testdata/sf0.1")
       .orderBy("event_id").collect()
     val walDir = Files.createTempDirectory("scale-wal").toString
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -24,8 +24,7 @@ object DrainScale {
       val shift = c.toLong * 200000L
       WalLog.write(Paths.get(walDir, f"$c%08d.wal"),
         rows.iterator.flatMap { r =>
-          val ev = WalFixture.Ev(r.getLong(0) + shift, r.getLong(1) / 1000L,
-            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))
+          val ev = WalFixture.evFromRow(r).copy(eventId = r.getLong(0) + shift)
           WalFixture.frames(ev, seen)
         })
       n += rows.length

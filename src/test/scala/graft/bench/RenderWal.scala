@@ -1,4 +1,5 @@
 package graft
+import graft.source.wal.WalFixture
 import org.apache.spark.sql.SparkSession
 object RenderWal {
   def main(args: Array[String]): Unit = {
@@ -6,8 +7,8 @@ object RenderWal {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet(s"${args(1)}/events.parquet").orderBy("event_id").collect().iterator
-      .map(r => graft.source.wal.WalFixture.Ev(r.getLong(0), r.getLong(1)/1000L, r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+    val ev = WalFixture.eventsUs(spark, args(1)).orderBy("event_id").collect().iterator
+      .map(WalFixture.evFromRow)
     println("rendered " + graft.source.wal.WalFixture.writeLog(ev, args(0)))
     spark.stop()
   }
