@@ -1185,7 +1185,43 @@ object AnalyticsQueries {
       |FROM events e JOIN p ON e.user_id = p.user_id
       |GROUP BY 1""".stripMargin)
 
+  // 3σ outlier detection per event type, ENTIRELY in exact integer/decimal
+  // arithmetic: z² > 9  ⇔  (n·v − s)² > 9·(n·q − s²) with v in e6 units,
+  // s = Σv, q = Σv² — no float mean, no float stddev, no sqrt, so both
+  // engines agree bit-for-bit. decimal(38,0) intermediates: q ≈ n·v² is
+  // ~3.6e29 at sf0.1 and crosses Long.Max by sf~10; the decimal form has
+  // headroom to ~sf1000 (3.6e35 at sf100; audited like the per-million
+  // ratio class). The 5-row per-type stats frame broadcasts; the flagging
+  // pass is one codegen'd scan of the fact — the classic two-pass
+  // distributed outlier shape (never a self-join, never a window over the
+  // raw fact).
+  val eventsAnomalyZscore: (QFn, String) = (
+    (s, dir) => {
+      val v = events(s, dir).select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000).cast("long").as("v_e6"))
+      val st = v.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v_e6")).cast("decimal(38,0)").as("s"),
+        sum(col("v_e6").cast("decimal(38,0)") * col("v_e6")).as("q"))
+      v.join(broadcast(st), "event_type")
+        .filter((col("n") * col("v_e6") - col("s")) *
+          (col("n") * col("v_e6") - col("s")) >
+          (col("n") * col("q") - col("s") * col("s")) * lit(9))
+        .select(col("event_id"), col("event_type"), col("v_e6"))
+    },
+    """WITH v AS (SELECT event_id, event_type,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(v_e6) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(v_e6 AS HUGEINT) * v_e6) AS HUGEINT) AS q
+      |  FROM v GROUP BY 1)
+      |SELECT v.event_id, v.event_type, v.v_e6
+      |FROM v JOIN st ON v.event_type = st.event_type
+      |WHERE (st.n * v.v_e6 - st.s) * (st.n * v.v_e6 - st.s)
+      |  > 9 * (st.n * st.q - st.s * st.s)""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,
     "olap_small_qty_revenue" -> olapSmallQtyRevenue,

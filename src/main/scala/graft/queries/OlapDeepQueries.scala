@@ -414,8 +414,125 @@ object OlapDeepQueries {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)
 
+  // TPC-H Q22-shaped sales opportunity: "rich but under-selling" customers —
+  // account balance strictly above the mean positive balance, no LARGE
+  // order (>35k) on file — rolled up by nation. (The fixture gives every
+  // customer at least one order, so the literal Q22 zero-orders predicate
+  // selects nothing; the large-order variant keeps the exact exists/
+  // anti-join shape non-trivial.) The mean test runs in EXACT integers
+  // (abal_e4 * n_pos > sum_pos_e4 avoids the float mean entirely; products
+  // stay under Long.Max until ~1e9 customers × 1e8 balance units, i.e.
+  // far past sf100). The scalar (n, sum) pair broadcasts via a one-row
+  // cross join; the no-large-order test is a LEFT ANTI join — one shuffle
+  // of the candidate set against the (predicate-pruned) orders key column,
+  // never a correlated probe.
+  val olapSalesOpportunity: (QFn, String) = (
+    (s, dir) => {
+      val ab = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") * 10000).cast("long").as("abal_e4"))
+      val stat = ab.filter(col("abal_e4") > 0)
+        .agg(sum(col("abal_e4")).as("s_pos"), count(lit(1)).as("n_pos"))
+      ab.crossJoin(broadcast(stat))
+        .filter(col("abal_e4") * col("n_pos") > col("s_pos"))
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("abal_e4")).as("acctbal_e4"))
+    },
+    """WITH ab AS (SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 10000) AS BIGINT) AS abal_e4 FROM customer),
+      |pos AS (SELECT CAST(sum(abal_e4) AS BIGINT) AS s_pos,
+      |    CAST(count(*) AS BIGINT) AS n_pos FROM ab WHERE abal_e4 > 0)
+      |SELECT a.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(a.abal_e4) AS BIGINT) AS acctbal_e4
+      |FROM ab a, pos
+      |WHERE a.abal_e4 * pos.n_pos > pos.s_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = a.c_custkey AND o.o_totalprice > 350000)
+      |GROUP BY a.c_nationkey""".stripMargin)
+
+  // Year-over-year revenue movement per nation: aggregate FIRST to the
+  // (nation, year) frame (25 × ~7 rows), lag-window over that tiny frame —
+  // the window never sees the fact. Growth is reported as the exact e4
+  // difference, not a ratio: a truncating integer ratio of a possibly
+  // NEGATIVE diff rounds toward zero in Spark but toward -inf under
+  // DuckDB's floor-division `//`, so the ratio form is the one shape that
+  // CANNOT be made engine-exact in integers — the diff carries the same
+  // information losslessly. Customer is broadcast; one fact shuffle for
+  // the groupBy.
+  val olapYoyGrowth: (QFn, String) = (
+    (s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_custkey"),
+        floor(col("o_totalprice") * 10000).cast("long").as("rev_e4"),
+        expr("year(cast(o_orderdate as timestamp))").cast("long").as("o_year"))
+      val cn = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val byYear = ord.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("o_year"))
+      byYear
+        .withColumn("prev_rev_e4", lag(col("rev_e4"), 1).over(w))
+        .withColumn("diff_e4", col("rev_e4") - col("prev_rev_e4"))
+    },
+    """WITH by_year AS (
+      |  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+      |      AS rev_e4
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, o_year, rev_e4,
+      |  CAST(lag(rev_e4, 1) OVER (PARTITION BY n_name ORDER BY o_year)
+      |    AS BIGINT) AS prev_rev_e4,
+      |  CAST(rev_e4 - lag(rev_e4, 1) OVER (PARTITION BY n_name ORDER BY o_year)
+      |    AS BIGINT) AS diff_e4
+      |FROM by_year""".stripMargin)
+
+  // Running (cumulative) monthly revenue per nation: the unbounded-preceding
+  // frame — aggregate the fact to (nation, month) FIRST, cumulative-sum over
+  // the aggregated frame (25 × ~80 rows). Same discipline as every window
+  // query here: the window operator's sort sees the rollup, never the fact.
+  val olapRunningTotal: (QFn, String) = (
+    (s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_custkey"),
+        floor(col("o_totalprice") * 10000).cast("long").as("rev_e4"),
+        expr("unix_micros(date_trunc('MONTH', cast(o_orderdate as timestamp)))")
+          .as("month_us"))
+      val cn = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val byMonth = ord.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("month_us"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey")).orderBy(col("month_us"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byMonth.withColumn("cum_rev_e4", sum(col("rev_e4")).over(w))
+    },
+    """WITH by_month AS (
+      |  SELECT c.c_nationkey,
+      |    epoch_us(date_trunc('month', o.o_orderdate)) AS month_us,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+      |      AS rev_e4
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_nationkey, month_us, rev_e4,
+      |  CAST(sum(rev_e4) OVER (PARTITION BY c_nationkey ORDER BY month_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev_e4
+      |FROM by_month""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
     "olap_market_basket" -> olapMarketBasket,
+    "olap_sales_opportunity" -> olapSalesOpportunity,
+    "olap_yoy_growth" -> olapYoyGrowth,
+    "olap_running_total" -> olapRunningTotal,
     "olap_forecast_revenue" -> olapForecastRevenue,
     "olap_returned_items" -> olapReturnedItems,
     "olap_volume_shipping" -> olapVolumeShipping,

@@ -40,6 +40,10 @@ class ScanAuditSpec extends AnyFunSuite {
     "events_fill_gaps" -> "hour spine bounds + observed aggregate",
     "events_skew_join" -> "profile dim derived from the fact + fact probe",
     "events_retention_cohort" -> "first-seen aggregate joined back to fact",
+    "events_anomaly_zscore" ->
+      ("classic two-pass outlier detection: stats pass reduces the fact " +
+        "to one 5-row broadcast frame, flag pass re-scans — persisting " +
+        "the whole fact to save one columnar scan would cost more"),
     "olap_full_outer_reconcile" -> "two snapshot slices by design",
     "text_rarity_score" ->
       ("df aggregate joined back to exploded tokens; materializing the " +
