@@ -1926,7 +1926,95 @@ object ExtQueries {
       |SELECT node AS vec_id, CAST(min(seed) AS BIGINT) AS component
       |FROM r GROUP BY node""".stripMargin)
 
+  // One BPE-training merge step at corpus scale: count adjacent CHARACTER
+  // pairs across every token occurrence (weighted by term frequency, the
+  // thing a tokenizer trainer actually maximizes over), top-30 by count.
+  // The pair explode is bounded by token length — per-row work is O(|doc|),
+  // rows out are O(total chars), one aggregate, distributed top-k. This is
+  // the inner loop of BPE training as a linear-scan groupBy: at 100 TB each
+  // merge step is one such pass (the full trainer iterates it; nothing in
+  // the step itself holds more than (pair, count) partials).
+  val textBpePairs: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30),
+    s"""$toksCte, tok AS (SELECT unnest(t) AS w FROM toks),
+       |pairs AS (
+       |  SELECT substr(w, i, 2) AS pair
+       |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM tok WHERE len(w) >= 2))
+       |SELECT pair, CAST(count(*) AS BIGINT) AS n
+       |FROM pairs GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT 30""".stripMargin)
+
+  // Hybrid retrieval with reciprocal-rank fusion: a lexical leg (query-term
+  // frequency over the token stream) and a vector leg (cosine against one
+  // query embedding) are ranked independently, then fused as
+  // Σ 1e9/(60+rank) in EXACT integer arithmetic (the standard RRF k=60;
+  // integer division keeps both engines bit-identical where a float
+  // reciprocal would not). Both legs are rank-computed over per-doc
+  // aggregates (500 rows at sf0.01), never over the raw token stream; the
+  // query embedding is a one-row broadcast. At 100 TB the legs are
+  // independent top-k problems (heap aggregates / ANN) feeding the same
+  // constant-size fusion — this query pins the fusion contract.
+  val simHybridSearch: (QFn, String) = (
+    (s, dir) => {
+      val qTerms = Seq("spark", "query", "join")
+      val lex = docs(s, dir).select(col("doc_id"),
+        expr(s"size(filter(split(trim(text), '\\\\s+'), " +
+          s"x -> x IN (${qTerms.map("'" + _ + "'").mkString(",")})))")
+          .cast("long").as("tf"))
+      val wLex = Window.orderBy(col("tf").desc, col("doc_id"))
+      val lexRank = lex.withColumn("r_lex", row_number().over(wLex).cast("long"))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val vec = e.crossJoin(broadcast(q)).select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qe"), col("embedding")), 4)
+          .as("cos"))
+      val wVec = Window.orderBy(col("cos").desc, col("vec_id"))
+      val vecRank = vec.withColumn("r_vec", row_number().over(wVec).cast("long"))
+      lexRank.join(vecRank, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          (expr("1000000000 div (60 + r_lex)") +
+            expr("1000000000 div (60 + r_vec)")).as("rrf_e9"))
+        .orderBy(col("rrf_e9").desc, col("doc_id"))
+        .limit(20)
+    },
+    """WITH lex AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x IN ('spark', 'query', 'join'))) AS BIGINT) AS tf
+      |  FROM documents),
+      |lex_r AS (SELECT doc_id, CAST(row_number() OVER
+      |    (ORDER BY tf DESC, doc_id) AS BIGINT) AS r_lex FROM lex),
+      |e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |vec AS (
+      |  SELECT e.vec_id,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (q.qn * e.nrm), 4) AS cos
+      |  FROM e, q),
+      |vec_r AS (SELECT vec_id, CAST(row_number() OVER
+      |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS r_vec FROM vec)
+      |SELECT l.doc_id, l.r_lex, v.r_vec,
+      |  CAST(1000000000 // (60 + l.r_lex)
+      |     + 1000000000 // (60 + v.r_vec) AS BIGINT) AS rrf_e9
+      |FROM lex_r l JOIN vec_r v ON l.doc_id = v.vec_id
+      |ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "text_bpe_pairs" -> textBpePairs,
+    "sim_hybrid_search" -> simHybridSearch,
     "cluster_assign" -> clusterAssign,
     "cluster_train_2iter" -> clusterTrain2Iter,
     "emb_quantize" -> embQuantize,
