@@ -440,6 +440,68 @@ object ExtQueries {
       .select(col("node").as("doc_id"), col("component")),
     dedupComponents._2)
 
+  // Canonical-document selection — the step AFTER clustering in a real
+  // dedup pipeline: inside each near-dup cluster keep exactly one document
+  // (longest by n_chars, doc_id as the deterministic tiebreak); docs in no
+  // cluster keep themselves. argmax is the partial-aggregable max(struct)
+  // — the payload rides the maximum through map-side combine, no per-
+  // cluster sort window. The components frame joins back un-hinted (AQE
+  // broadcasts while it fits; at 100 TB it shuffle-joins on doc_id like
+  // any keyed frame); only the |clusters|-row best frame gets an explicit
+  // broadcast. Output is ALL docs with a keep flag — the downstream filter
+  // is the caller's choice (hard drop vs soft weight).
+  val dedupKeepBest: (QFn, String) = (
+    (s, dir) => {
+      val comp = graft.dedup.Components
+        .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("component"))
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val withComp = d.join(comp, Seq("doc_id"), "left")
+      val best = withComp.filter(col("component").isNotNull)
+        .groupBy(col("component"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("component"), col("b.neg_id").as("best_neg_id"))
+      withComp.join(broadcast(best), Seq("component"), "left")
+        .select(col("doc_id"),
+          (col("component").isNull ||
+            (-col("doc_id")) === col("best_neg_id")).as("keep"))
+    },
+    s"""${toksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |           GROUP BY c.doc_a, c.doc_b),
+       |jac AS (SELECT * FROM (
+       |  SELECT m.doc_a, m.doc_b,
+       |    round(m.n_common * 1.0 / (za.n + zb.n - m.n_common), 4) AS jaccard
+       |  FROM common m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |r(node, seed) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.seed FROM r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, CAST(min(seed) AS BIGINT) AS component
+       |         FROM r GROUP BY node),
+       |best AS (SELECT component, doc_id AS best_id FROM (
+       |  SELECT c.component, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  (c.component IS NULL OR d.doc_id = b.best_id) AS keep
+       |FROM documents d
+       |LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |LEFT JOIN best b ON b.component = c.component""".stripMargin)
+
   // SoftDeDup weighting: instead of DROPPING near-duplicates, every doc in
   // an n-member near-dup cluster gets sampling weight 1/n (per-million) —
   // the total probability mass of a duplicated document stays ~constant,
@@ -2040,6 +2102,7 @@ object ExtQueries {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_components" -> dedupComponents,
     "dedup_soft_weights" -> dedupSoftWeights,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_components_doubling" -> dedupComponentsDoubling,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,

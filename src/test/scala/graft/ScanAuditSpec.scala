@@ -57,6 +57,7 @@ class ScanAuditSpec extends AnyFunSuite {
     "dedup_minhash_lsh" -> "persisted shingles, text overcount",
     "dedup_minhash_estimate" -> "persisted shingles, text overcount",
     "dedup_ngram_jaccard" -> "persisted shingles, text overcount",
+    "dedup_keep_best" -> "persisted shingles + the (doc_id, n_chars) side",
     "dedup_containment" -> "persisted shingles, text overcount",
     "dedup_edit_distance" -> "persisted shingles, text overcount",
     "pipeline_clean_corpus" -> "persisted shingles, text overcount",
