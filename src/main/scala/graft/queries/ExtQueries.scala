@@ -1204,6 +1204,81 @@ object ExtQueries {
       |  CAST(max(CASE WHEN ch = 2 THEN (n * ss - s * s) * 10000 // (n * n) END) AS BIGINT) AS b_m2_e4
       |FROM a GROUP BY doc_id""".stripMargin)
 
+  // The composed multimodal pipeline — decode → box-resize → color moments
+  // in ONE query, the shape a real vision-data prep job runs per image:
+  // every stage is the already-value-pinned real kernel (P6 pixel walk,
+  // integer 2×2 box filter, exact integer moments), chained so the oracle
+  // re-derives the final per-image feature row from the RAW BYTES through
+  // the whole pipeline. Per-image work is bounded by pixel count and
+  // happens before any shuffle; only the (doc, 12-number feature) rows
+  // aggregate. The vision-encoder boundary note from mm_feature_ppm
+  // applies unchanged — this pins everything up to it.
+  val mmPipelineFeatures: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      val px = graft.multimodal.Multimodal.resizePpm(media, factor = 2).toDF()
+      def mom(c: String) = Seq(
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))
+      px.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (mom("r") ++ mom("g") ++ mom("b")): _*)
+        .select(Seq(col("doc_id")) ++ Seq("r", "g", "b").flatMap { c =>
+          Seq(col(s"${c}_min"), col(s"${c}_max"),
+            expr(s"s_$c * 10000 div n").as(s"${c}_mean_e4"),
+            expr(s"(n * ss_$c - s_$c * s_$c) * 10000 div (n * n)")
+              .as(s"${c}_m2_e4"))
+        }: _*)
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id,
+      |    (ascii(substring(px, ((oy*2)*w + ox*2)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 1, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 1, 1))) // 4 AS r,
+      |    (ascii(substring(px, ((oy*2)*w + ox*2)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 2, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 2, 1))) // 4 AS g,
+      |    (ascii(substring(px, ((oy*2)*w + ox*2)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2)*w + ox*2+1)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2)*3 + 3, 1))
+      |      + ascii(substring(px, ((oy*2+1)*w + ox*2+1)*3 + 3, 1))) // 4 AS b
+      |  FROM g,
+      |    unnest(generate_series(0, CAST(w // 2 - 1 AS INTEGER))) AS tx(ox),
+      |    unnest(generate_series(0, CAST(h // 2 - 1 AS INTEGER))) AS ty(oy)),
+      |a AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+      |    min(r) AS r_min, max(r) AS r_max, sum(r) AS sr, sum(r*r) AS ssr,
+      |    min(g) AS g_min, max(g) AS g_max, sum(g) AS sg, sum(g*g) AS ssg,
+      |    min(b) AS b_min, max(b) AS b_max, sum(b) AS sb, sum(b*b) AS ssb
+      |  FROM o GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(r_min AS BIGINT) AS r_min, CAST(r_max AS BIGINT) AS r_max,
+      |  CAST(sr * 10000 // n AS BIGINT) AS r_mean_e4,
+      |  CAST((n * ssr - sr * sr) * 10000 // (n * n) AS BIGINT) AS r_m2_e4,
+      |  CAST(g_min AS BIGINT) AS g_min, CAST(g_max AS BIGINT) AS g_max,
+      |  CAST(sg * 10000 // n AS BIGINT) AS g_mean_e4,
+      |  CAST((n * ssg - sg * sg) * 10000 // (n * n) AS BIGINT) AS g_m2_e4,
+      |  CAST(b_min AS BIGINT) AS b_min, CAST(b_max AS BIGINT) AS b_max,
+      |  CAST(sb * 10000 // n AS BIGINT) AS b_mean_e4,
+      |  CAST((n * ssb - sb * sb) * 10000 // (n * n) AS BIGINT) AS b_m2_e4
+      |FROM a""".stripMargin)
+
   // Frame sampling over an opaque media payload — the video half of the
   // multimodal plumbing: a deterministic frame index (64-byte frames at
   // 25 fps here; a real codec's keyframe index in production), strided so at
@@ -2128,6 +2203,7 @@ object ExtQueries {
     "mm_resize" -> mmResize,
     "mm_resize_plan" -> mmResizePlan,
     "mm_feature_ppm" -> mmFeaturePpm,
+    "mm_pipeline_features" -> mmPipelineFeatures,
     "mm_feature_stub" -> mmFeatureStub,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)
