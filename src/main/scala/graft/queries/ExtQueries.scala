@@ -1522,6 +1522,89 @@ object ExtQueries {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
       |  FROM scored) WHERE rn = 1""".stripMargin)
 
+  // Clustering-quality diagnostic (the elbow-curve datapoint): per-cluster
+  // member count and cosine distortion, EXACT because the cosine is
+  // rounded to an e4 INTEGER before any cast (round-then-cast on BOTH
+  // engines — a truncating cast of round(x,4)*10⁴ disagrees in the last
+  // ulp) — distortion_e4 = 10000 − cos_e4 sums as a Long, so
+  // both engines agree bit-for-bit where a float inertia sum would drift
+  // with partial-aggregation order. Same broadcast-centroid assign pass as
+  // cluster_assign (one fact scan, k·|corpus| in-task work), then one
+  // k-row aggregate — the evaluation loop a distributed k-means trainer
+  // runs after every iteration at 100 TB.
+  val clusterInertia: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(graft.functions.CosineSimilarity(col("embedding"), col("ce"))
+            * 10000).cast("long").as("cos_e4"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_e4"), (-col("cid")).as("nc"))).as("m"))
+        .select((-col("m.nc")).cast("long").as("cluster"),
+          (lit(10000L) - col("m.cos_e4")).as("dist_e4"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("dist_e4")).as("total_distortion_e4"))
+        .withColumn("mean_distortion_e4",
+          expr("total_distortion_e4 div n_vectors"))
+    },
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / (e.nrm * c.cnrm)
+      |      * 10000, 0) AS BIGINT) AS cos_e4
+      |  FROM e CROSS JOIN c),
+      |best AS (
+      |  SELECT vec_id, cid AS cluster, 10000 - cos_e4 AS dist_e4 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_e4 DESC, cid) AS rn FROM scored) WHERE rn = 1)
+      |SELECT CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(sum(dist_e4) AS BIGINT) AS total_distortion_e4,
+      |  CAST(sum(dist_e4) // count(*) AS BIGINT) AS mean_distortion_e4
+      |FROM best GROUP BY cluster""".stripMargin)
+
+  // Mix rebalancing — the data-recipe PLANNING step the sampling queries
+  // execute: derive each language's per-million keep rate so the corpus
+  // approaches a uniform per-language target (total/n_langs), capped at
+  // keep-everything for under-represented strata. All integer arithmetic
+  // (target·10⁶ div n, floor semantics on both engines); the group-count
+  // frame is |langs| rows, the scalar total broadcasts via a one-row cross
+  // join — at 100 TB this is one aggregate plus constant-size planning, and
+  // its output feeds the scan-speed rate filter of pipeline_sample_rate.
+  val pipelineMixRebalance: (QFn, String) = (
+    (s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_langs"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          least(lit(1000000L),
+            expr("(total div n_langs) * 1000000 div n_docs")).as("rate_pm"))
+        .withColumn("expected_kept", expr("n_docs * rate_pm div 1000000"))
+    },
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_langs FROM counts)
+      |SELECT c.lang, c.n_docs,
+      |  CAST(least(1000000, (t.total // t.n_langs) * 1000000 // c.n_docs)
+      |    AS BIGINT) AS rate_pm,
+      |  CAST(c.n_docs * least(1000000,
+      |    (t.total // t.n_langs) * 1000000 // c.n_docs) // 1000000
+      |    AS BIGINT) AS expected_kept
+      |FROM counts c, tot t""".stripMargin)
+
   // Product-quantization encode (the OTHER embedding compression axis: int8
   // keeps all 64 dims at 1 byte; PQ keeps m=4 subspace CODES at ~1 byte
   // total per subspace — 64×4 bytes → 4, the memory layout every
@@ -2153,6 +2236,8 @@ object ExtQueries {
     "text_bpe_pairs" -> textBpePairs,
     "sim_hybrid_search" -> simHybridSearch,
     "cluster_assign" -> clusterAssign,
+    "cluster_inertia" -> clusterInertia,
+    "pipeline_mix_rebalance" -> pipelineMixRebalance,
     "cluster_train_2iter" -> clusterTrain2Iter,
     "emb_quantize" -> embQuantize,
     "emb_pq_codes" -> embPqCodes,

@@ -31,6 +31,7 @@ class ScanAuditSpec extends AnyFunSuite {
     "sim_knn_graph" -> "cell self-join: both sides cell-pruned",
     "sim_pq_adc_topk" -> "codes + LUT sides; LUT pruned (vec_id<10)",
     "cluster_assign" -> "centroid side pruned (vec_id<8)",
+    "cluster_inertia" -> "centroid side pruned (vec_id<8)",
     "sim_hybrid_search" -> "query-embedding side pruned (vec_id=0)",
     "emb_pq_codes" -> "codebook side pruned (vec_id<8)",
     "dedup_embedding_cosine" -> "LSH band self-join over pruned projections",
