@@ -1582,8 +1582,12 @@ object ExtQueries {
   // its output feeds the scan-speed rate filter of pipeline_sample_rate.
   val pipelineMixRebalance: (QFn, String) = (
     (s, dir) => {
+      // localCheckpoint the |langs|-row rollup: both the scalar total and
+      // the planning join read it, and without materialization each use
+      // re-runs the fact aggregate (a real double-scan at 100 TB — caught
+      // by ScanAuditSpec on first run)
       val counts = docs(s, dir).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_docs")).localCheckpoint()
       val tot = counts.agg(sum(col("n_docs")).as("total"),
         count(lit(1)).as("n_langs"))
       counts.crossJoin(broadcast(tot))
