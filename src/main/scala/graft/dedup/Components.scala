@@ -122,9 +122,12 @@ object Components {
         .union(sm.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
       // fixpoint = identical edge set (both sides are distinct); the
-      // symmetric difference is two anti-joins — same cost class as the
-      // propagation variant's changed-count
-      changed = small.except(edges).count() + edges.except(small).count()
+      // symmetric difference runs as ONE full-outer join + count — two
+      // separate except().count() anti-joins would launch two jobs per
+      // round over the same shuffled inputs
+      changed = small.withColumn("l", lit(1))
+        .join(edges.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull).count()
       edges = small
     }
     // at fixpoint each non-center node carries exactly one star edge to its
