@@ -1220,7 +1220,39 @@ object AnalyticsQueries {
       |WHERE (st.n * v.v_e6 - st.s) * (st.n * v.v_e6 - st.s)
       |  > 9 * (st.n * st.q - st.s * st.s)""".stripMargin)
 
+  // Trending top-k per hour — most-active users each hour via the custom
+  // heap aggregate in its WINDOWED setting: aggregate to (hour, user)
+  // counts first (one shuffle on the composite key), then TopKByScore per
+  // hour — O(N log k) memory-bounded with map-side partials, so the second
+  // exchange carries k rows per partition per hour where the row_number
+  // window form would sort every user in every hour. Counts are integers;
+  // their double form is exact, so rank and score both hash-match the
+  // window oracle. Same ordering contract as the sim_topk family: higher
+  // score, then smaller id.
+  val eventsTrendingTopk: (QFn, String) = (
+    (s, dir) => {
+      val counts = events(s, dir)
+        .select(expr("ts div 1000 div 3600000000").as("hr"), col("user_id"))
+        .groupBy(col("hr"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("hr"))
+        .agg(graft.functions.TopKByScore
+          .topK(col("n").cast("double"), col("user_id"), 5).as("top"))
+        .select(col("hr"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("hr"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("user_id"), col("t.score").cast("long").as("n_events"))
+    },
+    """WITH counts AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, user_id,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(hr AS BIGINT) AS hr, rank, user_id, n AS n_events FROM (
+      |  SELECT hr, user_id, n, CAST(row_number() OVER (PARTITION BY hr
+      |    ORDER BY n DESC, user_id) AS BIGINT) AS rank
+      |  FROM counts) WHERE rank <= 5""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_trending_topk" -> eventsTrendingTopk,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,
