@@ -2178,16 +2178,19 @@ object ExtQueries {
        |FROM pairs GROUP BY pair
        |ORDER BY n DESC, pair LIMIT 30""".stripMargin)
 
-  // Hybrid retrieval with reciprocal-rank fusion: a lexical leg (query-term
-  // frequency over the token stream) and a vector leg (cosine against one
-  // query embedding) are ranked independently, then fused as
-  // Σ 1e9/(60+rank) in EXACT integer arithmetic (the standard RRF k=60;
-  // integer division keeps both engines bit-identical where a float
-  // reciprocal would not). Both legs are rank-computed over per-doc
-  // aggregates (500 rows at sf0.01), never over the raw token stream; the
-  // query embedding is a one-row broadcast. At 100 TB the legs are
-  // independent top-k problems (heap aggregates / ANN) feeding the same
-  // constant-size fusion — this query pins the fusion contract.
+  // Hybrid retrieval with TRUNCATED reciprocal-rank fusion — the standard
+  // production form: each leg retrieves its top-100 (lexical query-term
+  // frequency; cosine against one broadcast query embedding), the two
+  // 100-row lists full-outer fuse as Σ 1e9/(60+rank) with a missing leg
+  // contributing zero, top-20 out. EXACT integer arithmetic throughout
+  // (RRF k=60; integer division keeps both engines bit-identical where a
+  // float reciprocal would not). Scale shape: each leg's top-100 is the
+  // custom HEAP aggregate — map-side partial top-k, so the exchange
+  // carries 100 rows per partition and NOTHING ranks the full corpus (the
+  // r7-first-draft global row_number window moved every doc to one
+  // partition — the single-partition WARN — and is exactly what this form
+  // eliminates); the fusion then runs on ≤200 rows. Ordering contract per
+  // leg matches the heap everywhere else: higher score, then smaller id.
   val simHybridSearch: (QFn, String) = (
     (s, dir) => {
       val qTerms = Seq("spark", "query", "join")
@@ -2195,20 +2198,27 @@ object ExtQueries {
         expr(s"size(filter(split(trim(text), '\\\\s+'), " +
           s"x -> x IN (${qTerms.map("'" + _ + "'").mkString(",")})))")
           .cast("long").as("tf"))
-      val wLex = Window.orderBy(col("tf").desc, col("doc_id"))
-      val lexRank = lex.withColumn("r_lex", row_number().over(wLex).cast("long"))
+      val lexTop = lex
+        .agg(graft.functions.TopKByScore
+          .topK(col("tf").cast("double"), col("doc_id"), 100).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("t.id").as("l_id"), (col("pos") + 1).cast("long").as("r_lex"))
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
-      val vec = e.crossJoin(broadcast(q)).select(col("vec_id"),
-        round(graft.functions.CosineSimilarity(col("qe"), col("embedding")), 4)
-          .as("cos"))
-      val wVec = Window.orderBy(col("cos").desc, col("vec_id"))
-      val vecRank = vec.withColumn("r_vec", row_number().over(wVec).cast("long"))
-      lexRank.join(vecRank, col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("r_lex"), col("r_vec"),
-          (expr("1000000000 div (60 + r_lex)") +
-            expr("1000000000 div (60 + r_vec)")).as("rrf_e9"))
+      val vecTop = e.crossJoin(broadcast(q)).select(col("vec_id"),
+          round(graft.functions.CosineSimilarity(col("qe"), col("embedding")), 4)
+            .as("cos"))
+        .agg(graft.functions.TopKByScore
+          .topK(col("cos"), col("vec_id"), 100).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("t.id").as("v_id"), (col("pos") + 1).cast("long").as("r_vec"))
+      lexTop.join(vecTop, col("l_id") === col("v_id"), "full_outer")
+        .select(coalesce(col("l_id"), col("v_id")).as("doc_id"),
+          col("r_lex"), col("r_vec"),
+          (coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_vec)"), lit(0L)))
+            .as("rrf_e9"))
         .orderBy(col("rrf_e9").desc, col("doc_id"))
         .limit(20)
     },
@@ -2217,8 +2227,10 @@ object ExtQueries {
       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |      x -> x IN ('spark', 'query', 'join'))) AS BIGINT) AS tf
       |  FROM documents),
-      |lex_r AS (SELECT doc_id, CAST(row_number() OVER
-      |    (ORDER BY tf DESC, doc_id) AS BIGINT) AS r_lex FROM lex),
+      |lex_r AS (SELECT doc_id, r_lex FROM (
+      |  SELECT doc_id, CAST(row_number() OVER
+      |    (ORDER BY tf DESC, doc_id) AS BIGINT) AS r_lex FROM lex)
+      |  WHERE r_lex <= 100),
       |e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings),
@@ -2228,12 +2240,14 @@ object ExtQueries {
       |    round(list_sum(list_transform(generate_series(1, 64),
       |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (q.qn * e.nrm), 4) AS cos
       |  FROM e, q),
-      |vec_r AS (SELECT vec_id, CAST(row_number() OVER
+      |vec_r AS (SELECT vec_id, r_vec FROM (
+      |  SELECT vec_id, CAST(row_number() OVER
       |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS r_vec FROM vec)
-      |SELECT l.doc_id, l.r_lex, v.r_vec,
-      |  CAST(1000000000 // (60 + l.r_lex)
-      |     + 1000000000 // (60 + v.r_vec) AS BIGINT) AS rrf_e9
-      |FROM lex_r l JOIN vec_r v ON l.doc_id = v.vec_id
+      |  WHERE r_vec <= 100)
+      |SELECT coalesce(l.doc_id, v.vec_id) AS doc_id, l.r_lex, v.r_vec,
+      |  CAST(coalesce(1000000000 // (60 + l.r_lex), 0)
+      |     + coalesce(1000000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf_e9
+      |FROM lex_r l FULL OUTER JOIN vec_r v ON l.doc_id = v.vec_id
       |ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin)
 
   val all: Map[String, (QFn, String)] = Map(
