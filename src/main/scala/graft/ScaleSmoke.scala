@@ -20,12 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** The 10 most expensive suite queries by BENCH_r06 time. */
+  /** The most expensive suite queries by the latest recorded bench (r7). */
   val DefaultQueries: Seq[String] = Seq(
-    "olap_market_basket", "olap_waiting_suppliers", "pipeline_clean_corpus",
-    "olap_nation_share", "olap_set_ops", "olap_ship_priority",
-    "pipeline_bloom_decontaminate", "sim_ann_recall", "sim_knn_graph",
-    "olap_order_cheapest_line")
+    "dedup_components_doubling", "dedup_semantic", "dedup_components",
+    "olap_market_basket", "cluster_train_2iter", "dedup_keep_best",
+    "olap_waiting_suppliers", "text_repetition", "dedup_soft_weights",
+    "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share")
 
   /** key columns to shift per table: (table, cols, span source table+col). */
   private def replicate(spark: SparkSession, src: String, out: String,
