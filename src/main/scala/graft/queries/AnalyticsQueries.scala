@@ -1251,7 +1251,60 @@ object AnalyticsQueries {
       |    ORDER BY n DESC, user_id) AS BIGINT) AS rank
       |  FROM counts) WHERE rank <= 5""".stripMargin)
 
+  // Three-stage ORDERED funnel (view → click → purchase, each stage
+  // strictly after the previous) — the CEP sequence-match shape as exact
+  // staged aggregation: t1 = first view per user; t2 = first click after
+  // t1; t3 = first purchase after t2. Each stage is one filter + groupBy
+  // on the user key followed by a hash join back to the (already tiny)
+  // per-user stage frame — the fact is scanned once per stage slice with
+  // the stage filter pushed to the scan, and nothing ever sorts the event
+  // log. Counts drop monotonically by construction; per-mille rates in
+  // integers. (The min-over-threshold join-back is how ordered-sequence
+  // matching distributes; a per-user sort-and-scan would shuffle the whole
+  // log into user order for the same answer.)
+  val eventsFunnelSteps: (QFn, String) = (
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        col("event_type"), tsUs.as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchased")))
+        .withColumn("click_rate_pm",
+          expr("n_clicked * 1000000 div greatest(n_viewed, 1)"))
+        .withColumn("purchase_rate_pm",
+          expr("n_purchased * 1000000 div greatest(n_clicked, 1)"))
+    },
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_viewed,
+      |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_clicked,
+      |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchased,
+      |  CAST((SELECT count(*) FROM s2) * 1000000 //
+      |    greatest((SELECT count(*) FROM s1), 1) AS BIGINT) AS click_rate_pm,
+      |  CAST((SELECT count(*) FROM s3) * 1000000 //
+      |    greatest((SELECT count(*) FROM s2), 1) AS BIGINT) AS purchase_rate_pm""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_funnel_steps" -> eventsFunnelSteps,
     "events_trending_topk" -> eventsTrendingTopk,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
