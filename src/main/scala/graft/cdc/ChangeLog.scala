@@ -45,9 +45,14 @@ object ChangeLog {
     // keeps full precision (a double round-trip would lose bits at 1.7e18 ns).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = table(spark, sfDir, "events")
+    // Floor division in pure integer math (`a div b` truncates toward zero;
+    // the DuckDB oracle floors — they diverge for pre-1970 timestamps, so
+    // subtract 1 when a negative remainder exists instead of assuming ts≥0).
+    def floorDiv(a: String, b: Long): Column =
+      expr(s"$a div $b - (case when $a % $b < 0 then 1 else 0 end)")
     val commitTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      case org.apache.spark.sql.types.LongType => floorDiv("ts", 1000000000L)
+      case _ => floorDiv("unix_micros(cast(ts as timestamp))", 1000000L)
     }
     ev.select(
       lsnTextCol(col("event_id")).as("lsn"),

@@ -460,8 +460,10 @@ object OlapDeepQueries {
   // NEGATIVE diff rounds toward zero in Spark but toward -inf under
   // DuckDB's floor-division `//`, so the ratio form is the one shape that
   // CANNOT be made engine-exact in integers — the diff carries the same
-  // information losslessly. Customer is broadcast; one fact shuffle for
-  // the groupBy.
+  // information losslessly. Only the 25-row nation frame is hint-broadcast;
+  // customer (the largest dimension) is deliberately left un-hinted so AQE
+  // picks broadcast-vs-shuffle by measured size — a forced broadcast of
+  // customer pins an OOM-prone plan at larger scale factors.
   val olapYoyGrowth: (QFn, String) = (
     (s, dir) => {
       val ord = t(s, dir, "orders").select(col("o_custkey"),
@@ -472,7 +474,7 @@ object OlapDeepQueries {
           .select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name"))
-      val byYear = ord.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      val byYear = ord.join(cn, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"), col("o_year"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
       val w = org.apache.spark.sql.expressions.Window
@@ -506,8 +508,9 @@ object OlapDeepQueries {
         floor(col("o_totalprice") * 10000).cast("long").as("rev_e4"),
         expr("unix_micros(date_trunc('MONTH', cast(o_orderdate as timestamp)))")
           .as("month_us"))
+      // customer un-hinted: AQE decides broadcast-vs-shuffle from its size.
       val cn = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val byMonth = ord.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      val byMonth = ord.join(cn, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("month_us"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
       val w = org.apache.spark.sql.expressions.Window

@@ -38,14 +38,16 @@ object AnomalyDetect {
   def q128(st: ZState): BigInt =
     (BigInt(st.qHi) << 64) | (BigInt(st.qLo) & ((BigInt(1) << 64) - 1))
 
-  /** st + one observation; the square is non-negative so the unsigned add
-    * carries on `compareUnsigned` only. */
+  /** st + one observation. The square is formed as a full 128-bit product
+    * (`Math.multiplyHigh` supplies the high word), so the accumulator is
+    * exact for ANY Long v — no |v| ≤ ~3e9 precondition; the 128-bit claim
+    * holds unconditionally even if a future fixture widens the value range. */
   def observe(st: ZState, v: Long): ZState = {
-    val sq = v * v // v ≤ ~3e9 keeps v² inside a positive Long
-    val lo = st.qLo + sq
-    val hi = if (java.lang.Long.compareUnsigned(lo, st.qLo) < 0) st.qHi + 1
-      else st.qHi
-    ZState(st.n + 1, st.s + v, hi, lo)
+    val sqLo = v * v                    // low 64 bits of v²
+    val sqHi = Math.multiplyHigh(v, v)  // high 64 bits (v² ≥ 0, so signed = value)
+    val lo = st.qLo + sqLo
+    val carry = if (java.lang.Long.compareUnsigned(lo, st.qLo) < 0) 1L else 0L
+    ZState(st.n + 1, st.s + v, st.qHi + sqHi + carry, lo)
   }
 
   /** The exact batch predicate on the prefix INCLUDING v. */

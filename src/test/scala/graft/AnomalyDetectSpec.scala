@@ -86,4 +86,15 @@ class AnomalyDetectSpec extends AnyFunSuite {
     assert(AnomalyDetect.q128(st) == BigInt(big) * BigInt(big) * 10)
     assert(st.qHi > 0, "expected a carry into the high word")
   }
+
+  test("square is exact for any Long v — no |v| bound on the accumulator") {
+    // Values whose square itself exceeds a Long (the old v*v form silently
+    // overflowed past |v| ≈ 3.037e9); multiplyHigh makes the 128-bit claim
+    // unconditional. Mix signs: (-v)² must accumulate identically.
+    val vs = Seq(4000000000L, -4000000000L, 1000000000000L, -987654321987L,
+      Long.MaxValue / 3, 3037000001L)
+    val st = vs.foldLeft(ZState(0, 0, 0, 0))(AnomalyDetect.observe)
+    assert(AnomalyDetect.q128(st) == vs.map(v => BigInt(v) * BigInt(v)).sum)
+    assert(st.n == vs.length && st.s == vs.sum)
+  }
 }
