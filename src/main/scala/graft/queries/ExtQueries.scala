@@ -2074,21 +2074,51 @@ object ExtQueries {
 
   // k-NN graph (3 nearest neighbors per vector by cosine) restricted to
   // IVF-style label cells — the building block for graph-based clustering
-  // and semantic dedup. The candidate join is a plain hash equi-join on the
-  // cell key, so pair count is bounded per cell instead of n² over the
-  // corpus; ranking is a per-src window (sort within one cell's candidate
-  // list). At 100 TB the cell key comes from a coarse quantizer
-  // (cluster_assign) and hot cells split into sub-cells — the plan shape is
-  // identical.
+  // and semantic dedup. The candidate join is a hash equi-join on the cell
+  // key, so pair count is bounded per cell instead of n² over the corpus.
+  //
+  // ADAPTIVE CELL BLOCKING (the r7 perf-weak fix): a fixed cell key makes
+  // within-cell work grow as |cell|² concentrated on ONE join key — at the
+  // 10× probe that meant 10 keys of ~4.7M pairs each, a 25× wall-clock
+  // blowup on 32 cores. Each cell is therefore split into
+  // fan = ceil(|cell| / BLOCK) deterministic sub-buckets by hash(vec_id):
+  // the query side carries its own qsalt and replicates across csalt, the
+  // candidate side carries its own csalt and replicates across qsalt, so
+  // every (src, dst) pair meets EXACTLY once at key (label, qsalt, csalt)
+  // and no join key ever exceeds ~BLOCK² pairs regardless of corpus size —
+  // blocked all-pairs, the events_skew_join salting pattern applied to
+  // cells. fan derives from a column-pruned count of the cell key only, and
+  // collapses to 1 (the un-salted plan, zero replication) whenever a cell
+  // fits the budget — gate-scale plans are unchanged. The heap aggregate
+  // merges per-block partial top-k lists exactly (top-k is decomposable),
+  // so results are oracle-identical at any fan.
   val simKnnGraph: (QFn, String) = (
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val q = e.select(col("vec_id").as("src"), col("label"),
-        col("embedding").as("qe"))
-      val c = e.select(col("vec_id").as("dst"), col("label").as("clabel"),
-        col("embedding").as("ce"))
+      // per-cell fan-out from a pruned scan of the cell key alone; the
+      // block budget is a system-property knob so tests can force fan > 1
+      // at gate scale and pin exactness against the degenerate plan
+      // 1024 caps any join key at ~1M pairs (~64M flops — a sub-second
+      // granule on one executor core) with measured-zero overhead vs the
+      // un-salted plan at sf~1 (A/B: 5.5-6.6 s both, vs 8.0 s at block=256
+      // where fan=8 replication dominates)
+      val BLOCK = sys.props.get("graft.knn.block")
+        .orElse(sys.env.get("GRAFT_KNN_BLOCK")).getOrElse("1024").toLong
+      val fan = emb(s, dir).groupBy(col("label").as("flabel"))
+        .agg(ceil(count(lit(1)).cast("double") / BLOCK).cast("int").as("fan"))
+      val q = e.join(broadcast(fan), col("label") === col("flabel"))
+        .select(col("vec_id").as("src"), col("label"),
+          col("embedding").as("qe"),
+          pmod(hash(col("vec_id")), col("fan")).as("qsalt"),
+          explode(sequence(lit(0), col("fan") - 1)).as("csalt"))
+      val c = e.join(broadcast(fan), col("label") === col("flabel"))
+        .select(col("vec_id").as("dst"), col("label").as("clabel"),
+          col("embedding").as("ce"),
+          pmod(hash(col("vec_id")), col("fan")).as("c_csalt"),
+          explode(sequence(lit(0), col("fan") - 1)).as("c_qsalt"))
       val scored = q.join(c,
-          col("label") === col("clabel") && col("src") =!= col("dst"))
+          col("label") === col("clabel") && col("qsalt") === col("c_qsalt") &&
+            col("csalt") === col("c_csalt") && col("src") =!= col("dst"))
         .select(col("src"), col("dst"), col("label"),
           round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4)
             .as("cos"))

@@ -28,7 +28,8 @@ class ScanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk" -> "query side pruned",
     "sim_lsh_ann" -> "query side pruned",
     "sim_ann_recall" -> "sampled truth side + query side, both pruned",
-    "sim_knn_graph" -> "cell self-join: both sides cell-pruned",
+    "sim_knn_graph" -> ("cell self-join (both sides cell-pruned) + the " +
+      "column-pruned cell-count scan that sizes the adaptive fan-out"),
     "sim_pq_adc_topk" -> "codes + LUT sides; LUT pruned (vec_id<10)",
     "cluster_assign" -> "centroid side pruned (vec_id<8)",
     "cluster_inertia" -> "centroid side pruned (vec_id<8)",
