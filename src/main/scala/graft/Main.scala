@@ -70,8 +70,11 @@ object Main {
     // ONE producer decision for both delivery phases: snapshot READ events
     // and streamed changes must reach the SAME destination (a Kafka consumer
     // must see the initial state before the first I/U/D)
-    val producer = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
-      .map(b => new graft.sink.KafkaFrameProducer(b))
+    // wire://host:port selects the in-repo wire producer (no kafka jars)
+    val producer: Option[graft.sink.FrameProducer] =
+      sys.env.get("GRAFT_KAFKA_BOOTSTRAP").map(b =>
+        graft.sink.kafka.WireFrameProducer.fromBootstrap(b)
+          .getOrElse(new graft.sink.KafkaFrameProducer(b)))
 
     val spooler = config.postgres.map { pg =>
       val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(

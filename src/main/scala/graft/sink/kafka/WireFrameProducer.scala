@@ -1,0 +1,50 @@
+package graft.sink.kafka
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** [[graft.sink.FrameProducer]] over the in-repo wire client: each Spark
+  * partition task opens its own connection (at scale, one producer socket
+  * per executor task — the same shape a stock client's per-task producer
+  * pool has), streams its rows through `send` (queue-full backpressure and
+  * size-triggered batching inside), and closes through `flush` — so the
+  * TASK only succeeds once every record it produced is acked by the broker.
+  * A delivery failure throws: Spark fails the epoch and restart-from-
+  * checkpoint redelivers (at-least-once; consumers dedup on meta.lsn) —
+  * the reference's fail-fast + slot-resend contract
+  * (reference: src/sink/kafka/producer.zig:430-502) running against a real
+  * socket instead of a seam.
+  *
+  * Select the wire path with a `wire://host:port` bootstrap string.
+  */
+final class WireFrameProducer(host: String, port: Int)
+    extends graft.sink.FrameProducer with Serializable {
+
+  override def produce(shaped: DataFrame): Unit = {
+    val (h, p) = (host, port)
+    shaped.selectExpr("topic", "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value")
+      .foreachPartition { rows: Iterator[Row] =>
+        val prod = new WireProducer(h, p)
+        try {
+          rows.foreach { r =>
+            val key = if (r.isNullAt(1)) null
+              else r.getString(1).getBytes("UTF-8")
+            prod.send(r.getString(0), key, r.getString(2).getBytes("UTF-8"))
+          }
+          prod.flush() // delivery barrier — clean return = all acked
+        } finally prod.close()
+      }
+  }
+}
+
+object WireFrameProducer {
+  /** Parse a `wire://host:port` bootstrap; None for any other scheme. */
+  def fromBootstrap(bootstrap: String): Option[WireFrameProducer] =
+    if (bootstrap != null && bootstrap.startsWith("wire://")) {
+      val hp = bootstrap.stripPrefix("wire://")
+      val i = hp.lastIndexOf(':')
+      require(i > 0, s"wire:// bootstrap needs host:port, got '$bootstrap'")
+      Some(new WireFrameProducer(hp.substring(0, i),
+        hp.substring(i + 1).toInt))
+    } else None
+}

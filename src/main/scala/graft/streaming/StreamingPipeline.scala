@@ -118,9 +118,12 @@ object StreamingPipeline {
       streams)
 
     // delivery seam: an explicit producer wins (fail-injection tests, custom
-    // transports); otherwise a bootstrap server selects the real Kafka sink
+    // transports); a `wire://host:port` bootstrap selects the in-repo wire
+    // producer (no kafka jars needed); any other bootstrap the stock sink
     val frameProducer: Option[graft.sink.FrameProducer] = producer.orElse(
-      kafkaBootstrap.map(b => new graft.sink.KafkaFrameProducer(b)))
+      kafkaBootstrap.map(b =>
+        graft.sink.kafka.WireFrameProducer.fromBootstrap(b)
+          .getOrElse(new graft.sink.KafkaFrameProducer(b))))
 
     val writer: DataStreamWriter[Row] = frameProducer match {
       case Some(p) =>
