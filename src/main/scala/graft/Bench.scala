@@ -36,8 +36,10 @@ import java.nio.file.{Files, Paths}
   *  - `live_drain`: where postgres binaries exist, a REAL `wal_level=logical`
   *    server is booted, a 99k-row backlog generated server-side, and the
   *    retained WAL drained over genuine CopyBoth through the wire client +
-  *    spooler (min of 3) — the apples-to-apples point against the
-  *    reference's real-server load stand. GRAFT_BENCH_LIVE=0 skips it.
+  *    spooler — the apples-to-apples point against the reference's
+  *    real-server load stand. Runs FIRST-IN-PROCESS at fixed trial counts
+  *    (5× headline, 3× the 10× point) with all trials + a load-average
+  *    guard recorded in the artifact. GRAFT_BENCH_LIVE=0 skips it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +61,153 @@ object Bench {
     // GRAFT_BENCH_SUITE=0 skips the per-query suite (drain-focused
     // iteration); the driver's full run keeps the default.
     val runSuite = sys.env.getOrElse("GRAFT_BENCH_SUITE", "1") != "0"
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // -------- live drain: a REAL walsender backlog over the wire ----------
+    // Runs FIRST-IN-PROCESS (before the suite warm-up fills the heap): the
+    // r7 live numbers swung 167-416k ev/s across rounds with "contention"
+    // as the unmeasured explanation; a fresh-process run at a fixed trial
+    // count plus a recorded load average turns that into data. The
+    // reference's headline (127,486 ev/s, tests/load/README.md) is measured
+    // against a real postgres; this is the apples-to-apples point: boot a
+    // real wal_level=logical server (where binaries exist), create the slot
+    // FIRST, generate a 99k-row backlog server-side (set-based INSERT — the
+    // reference load generator's shape,
+    // tests/load/workload/workload_generator.py:27-60, ~128-byte payloads),
+    // then START_REPLICATION and time the drain of the retained WAL through
+    // CopyBoth into the engine's segment files — genuine walsender, genuine
+    // pgoutput, our wire client and spooler. (Wire → spool is the ingest
+    // half; the Spark-side decode of the spooled segments is what
+    // `wal_drain` times.)
+    var liveDrainEvents = 0L
+    val liveTrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    val live10TrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    def loadAvg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    var liveLoadBefore = -1.0; var liveLoadAfter = -1.0
+    val runLive = sys.env.getOrElse("GRAFT_BENCH_LIVE",
+      sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1")) != "0"
+    if (runLive && graft.source.postgres.PgServerHarness.binariesPresent) {
+      import graft.source.postgres.{PgServerHarness, ReplicationSpooler, WireBootstrap}
+      import graft.config.StreamDef
+      import graft.model.ChangeEvent
+      liveLoadBefore = loadAvg()
+      PgServerHarness.start() match {
+        case None =>
+          System.err.println("[bench] live_drain skipped: server boot failed")
+        case Some(h) => try {
+          val admin = h.session()
+          admin.simpleQuery("CREATE TABLE public.bench_records(" +
+            "id bigint PRIMARY KEY, account_id bigint, amount double precision, " +
+            "status text, payload text, created_at timestamptz)")
+          admin.simpleQuery(
+            "ALTER TABLE public.bench_records REPLICA IDENTITY FULL")
+          val s = h.session()
+          val boot = WireBootstrap.bootstrap(s, "graft_bench_slot",
+            "graft_bench_pub",
+            Seq(StreamDef("bench_records", "public.bench_records",
+              Seq("insert"), "cdc.bench")),
+            confirmedLsn = 0L, emit = _ => (), flushDelivery = () => ())
+          val n = 99000
+          // server-side set-based inserts in ~10k-row transactions
+          // (BATCH_SIZE=10,000 in the reference's load parameters)
+          (0 until n by 10000).foreach { lo =>
+            admin.simpleQuery("INSERT INTO public.bench_records " +
+              s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
+              s"repeat('x', 100), now() FROM " +
+              s"generate_series(${lo + 1}, ${math.min(lo + 10000, n)}) AS g(i)")
+          }
+          val endLsn = ChangeEvent.lsnValue(admin.simpleQuery(
+            "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+          s.close() // the bootstrap session; each trial opens its own
+          // FIXED 5 trials (was 3), re-streaming the SAME retained backlog
+          // from the consistent point (confirmed_flush never advances: trial
+          // spool dirs carry no confirmed LSN, so the status updates report
+          // 0 and the slot keeps the WAL). All trials land in the artifact;
+          // the headline is the min (the reference's own committed-baseline
+          // methodology), the median is the honesty number.
+          def oneTrial(endAt: Long, expect: Int, tag: String): Double = {
+            val walDir = Files.createTempDirectory("graft-bench-live").toString
+            val ch = h.session().startReplication("graft_bench_slot",
+              "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
+              readTimeoutMs = 1000)
+            val sp = new ReplicationSpooler(ch, walDir)
+            val t0 = System.nanoTime()
+            val deadline = t0 + 300L * 1000000000L
+            // pumpOnce, not pump(): the end-LSN check must run per message,
+            // or the drain "ends" only after a full read-timeout of silence
+            // and the timing absorbs that idle tail
+            while (sp.lastReceivedLsn < endAt && System.nanoTime() < deadline)
+              sp.pumpOnce()
+            val secs = (System.nanoTime() - t0) / 1e9
+            sp.flush()
+            // honesty check (off the timed path): every insert really spooled
+            val nIns = WalLog.read(walDir, 0L, Long.MaxValue)
+              .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
+            sp.close()
+            if (nIns < expect) {
+              System.err.println(
+                s"[bench] $tag WARNING: spooled $nIns of $expect inserts")
+              Double.NaN
+            } else secs
+          }
+          val trials = Seq.fill(5)(oneTrial(endLsn, n, "live_drain"))
+            .filterNot(_.isNaN)
+          if (trials.nonEmpty) {
+            liveTrialsRec ++= trials
+            val secs = trials.min
+            val med = trials.sorted.apply(trials.size / 2)
+            results("live_drain") = secs
+            liveDrainEvents = n
+            System.err.println(
+              f"[bench] live_drain: $n events over the real wire in " +
+                f"$secs%.2f s min / $med%.2f s median = ${n / secs}%.0f " +
+                f"ev/s min of ${trials.size} trials " +
+                f"[${trials.map(t => f"$t%.3f").mkString(", ")}]")
+          }
+          // ---- 10× live point: ~1M-row backlog through the same wire ----
+          // FIXED 3 trials (was 1 — the single r7 trial is what made the
+          // 1.70× swing unexplainable). Generation is server-side set-based
+          // SQL (the reference's BATCH_SIZE discipline), untimed.
+          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_10X", "1") != "0") try {
+            val n10 = 999000
+            (n until (n + n10) by 111000).foreach { lo =>
+              admin.simpleQuery("INSERT INTO public.bench_records " +
+                s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
+                s"repeat('x', 100), now() FROM " +
+                s"generate_series(${lo + 1}, ${lo + 111000}) AS g(i)")
+            }
+            val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
+              "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+            val total10 = n + n10
+            val t10 = Seq.fill(3)(oneTrial(end10, total10, "live_drain_10x"))
+              .filterNot(_.isNaN)
+            if (t10.nonEmpty) {
+              live10TrialsRec ++= t10
+              val secs10 = t10.min
+              val med10 = t10.sorted.apply(t10.size / 2)
+              results("live_drain_10x") = secs10
+              System.err.println(
+                f"[bench] live_drain_10x: $total10 events over the real " +
+                  f"wire in $secs10%.2f s min / $med10%.2f s median = " +
+                  f"${total10 / secs10}%.0f ev/s min of ${t10.size} trials " +
+                  f"[${t10.map(t => f"$t%.3f").mkString(", ")}]")
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
+          }
+          admin.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
+        } finally h.stop()
+      }
+      liveLoadAfter = loadAvg()
+      System.err.println(
+        f"[bench] live_drain load-avg guard: before=$liveLoadBefore%.2f " +
+          f"after=$liveLoadAfter%.2f (32 cores; >4 shades the numbers)")
+    }
+
 
     // Warm-up: JIT, codegen, parquet footers — not timed, small SF.
     if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
@@ -93,7 +242,6 @@ object Bench {
         trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
       }
     }
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (runSuite) ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
       results(name) = if (failedQ(name)) -1.0 else trials(name).min
@@ -107,6 +255,7 @@ object Bench {
     var drainEvents = 0L
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
+    var floorSyncP50 = 0L; var floorSyncP99 = 0L
     // GRAFT_BENCH_DRAIN=0 skips the drain workloads cleanly (suite-focused
     // iteration); the driver's full run keeps the default.
     val runDrain = sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1") != "0"
@@ -244,140 +393,6 @@ object Bench {
       System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
     }
 
-    // -------- live drain: a REAL walsender backlog over the wire ----------
-    // The reference's headline (127,486 ev/s, tests/load/README.md) is
-    // measured against a real postgres. This is the apples-to-apples point:
-    // boot a real wal_level=logical server (where binaries exist), create
-    // the slot FIRST, generate a 99k-row backlog server-side (set-based
-    // INSERT — the reference load generator's shape,
-    // tests/load/workload/workload_generator.py:27-60, ~128-byte payloads),
-    // then START_REPLICATION and time the drain of the retained WAL through
-    // CopyBoth into the engine's segment files — genuine walsender, genuine
-    // pgoutput, our wire client and spooler. (Wire → spool is the ingest
-    // half; the Spark-side decode of the spooled segments is what
-    // `wal_drain` times.)
-    var liveDrainEvents = 0L
-    val runLive = sys.env.getOrElse("GRAFT_BENCH_LIVE",
-      if (runDrain) "1" else "0") != "0"
-    if (runLive && graft.source.postgres.PgServerHarness.binariesPresent) {
-      import graft.source.postgres.{PgServerHarness, ReplicationSpooler, WireBootstrap}
-      import graft.config.StreamDef
-      import graft.model.ChangeEvent
-      PgServerHarness.start() match {
-        case None =>
-          System.err.println("[bench] live_drain skipped: server boot failed")
-        case Some(h) => try {
-          val admin = h.session()
-          admin.simpleQuery("CREATE TABLE public.bench_records(" +
-            "id bigint PRIMARY KEY, account_id bigint, amount double precision, " +
-            "status text, payload text, created_at timestamptz)")
-          admin.simpleQuery(
-            "ALTER TABLE public.bench_records REPLICA IDENTITY FULL")
-          val s = h.session()
-          val boot = WireBootstrap.bootstrap(s, "graft_bench_slot",
-            "graft_bench_pub",
-            Seq(StreamDef("bench_records", "public.bench_records",
-              Seq("insert"), "cdc.bench")),
-            confirmedLsn = 0L, emit = _ => (), flushDelivery = () => ())
-          val n = 99000
-          // server-side set-based inserts in ~10k-row transactions
-          // (BATCH_SIZE=10,000 in the reference's load parameters)
-          (0 until n by 10000).foreach { lo =>
-            admin.simpleQuery("INSERT INTO public.bench_records " +
-              s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
-              s"repeat('x', 100), now() FROM " +
-              s"generate_series(${lo + 1}, ${math.min(lo + 10000, n)}) AS g(i)")
-          }
-          val endLsn = ChangeEvent.lsnValue(admin.simpleQuery(
-            "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
-          s.close() // the bootstrap session; each trial opens its own
-          // min of 3 trials, re-streaming the SAME retained backlog from the
-          // consistent point (confirmed_flush never advances: trial spool
-          // dirs carry no confirmed LSN, so the status updates report 0 and
-          // the slot keeps the WAL) — the reference's min-of-N methodology
-          def oneTrial(): Double = {
-            val walDir = Files.createTempDirectory("graft-bench-live").toString
-            val ch = h.session().startReplication("graft_bench_slot",
-              "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
-              readTimeoutMs = 1000)
-            val sp = new ReplicationSpooler(ch, walDir)
-            val t0 = System.nanoTime()
-            val deadline = t0 + 180L * 1000000000L
-            // pumpOnce, not pump(): the end-LSN check must run per message,
-            // or the drain "ends" only after a full read-timeout of silence
-            // and the timing absorbs that idle tail
-            while (sp.lastReceivedLsn < endLsn && System.nanoTime() < deadline)
-              sp.pumpOnce()
-            val secs = (System.nanoTime() - t0) / 1e9
-            sp.flush()
-            // honesty check (off the timed path): every insert really spooled
-            val nIns = WalLog.read(walDir, 0L, Long.MaxValue)
-              .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
-            sp.close()
-            if (nIns < n) {
-              System.err.println(
-                s"[bench] live_drain WARNING: spooled $nIns of $n inserts")
-              Double.NaN
-            } else secs
-          }
-          val trials = Seq.fill(3)(oneTrial()).filterNot(_.isNaN)
-          if (trials.nonEmpty) {
-            val secs = trials.min
-            results("live_drain") = secs
-            liveDrainEvents = n
-            System.err.println(
-              f"[bench] live_drain: $n events over the real wire in " +
-                f"$secs%.2f s = ${n / secs}%.0f events/s (min of " +
-                f"${trials.size} trials)")
-          }
-          // ---- 10× live point: ~1M-row backlog through the same wire ----
-          // One trial (like wal_drain_10x): substantiates that the wire
-          // client's throughput holds at a 1M-event retained backlog, not
-          // just the 99k headline. Generation is server-side set-based SQL
-          // (the reference's BATCH_SIZE discipline), untimed.
-          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_10X", "1") != "0") try {
-            val n10 = 999000
-            (n until (n + n10) by 111000).foreach { lo =>
-              admin.simpleQuery("INSERT INTO public.bench_records " +
-                s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
-                s"repeat('x', 100), now() FROM " +
-                s"generate_series(${lo + 1}, ${lo + 111000}) AS g(i)")
-            }
-            val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
-              "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
-            val walDir = Files.createTempDirectory("graft-bench-live10").toString
-            val ch = h.session().startReplication("graft_bench_slot",
-              "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
-              readTimeoutMs = 1000)
-            val sp = new ReplicationSpooler(ch, walDir)
-            val t0 = System.nanoTime()
-            val deadline = t0 + 300L * 1000000000L
-            while (sp.lastReceivedLsn < end10 && System.nanoTime() < deadline)
-              sp.pumpOnce()
-            val secs10 = (System.nanoTime() - t0) / 1e9
-            sp.flush()
-            val nIns10 = WalLog.read(walDir, 0L, Long.MaxValue)
-              .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
-            sp.close()
-            val total10 = n + n10
-            if (nIns10 < total10)
-              System.err.println(
-                s"[bench] live_drain_10x WARNING: spooled $nIns10 of $total10")
-            else {
-              results("live_drain_10x") = secs10
-              System.err.println(
-                f"[bench] live_drain_10x: $total10 events over the real " +
-                  f"wire in $secs10%.2f s = ${total10 / secs10}%.0f events/s")
-            }
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
-          }
-          admin.close()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
-        } finally h.stop()
-      }
-    }
 
     // -------- latency floor: tiny trigger, single-event segments --------
     // The micro-batch latency floor (per-batch wall-clock at trigger=5 ms
@@ -395,16 +410,34 @@ object Bench {
       // and would swallow the whole arrival window into one batch)
       val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES",
         if (runSuite) "1" else "2").toInt
-      (1 to passes).foreach { pass =>
+      // Two floor variants per pass:
+      //  - async DSv2 frames sink (the headline `latency_floor_ms`): offset
+      //    and commit log writes off the critical path — the directive's
+      //    latency fix, valid at the engine's at-least-once contract
+      //  - sync parquet stand-in (`latency_floor_sync_ms`): the pre-r8
+      //    number, kept so the async win is measured against its own round,
+      //    not remembered from a previous one
+      def floorOnce(sinkFormat: String, async: Boolean): (Long, Long) = {
         val metricsF = new graft.metrics.GraftMetrics
         val listenerF = new graft.metrics.GraftQueryListener(metricsF)
         spark.streams.addListener(listenerF)
+        val debugL = if (sys.env.get("GRAFT_BENCH_FLOOR_DEBUG").contains("1")) {
+          val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+              System.err.println(s"[floor-debug $sinkFormat async=$async] " +
+                s"total=${e.progress.batchDuration} ${e.progress.durationMs}")
+            override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(l); Some(l)
+        } else None
         try {
           val walDir = Files.createTempDirectory("graft-bench-floor-wal").toString
           val outDir = Files.createTempDirectory("graft-bench-floor-out").toString
           val ckptDir = Files.createTempDirectory("graft-bench-floor-ckpt").toString
           val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
-            ckptDir, outDir, kafkaBootstrap = None, triggerMs = 5L)
+            ckptDir, outDir, kafkaBootstrap = None, triggerMs = 5L,
+            sinkFormat = sinkFormat, asyncProgress = async)
           var seg = 0
           (1 to 120).foreach { i =>
             // one event per segment, re-announced relations (fresh session shape)
@@ -417,17 +450,28 @@ object Bench {
           }
           q.processAllAvailable()
           q.stop()
-          val (fp50, fp99) = metricsF.batchLatencyMs
+          metricsF.batchLatencyMs
+        } finally {
+          debugL.foreach(spark.streams.removeListener)
+          spark.streams.removeListener(listenerF)
+        }
+      }
+      (1 to passes).foreach { pass =>
+        try {
+          val (sp50, sp99) = floorOnce("parquet", async = false)
+          val (ap50, ap99) = floorOnce("frames", async = true)
           if (pass == passes) {
-            floorP50 = fp50; floorP99 = fp99
+            floorP50 = ap50; floorP99 = ap99
+            floorSyncP50 = sp50; floorSyncP99 = sp99
           }
           System.err.println(
             s"[bench] latency_floor pass $pass/$passes (trigger=5ms, " +
-              s"1-event batches): p50=${fp50}ms p99=${fp99}ms")
+              s"1-event batches): async-frames p50=${ap50}ms p99=${ap99}ms, " +
+              s"sync-parquet p50=${sp50}ms p99=${sp99}ms")
         } catch { case e: Throwable =>
           // p50=0 in the JSON means "not measured", never "sub-ms floor"
           System.err.println(s"[bench] latency_floor failed: ${e.getMessage}")
-        } finally spark.streams.removeListener(listenerF)
+        }
       }
     }
 
@@ -460,7 +504,11 @@ object Bench {
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""live_drain_events":$liveDrainEvents,""" +
+      s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
+      s""""latency_floor_sync_ms":{"p50":$floorSyncP50,"p99":$floorSyncP99},""" +
       s""""sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

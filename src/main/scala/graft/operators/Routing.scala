@@ -51,6 +51,42 @@ object Routing {
         lower(changes("op")) === streams("s_op"))
       .drop("s_resource", "s_op")
 
+  private val MatchType =
+    "array<struct<stream:string,routing_key:string,topic:string>>"
+
+  /** [[route]] with the dimension INLINED into the plan: the stream config
+    * is a closed, tiny set (it comes from config, not data), so instead of
+    * broadcasting a dimension table every micro-batch — a fresh
+    * BroadcastExchange build is ~50–90 ms per batch, the dominant term of
+    * the micro-batch latency floor — the (resource, op) → matches mapping
+    * folds into a literal CASE over array-of-struct constants and the
+    * fan-out is an `explode`. Identical inner-join semantics (an unmatched
+    * event's NULL match list explodes to zero rows; N subscribers on one
+    * (resource, op) explode to N rows), pure whole-stage codegen, zero
+    * exchanges at ANY scale. Equality with the join form is pinned by
+    * RoutingSpec; keep `route` for a genuinely dynamic dimension. */
+  def routeInline(changes: DataFrame, streams: Seq[StreamDef]): DataFrame = {
+    val byPair = streams.flatMap { s =>
+        val n = s.normalized
+        n.operations.map(op =>
+          ((n.resource, op), (n.name, n.routingKey, n.destination)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1) // deterministic branch order
+    val matches = byPair.foldLeft(lit(null).cast(MatchType)) {
+      case (acc, ((res, op), ms)) =>
+        when(col("resource") === res && lower(col("op")) === op,
+          array(ms.map { case (st, rk, tp) =>
+            struct(lit(st).as("stream"), lit(rk).as("routing_key"),
+              lit(tp).as("topic"))
+          }: _*)).otherwise(acc)
+    }
+    val kept = changes.columns
+    changes.withColumn("__match", explode(matches))
+      .select(kept.map(col) ++ Seq(col("__match.stream").as("stream"),
+        col("__match.routing_key").as("routing_key"),
+        col("__match.topic").as("topic")): _*)
+  }
+
   /** The fixture streams as a DuckDB VALUES clause (for oracle SQL). */
   def fixtureStreamsSql: String =
     fixtureStreams.flatMap { s =>

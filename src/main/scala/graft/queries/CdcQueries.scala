@@ -28,7 +28,7 @@ object CdcQueries {
 
   private def changelog(s: SparkSession, dir: String) = ChangeLog.changelog(s, dir)
   private def routed(s: SparkSession, dir: String) =
-    Routing.route(changelog(s, dir), Routing.streamsDF(s, Routing.fixtureStreams))
+    Routing.routeInline(changelog(s, dir), Routing.fixtureStreams)
 
   /** Serialized envelope payload column for changelog rows (serialize-once,
     * fan-out-many — reference processor.zig:204-206). `props` is a JSONB
@@ -112,7 +112,7 @@ object CdcQueries {
       "(SELECT * FROM (VALUES ", ", ",
       ") AS t(stream, s_resource, s_op, routing_key, topic))")
     ((s: SparkSession, dir: String) =>
-      Routing.route(changelog(s, dir), Routing.streamsDF(s, streams))
+      Routing.routeInline(changelog(s, dir), streams)
         .groupBy(col("resource"), col("op"))
         .agg(count(lit(1)).as("deliveries"),
           countDistinct(col("lsn_num")).as("distinct_events")),
@@ -146,7 +146,7 @@ object CdcQueries {
   val cdcKafkaMessages: (QFn, String) = (
     (s, dir) => {
       val serialized = changelog(s, dir).withColumn("payload", payloadCol)
-      Routing.route(serialized, Routing.streamsDF(s, Routing.fixtureStreams))
+      Routing.routeInline(serialized, Routing.fixtureStreams)
         .select(
           col("topic"),
           PartitionKey.kafkaKeyCol(col("routing_key"),

@@ -50,7 +50,7 @@ object StreamingPipeline {
       graft.serialization.JsonEnvelope.envelopeCol(
         op = col("op"), dataJson = col("data"), resource = col("resource"),
         timestamp = col("commit_ts"), lsn = col("lsn")))
-    val routed = Routing.route(serialized, Routing.streamsDF(spark, streams))
+    val routed = Routing.routeInline(serialized, streams)
     // Routing-key extraction from the JSON row payload. The key set is
     // closed (it comes from config), so this folds into a CASE over constant
     // JSON paths — codegen-friendly, unlike a dynamic path. A missing key
@@ -112,16 +112,27 @@ object StreamingPipeline {
       maxEventsPerBatch: Int = PgWalSource.DefaultBatchSize,
       sinkParallelism: Int = 1,
       sliceEvents: Int = 0,
-      producer: Option[graft.sink.FrameProducer] = None): StreamingQuery = {
+      producer: Option[graft.sink.FrameProducer] = None,
+      sinkFormat: String = "parquet",
+      asyncProgress: Boolean = false,
+      failCommitsToken: Option[String] = None): StreamingQuery = {
+    require(!asyncProgress || sinkFormat == "frames",
+      "async progress tracking needs the DSv2 frames sink (ForeachBatchSink " +
+        "and the v1 file sink are rejected by Spark's async validation)")
     val frame = observed(
       kafkaFrame(walStream(spark, walDir, maxEventsPerBatch, sliceEvents), streams),
       streams)
 
     // delivery seam: an explicit producer wins (fail-injection tests, custom
-    // transports); a `wire://host:port` bootstrap selects the in-repo wire
-    // producer (no kafka jars needed); any other bootstrap the stock sink
-    val frameProducer: Option[graft.sink.FrameProducer] = producer.orElse(
-      kafkaBootstrap.map(b =>
+    // transports); with sinkFormat="frames" a wire:// bootstrap goes through
+    // the DSv2 sink (per-task producer sockets, flush on task commit);
+    // otherwise a wire:// bootstrap selects the in-repo foreachBatch wire
+    // producer and any other bootstrap the stock Kafka sink
+    val dsv2Wire = producer.isEmpty && sinkFormat == "frames" &&
+      kafkaBootstrap.exists(_.startsWith("wire://"))
+    val frameProducer: Option[graft.sink.FrameProducer] =
+      if (dsv2Wire) None
+      else producer.orElse(kafkaBootstrap.map(b =>
         graft.sink.kafka.WireFrameProducer.fromBootstrap(b)
           .getOrElse(new graft.sink.KafkaFrameProducer(b))))
 
@@ -142,24 +153,48 @@ object StreamingPipeline {
           // consumers dedup on meta.lsn)
           p.produce(shaped)
         }
+      case None if sinkFormat == "frames" =>
+        // DSv2 frames sink ([[graft.sink.frames.FramesSink]]): broker-style
+        // framed append (file mode) or per-task wire producers (wire mode).
+        // Streaming plans cannot sortWithinPartitions, so rows deliver in
+        // arrival order per task — exact for sliceEvents=0 (one ordered
+        // partition, a replication slot's shape); sliced decode feeding a
+        // real broker keeps the foreachBatch path above, which CAN sort.
+        val shaped =
+          if (sinkParallelism > 1)
+            frame.repartition(sinkParallelism, col("key"))
+          else frame
+        val w = shaped.writeStream
+          .format(classOf[graft.sink.frames.FramesSink].getName)
+        val w2 = if (dsv2Wire) w.option("bootstrap", kafkaBootstrap.get)
+          else w.option("path", outDir)
+        failCommitsToken.fold(w2)(t => w2.option("failCommitsToken", t))
       case None =>
-        // Kafka stand-in: the native streaming parquet sink, `topic` as a
-        // column — partitionBy would force a per-batch sort on the partition
-        // column, and compression would bill the stand-in for work a Kafka
-        // producer doesn't do (measured: snappy 52k ev/s, none 77k).
+        // Kafka stand-in (v1 file sink): the native streaming parquet sink,
+        // `topic` as a column — partitionBy would force a per-batch sort on
+        // the partition column, and compression would bill the stand-in for
+        // work a Kafka producer doesn't do (measured: snappy 52k ev/s,
+        // none 77k). Kept as the conservative default; the frames sink above
+        // is the Kafka-faithful stand-in and the async-capable path.
         frame.writeStream.format("parquet")
           .option("path", outDir)
           .option("compression", "none")
     }
-    // Latency note: the per-batch floor (~300 ms measured by Bench's
-    // latency_floor point) is dominated by the synchronous offset/commit-log
-    // writes, not the data path. Spark's async progress tracking would move
-    // those off the critical path at the engine's existing at-least-once
-    // contract, but Spark 4.1 accepts it ONLY for the real `format("kafka")`
-    // sink — not ForeachBatchSink (verified: AsyncProgressTrackingMicroBatch
-    // Execution.validateAndGetTrigger rejects it) — so it becomes available
-    // exactly when a deployment switches to the Kafka connector jars.
-    writer
+    // The ~220 ms per-batch floor is dominated by the synchronous offset-log
+    // + commit-log writes, not the data path. Async progress tracking moves
+    // both off the critical path; Spark 4.1 name-allowlists only its own
+    // at-least-once sinks (Kafka/noop/memory/console) and rejects
+    // ForeachBatchSink outright, so the DSv2 frames sink opts in through
+    // Spark's documented override option — sound here because the engine's
+    // contract is already at-least-once with consumer dedup on meta.lsn
+    // (async only widens the post-crash redelivery window).
+    val withAsync =
+      if (asyncProgress)
+        writer.option(graft.sink.frames.FramesSink.AsyncEnabled, "true")
+          .option(graft.sink.frames.FramesSink.AsyncOverrideSinkCheck, "true")
+          .option(graft.sink.frames.FramesSink.AsyncIntervalMs, "1000")
+      else writer
+    withAsync
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
