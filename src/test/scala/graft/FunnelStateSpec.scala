@@ -87,4 +87,12 @@ class FunnelStateSpec extends AnyFunSuite {
     override def getCurrentWatermarkMs(): Long = 0L
     override def getCurrentProcessingTimeMs(): Long = 0L
   }
+
+  test("funnel_steps single-scan form equals the three-slice form (sf0.001)") {
+    val spark = SparkTestBase.spark
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.AnalyticsQueries.funnelStepsThreeSlice(spark, dir).head()
+    val b = graft.queries.AnalyticsQueries.funnelStepsSingleScan(spark, dir).head()
+    assert(a == b, s"three-slice $a != single-scan $b")
+  }
 }

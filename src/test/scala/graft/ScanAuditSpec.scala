@@ -40,7 +40,8 @@ class ScanAuditSpec extends AnyFunSuite {
     "events_asof_join" -> "clicks vs purchases slices, filters pushed",
     "events_range_join" -> "probe vs context slices, filters pushed",
     "events_funnel" -> "three stage slices, per-stage pushed filters",
-    "events_funnel_steps" -> "three stage slices, per-stage pushed filters",
+    // events_funnel_steps: now single-scan (FunnelVariants measured the
+    // three-slice form 1.8× slower at both rungs) — no allowlist needed
     "events_fill_gaps" -> "hour spine bounds + observed aggregate",
     "events_skew_join" -> "profile dim derived from the fact + fact probe",
     "events_retention_cohort" -> "first-seen aggregate joined back to fact",
