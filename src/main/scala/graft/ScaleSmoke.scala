@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *   GRAFT_SMOKE_SRC   source fixture dir   (default /root/testdata/sf0.1)
   *   GRAFT_SMOKE_COPIES replicas            (default 10)
   *   GRAFT_SMOKE_ONLY  comma list of queries (default: the top-10 list)
+  *   GRAFT_SMOKE_JITTER=1 perturb replica documents (near-dup regime
+  *                     instead of exact-dup worst case; see replicate())
   */
 object ScaleSmoke {
 
@@ -27,9 +29,17 @@ object ScaleSmoke {
     "olap_waiting_suppliers", "text_repetition", "dedup_soft_weights",
     "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share")
 
-  /** key columns to shift per table: (table, cols, span source table+col). */
+  /** key columns to shift per table: (table, cols, span source table+col).
+    *
+    * `jitterDocs` (GRAFT_SMOKE_JITTER=1): replica copies of `documents` get
+    * a deterministic per-copy text perturbation (a short copy-specific
+    * suffix token; n_chars recomputed) instead of being byte-exact dups —
+    * the r7 VERDICT's point that 10× exact replication probes the dedup
+    * tier's worst case (every doc a 10-way exact dup, ~copies² candidate
+    * pairs) but not the realistic near-dup regime where MinHash bands must
+    * still bucket the pair and the verify step must still pass. */
   private def replicate(spark: SparkSession, src: String, out: String,
-      copies: Int): Unit = {
+      copies: Int, jitterDocs: Boolean): Unit = {
     def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     // one span per key FAMILY, from the table that owns the key — shifting
     // l_orderkey and o_orderkey by the SAME span keeps joins intact
@@ -61,13 +71,28 @@ object ScaleSmoke {
       val base = tbl(name)
       val big =
         if (keys.isEmpty) base
-        else (0 until copies).map { k =>
-          keys.foldLeft(base) { case (df, (c, fam)) =>
-            df.withColumn(c, (col(c) + lit(k * spans(fam))).cast("long"))
+        else {
+          // crossJoin with a replica index instead of a copies-way union:
+          // one plan node regardless of the copy count (a 100-way union at
+          // the sf~10 rung bloats planning; the range join does not)
+          val rep = base.crossJoin(
+            spark.range(copies).toDF("__k").hint("broadcast"))
+          val shiftedDf = keys.foldLeft(rep) { case (df, (c, fam)) =>
+            df.withColumn(c, (col(c) + col("__k") * lit(spans(fam))).cast("long"))
           }
-        }.reduce(_ unionByName _)
+          val jittered =
+            if (name == "documents" && jitterDocs)
+              shiftedDf.withColumn("text",
+                  when(col("__k") === 0, col("text"))
+                    .otherwise(concat(col("text"), lit(" jtr"), col("__k"),
+                      lit("_"), pmod(col("doc_id"), lit(97)))))
+                .withColumn("n_chars", length(col("text")).cast("long"))
+            else shiftedDf
+          jittered.drop("__k")
+        }
       big.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      System.err.println(s"[smoke] wrote $name ×${if (keys.isEmpty) 1 else copies}")
+      System.err.println(s"[smoke] wrote $name ×${if (keys.isEmpty) 1 else copies}" +
+        (if (name == "documents" && jitterDocs) " (jittered)" else ""))
     }
   }
 
@@ -93,9 +118,10 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jitter = sys.env.getOrElse("GRAFT_SMOKE_JITTER", "0") == "1"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$out/lineitem.parquet")))
-      replicate(spark, src, out, copies)
+      replicate(spark, src, out, copies, jitter)
     else System.err.println(s"[smoke] reusing replicated dir $out")
 
     val names = sys.env.get("GRAFT_SMOKE_ONLY")

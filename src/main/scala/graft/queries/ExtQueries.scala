@@ -2111,6 +2111,22 @@ object ExtQueries {
           col("embedding").as("qe"),
           pmod(hash(col("vec_id")), col("fan")).as("qsalt"),
           explode(sequence(lit(0), col("fan") - 1)).as("csalt"))
+        // Distribute the blocks across TASKS, not just join keys: the
+        // candidate side is small enough to broadcast well past gate scale,
+        // and a BroadcastHashJoin runs on the STREAMED side's partitioning —
+        // a few-file parquet read gives ~1 input partition, so without this
+        // shuffle every within-cell pair computes in one task and the
+        // salting never buys wall-clock. The partition count is PINNED
+        // (session shuffle partitions): a bare repartition-by-column is fair
+        // game for AQE coalescing, and AQE sizes by shuffle INPUT bytes —
+        // ~12 MB of slim query rows here — blind to the ×|block| fan-out
+        // inside the join (measured: AQE coalesced to 2 tasks and the rung
+        // ran 28 s; pinned 32-way it runs the same pairs in ~2 s). One
+        // exchange of n×fan slim rows; when the corpus outgrows the
+        // broadcast and the join flips to a shuffle join on these same keys,
+        // this pre-partitioning is the alignment the join needs anyway.
+        .repartition(e.sparkSession.sessionState.conf.numShufflePartitions,
+          col("label"), col("qsalt"), col("csalt"))
       val c = e.join(broadcast(fan), col("label") === col("flabel"))
         .select(col("vec_id").as("dst"), col("label").as("clabel"),
           col("embedding").as("ce"),
