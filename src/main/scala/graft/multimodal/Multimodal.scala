@@ -40,6 +40,8 @@ final case class PpmFeatures(
     g_min: Long, g_max: Long, g_mean_e4: Long, g_m2_e4: Long,
     b_min: Long, b_max: Long, b_mean_e4: Long, b_m2_e4: Long)
 
+final case class PpmAhash(doc_id: Long, width: Long, height: Long, ahash: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -263,6 +265,46 @@ object Multimodal {
             mins(0), maxs(0), mean(0), m2(0),
             mins(1), maxs(1), mean(1), m2(1),
             mins(2), maxs(2), mean(2), m2(2))
+        }
+      }
+    }
+  }
+
+  /** REAL perceptual fingerprint — average hash (aHash) over the decoded P6
+    * raster: per-pixel luminance (r+g+b, unweighted — keeps every step in
+    * exact integers), one bit per pixel in raster order, set iff the pixel's
+    * luminance is STRICTLY above the image mean (cross-multiplied:
+    * lum·n > Σlum, no division). Classic image-dedup primitive: near-dup
+    * frames differ in a few bits (Hamming), exact dups collide. Images with
+    * more than 63 pixels are summarized by their first 63 raster-order bits
+    * (bit index caps at 62 so the hash stays a non-negative Long) — for the
+    * standard 8×8 aHash, compose with [[resizePpm]] first. Per-image work is
+    * linear in pixels, partition-wise, nothing crosses an exchange. */
+  def ahashPpm(ds: Dataset[MediaRecord]): Dataset[PpmAhash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        decodePpm(rec.media).map { case (w, h, _, off) =>
+          val n = w.toLong * h
+          var tot = 0L
+          var p = 0
+          while (p < n) {
+            val base = off + p * 3
+            tot += (rec.media(base) & 0xFF) + (rec.media(base + 1) & 0xFF) +
+              (rec.media(base + 2) & 0xFF)
+            p += 1
+          }
+          var hash = 0L
+          p = 0
+          val bits = math.min(n, 63L).toInt
+          while (p < bits) {
+            val base = off + p * 3
+            val lum = (rec.media(base) & 0xFF) + (rec.media(base + 1) & 0xFF) +
+              (rec.media(base + 2) & 0xFF)
+            if (lum * n > tot) hash |= 1L << p
+            p += 1
+          }
+          PpmAhash(rec.doc_id, w.toLong, h.toLong, hash)
         }
       }
     }

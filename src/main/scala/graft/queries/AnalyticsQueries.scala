@@ -1251,6 +1251,87 @@ object AnalyticsQueries {
       |    ORDER BY n DESC, user_id) AS BIGINT) AS rank
       |  FROM counts) WHERE rank <= 5""".stripMargin)
 
+  // Event-sequence transition matrix (first-order Markov): per user, each
+  // event's NEXT event type by (ts, event_id) order — the behavioral-model
+  // building block (and the n-gram shape over event streams). ONE shuffle
+  // on the user key for the lead() window; the (from, to) aggregate then
+  // reduces to ≤ |types|² rows, and the global transition total rides a
+  // one-row broadcast cross join. Ties inside a user's same microsecond
+  // break on event_id — deterministic on both engines. Shares in exact
+  // per-million integers.
+  val eventsMarkovTransitions: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = events(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // tiny |types|² frame feeds two consumers
+      trans.crossJoin(broadcast(trans.agg(sum(col("n")).as("total"))))
+        .withColumn("share_pm", expr("n * 1000000 div total"))
+        .select(col("from_type"), col("to_type"), col("n"), col("share_pm"))
+    },
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type
+      |  FROM o),
+      |agg AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_pm
+      |FROM agg, t""".stripMargin)
+
+  // Activity concentration (the Pareto/power-user curve): what share of all
+  // events do the most active users produce? Scale-safe shape: the per-user
+  // counts collapse into a HISTOGRAM BY ACTIVITY LEVEL first, and the
+  // cumulative window runs over that histogram — its row count is bounded
+  // by the maximum events-per-user, NOT by user count, so the un-partitioned
+  // window never sees a user-sized frame (the global sort a naive
+  // rank-users-then-cumsum would pay). Activity levels are distinct by
+  // construction, so the default RANGE frame is tie-free on both engines.
+  val eventsPowerUsersPareto: (QFn, String) = (
+    (s, dir) => {
+      val hist = events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("n_users"))
+        .withColumn("ev", col("n") * col("n_users"))
+        .localCheckpoint() // |activity levels| rows; feeds window + totals
+      val w = Window.orderBy(col("n").desc)
+      hist
+        .withColumn("cum_users", sum(col("n_users")).over(w))
+        .withColumn("cum_events", sum(col("ev")).over(w))
+        .crossJoin(broadcast(hist.agg(sum(col("n_users")).as("total_users"),
+          sum(col("ev")).as("total_events"))))
+        .select(col("n").as("events_per_user"), col("n_users"),
+          expr("cum_users * 1000000 div total_users").as("cum_users_pm"),
+          expr("cum_events * 1000000 div total_events").as("cum_events_pm"))
+    },
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |h AS (SELECT n, CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(n * count(*) AS BIGINT) AS ev
+      |      FROM c GROUP BY n),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total_users,
+      |        CAST(sum(ev) AS BIGINT) AS total_events FROM h),
+      |cum AS (
+      |  SELECT n, n_users,
+      |    CAST(sum(n_users) OVER (ORDER BY n DESC) AS BIGINT) AS cum_users,
+      |    CAST(sum(ev) OVER (ORDER BY n DESC) AS BIGINT) AS cum_events
+      |  FROM h)
+      |SELECT CAST(n AS BIGINT) AS events_per_user, n_users,
+      |  CAST(cum_users * 1000000 // total_users AS BIGINT) AS cum_users_pm,
+      |  CAST(cum_events * 1000000 // total_events AS BIGINT) AS cum_events_pm
+      |FROM cum, t""".stripMargin)
+
   // Three-stage ORDERED funnel (view → click → purchase, each stage
   // strictly after the previous) — the CEP sequence-match shape as exact
   // staged aggregation: t1 = first view per user; t2 = first click after
@@ -1353,6 +1434,8 @@ object AnalyticsQueries {
   val all: Map[String, (QFn, String)] = Map(
     "events_funnel_steps" -> eventsFunnelSteps,
     "events_trending_topk" -> eventsTrendingTopk,
+    "events_markov_transitions" -> eventsMarkovTransitions,
+    "events_power_users_pareto" -> eventsPowerUsersPareto,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,

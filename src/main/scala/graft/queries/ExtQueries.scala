@@ -1205,6 +1205,53 @@ object ExtQueries {
       |FROM a GROUP BY doc_id""".stripMargin)
 
   // The composed multimodal pipeline — decode → box-resize → color moments
+  // REAL perceptual image hashing — average hash (aHash) from the decoded
+  // P6 raster: one bit per pixel, set iff its integer luminance (r+g+b) is
+  // strictly above the image mean (cross-multiplied — no division), packed
+  // in raster order into a Long. The image-dedup primitive: exact dups
+  // collide, near-dups differ in a few Hamming bits. `n_same` counts docs
+  // sharing (w, h, ahash) — the exact-collision dedup bucket — via ONE
+  // shuffle on the hash key (partition-bounded window, never a global
+  // sort). The oracle re-derives every bit from the raw bytes.
+  val mmAhash: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      val hashed = graft.multimodal.Multimodal.ahashPpm(media).toDF()
+      hashed.withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("width"), col("height"), col("ahash"))))
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, t.p AS p,
+      |    ascii(substring(px, CAST(t.p * 3 + 1 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 2 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 3 AS INTEGER), 1)) AS lum
+      |  FROM g, unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS t(p)),
+      |s AS (SELECT doc_id, sum(lum) AS tot FROM b GROUP BY doc_id),
+      |hsh AS (
+      |  SELECT b.doc_id, b.w, b.h,
+      |    sum(CASE WHEN b.lum * (b.w * b.h) > s.tot
+      |        THEN (CAST(1 AS BIGINT) << b.p) ELSE 0 END) AS ahash
+      |  FROM b JOIN s ON b.doc_id = s.doc_id GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ahash AS BIGINT) AS ahash,
+      |  CAST(count(*) OVER (PARTITION BY w, h, ahash) AS BIGINT) AS n_same
+      |FROM hsh""".stripMargin)
+
   // in ONE query, the shape a real vision-data prep job runs per image:
   // every stage is the already-value-pinned real kernel (P6 pixel walk,
   // integer 2×2 box filter, exact integer moments), chained so the oracle
@@ -1580,6 +1627,50 @@ object ExtQueries {
   // frame is |langs| rows, the scalar total broadcasts via a one-row cross
   // join — at 100 TB this is one aggregate plus constant-size planning, and
   // its output feeds the scan-speed rate filter of pipeline_sample_rate.
+  // Composition-drift detection — the monitoring primitive a corpus
+  // pipeline runs between ingest batches: the chi-square contribution of
+  // every (source, lang) cell against the independence expectation, ENTIRELY
+  // in exact integer arithmetic (term = (o·N − rowT·colT)²·10⁶ div
+  // (N·rowT·colT) — cross-multiplied, the squared numerator is never
+  // negative, so Spark `div` and DuckDB `//` agree). One fact scan: the
+  // marginals and grand total all derive from the (source, lang) cell frame
+  // (|sources|×|langs| rows), which then meets its own tiny rollups —
+  // nothing re-reads documents. decimal(38,0) intermediates: the
+  // pre-division product is ~N⁴·10⁶, inside decimal(38,0) to N ≈ 10⁸ docs
+  // per pipeline stage (headroom documented, same class as the money
+  // ratios). Per-cell rows are emitted rather than a per-source float sum,
+  // so no cross-engine float-summation order can drift.
+  val pipelineDriftChi2: (QFn, String) = (
+    (s, dir) => {
+      val cell = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("o")).localCheckpoint()
+      val rowT = cell.groupBy("source").agg(sum(col("o")).as("row_t"))
+      val colT = cell.groupBy("lang").agg(sum(col("o")).as("col_t"))
+      val tot = cell.agg(sum(col("o")).as("n_total"))
+      cell.join(broadcast(rowT), "source").join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("term_e6", expr(
+          """cast(
+            |  (cast(o as decimal(38,0)) * n_total - cast(row_t as decimal(38,0)) * col_t)
+            |  * (cast(o as decimal(38,0)) * n_total - cast(row_t as decimal(38,0)) * col_t)
+            |  * 1000000
+            |  div (cast(n_total as decimal(38,0)) * row_t * col_t)
+            |as bigint)""".stripMargin))
+        .select(col("source"), col("lang"), col("o").as("n_docs"),
+          col("term_e6"))
+    },
+    """WITH cell AS (
+      |  SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, sum(o) AS row_t FROM cell GROUP BY 1),
+      |ct AS (SELECT lang, sum(o) AS col_t FROM cell GROUP BY 1),
+      |t AS (SELECT sum(o) AS n_total FROM cell)
+      |SELECT cell.source, cell.lang, CAST(cell.o AS BIGINT) AS n_docs,
+      |  CAST(((cell.o * n_total - row_t * col_t)
+      |      * (cell.o * n_total - row_t * col_t) * 1000000)
+      |    // (n_total * row_t * col_t) AS BIGINT) AS term_e6
+      |FROM cell JOIN rt USING (source) JOIN ct USING (lang), t""".stripMargin)
+
   val pipelineMixRebalance: (QFn, String) = (
     (s, dir) => {
       // localCheckpoint the |langs|-row rollup: both the scalar total and
@@ -2302,6 +2393,7 @@ object ExtQueries {
     "cluster_assign" -> clusterAssign,
     "cluster_inertia" -> clusterInertia,
     "pipeline_mix_rebalance" -> pipelineMixRebalance,
+    "pipeline_drift_chi2" -> pipelineDriftChi2,
     "cluster_train_2iter" -> clusterTrain2Iter,
     "emb_quantize" -> embQuantize,
     "emb_pq_codes" -> embPqCodes,
@@ -2352,6 +2444,7 @@ object ExtQueries {
     "mm_resize" -> mmResize,
     "mm_resize_plan" -> mmResizePlan,
     "mm_feature_ppm" -> mmFeaturePpm,
+    "mm_ahash" -> mmAhash,
     "mm_pipeline_features" -> mmPipelineFeatures,
     "mm_feature_stub" -> mmFeatureStub,
     "pipeline_pack_sequences" -> pipelinePackSequences,
