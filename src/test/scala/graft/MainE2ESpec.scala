@@ -47,7 +47,7 @@ class MainE2ESpec extends AnyFunSuite {
   }
 
   private def runMain(args: Seq[String], env: Map[String, String],
-      timeoutS: Long = 240,
+      timeoutS: Long = 420,
       whileRunning: () => Unit = () => ()): (Int, String) = {
     val (proc, out) = spawnMain(args, env)
     whileRunning()
@@ -103,7 +103,10 @@ class MainE2ESpec extends AnyFunSuite {
     // can carry a real confirmed LSN (a single-batch run would honestly
     // report 0: at-least-once, replay on restart)
     def injectPhase2WhenPhase1Lands(): Unit = {
-      val deadline = System.nanoTime() + 120000000000L
+      // generous: under a full parallel `sbt test` the child JVM shares 32
+      // cores with every other Spark suite, and cold start + bootstrap +
+      // first stream batch has been observed to blow a 120 s budget
+      val deadline = System.nanoTime() + 240000000000L
       var landed = false
       while (!landed && System.nanoTime() < deadline) {
         landed = try {
