@@ -1332,6 +1332,83 @@ object AnalyticsQueries {
       |  CAST(cum_events * 1000000 // total_events AS BIGINT) AS cum_events_pm
       |FROM cum, t""".stripMargin)
 
+  // Top-20 three-step behavior paths (the Sankey/user-journey query):
+  // per-user event-type trigrams by (ts, event_id) order. ONE shuffle on
+  // the user key drives both lead() offsets; the (e1,e2,e3) aggregate then
+  // collapses to ≤ |event types|³ rows, so the final un-partitioned rank
+  // window runs on a type-cardinality-bounded frame — never on event or
+  // user count (same bounded-frame rule as the Pareto curve above).
+  val eventsPathTrigrams: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wr = Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 20)
+    },
+    """WITH o AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |agg AS (
+      |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      |  FROM o WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT e1, e2, e3, n, rank FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (ORDER BY n DESC, e1, e2, e3) AS BIGINT) AS rank
+      |  FROM agg)
+      |WHERE rank <= 20""".stripMargin)
+
+  // DAU/MAU stickiness per day — the engagement ratio every analytics
+  // stack reports. Exact distinct counts (the approx twin is
+  // events_approx_distinct): day buckets are fixed 86400 s UTC spans in
+  // integer µs, months are calendar date_trunc on both engines (session
+  // TZ pinned UTC). Scale shape: ONE fact scan reduces to the distinct
+  // (day, user) frame — bounded by Σ daily actives, far below event
+  // count — which is checkpointed and feeds BOTH distinct aggregates
+  // (dau directly; mau through a second distinct that collapses a user's
+  // active days within the month); the day→month join broadcasts the
+  // ≤ |months| frame. Ratio in exact per-million integers.
+  val eventsDauMau: (QFn, String) = (
+    (s, dir) => {
+      val u = events(s, dir)
+        .select(tsUs.as("ts_us"), col("user_id"))
+        .withColumn("day_us", expr("ts_us - ts_us % 86400000000"))
+        .withColumn("month_us",
+          expr("unix_micros(date_trunc('MONTH', timestamp_micros(ts_us)))"))
+        .select(col("day_us"), col("month_us"), col("user_id"))
+        .distinct().localCheckpoint()
+      val dau = u.groupBy(col("day_us"), col("month_us"))
+        .agg(count(lit(1)).as("dau"))
+      val mau = u.select(col("month_us"), col("user_id")).distinct()
+        .groupBy(col("month_us").as("m"))
+        .agg(count(lit(1)).as("mau"))
+      dau.join(broadcast(mau), col("month_us") === col("m"))
+        .select(col("day_us"), col("dau"), col("mau"),
+          expr("dau * 1000000 div mau").as("stickiness_pm"))
+    },
+    """WITH d AS (
+      |  SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+      |    epoch_us(date_trunc('month', ts)) AS month_us, user_id
+      |  FROM events),
+      |dau AS (SELECT day_us, month_us,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM d GROUP BY 1, 2),
+      |mau AS (SELECT month_us AS m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM d GROUP BY 1)
+      |SELECT day_us, dau, mau,
+      |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_pm
+      |FROM dau JOIN mau ON month_us = m""".stripMargin)
+
   // Three-stage ORDERED funnel (view → click → purchase, each stage
   // strictly after the previous) — the CEP sequence-match shape as exact
   // staged aggregation: t1 = first view per user; t2 = first click after
@@ -1436,6 +1513,8 @@ object AnalyticsQueries {
     "events_trending_topk" -> eventsTrendingTopk,
     "events_markov_transitions" -> eventsMarkovTransitions,
     "events_power_users_pareto" -> eventsPowerUsersPareto,
+    "events_path_trigrams" -> eventsPathTrigrams,
+    "events_dau_mau" -> eventsDauMau,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,

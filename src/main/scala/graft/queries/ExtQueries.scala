@@ -2387,7 +2387,168 @@ object ExtQueries {
       |FROM lex_r l FULL OUTER JOIN vec_r v ON l.doc_id = v.vec_id
       |ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin)
 
+  /** DuckDB CTE chain reproducing [[simKnnGraph]]'s edge list (`knn(src,
+    * dst, cos)`, rank ≤ 3 per src) — the shared basis for the graph-analytics
+    * oracles below. Keep in lockstep with simKnnGraph's own oracle. */
+  private val knnEdgesCtes =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS src, c.vec_id AS dst,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+      |knn AS (
+      |  SELECT src, dst, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 3)""".stripMargin
+
+  // PageRank over the k-NN graph, two iterations, EXACT integer arithmetic:
+  // total mass 1e12, damping 85/100, every divide an integer floor-div in
+  // the same order on both engines — float PageRank can't hash-match across
+  // engines (summation order), scaled-integer PageRank can. Every vector is
+  // a knn src (k edges out), so there are no dangling nodes and no lost
+  // mass beyond division remainders (identical on both sides). Scale shape:
+  // per iteration ONE hash join (edges ⋈ ranks on src — the same key both
+  // sides already shuffle on) + one partial-aggregable sum by dst; the
+  // edge list with out-degrees is checkpointed once and reused across
+  // iterations, so the knn subtree never re-evaluates; node count rides a
+  // one-row broadcast. At 100 TB this is exactly the Pregel/GraphX plan
+  // shape, minus their per-superstep driver sync.
+  val graphPagerank: (QFn, String) = (
+    (s, dir) => {
+      val edges = simKnnGraph._1(s, dir).select(col("src"), col("dst"))
+        .localCheckpoint()
+      val ew = edges
+        .join(edges.groupBy(col("src").as("osrc"))
+          .agg(count(lit(1)).as("od")), col("src") === col("osrc"))
+        .select(col("src"), col("dst"), col("od"))
+        .localCheckpoint() // reused by both iterations
+      val nodes = emb(s, dir).select(col("vec_id").as("node"))
+      val nn = broadcast(nodes.agg(count(lit(1)).as("cnt")))
+      var p = nodes.crossJoin(nn)
+        .select(col("node"), expr("1000000000000 div cnt").as("p"))
+      (1 to 2).foreach { _ =>
+        val contrib = ew.join(p, col("src") === col("node"))
+          .select(col("dst"), expr("(p * 85 div 100) div od").as("share"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
+        p = nodes.crossJoin(nn)
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (expr("(1000000000000 * 15 div 100) div cnt") +
+              coalesce(col("in_mass"), lit(0L))).as("p"))
+      }
+      p.select(col("node").as("vec_id"), col("p").as("pr_e12"))
+    },
+    s"""$knnEdgesCtes,
+       |edges AS (SELECT src, dst FROM knn),
+       |outdeg AS (SELECT src AS osrc, CAST(count(*) AS BIGINT) AS od
+       |           FROM edges GROUP BY 1),
+       |ew AS (SELECT src, dst, od FROM edges JOIN outdeg ON osrc = src),
+       |nodes AS (SELECT vec_id AS node FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+       |p0 AS (SELECT node, CAST(1000000000000 // cnt AS BIGINT) AS p
+       |       FROM nodes CROSS JOIN nn),
+       |c1 AS (SELECT dst, CAST(sum((p * 85 // 100) // od) AS BIGINT) AS in_mass
+       |       FROM ew JOIN p0 ON p0.node = ew.src GROUP BY dst),
+       |p1 AS (SELECT node,
+       |         CAST((1000000000000 * 15 // 100) // cnt
+       |           + coalesce(in_mass, 0) AS BIGINT) AS p
+       |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node),
+       |c2 AS (SELECT dst, CAST(sum((p * 85 // 100) // od) AS BIGINT) AS in_mass
+       |       FROM ew JOIN p1 ON p1.node = ew.src GROUP BY dst),
+       |p2 AS (SELECT node,
+       |         CAST((1000000000000 * 15 // 100) // cnt
+       |           + coalesce(in_mass, 0) AS BIGINT) AS p
+       |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node)
+       |SELECT node AS vec_id, p AS pr_e12 FROM p2""".stripMargin)
+
+  // Per-node triangle counts on the undirected k-NN graph — the local
+  // clustering signal (dense near-dup neighborhoods close their triangles;
+  // chains don't). Canonical-direction edges (u < v, distinct) make each
+  // triangle appear exactly once as an ordered wedge (u < a < b) closed by
+  // edge (a, b); each closure credits all three corners via one explode.
+  // Scale shape: the wedge join is a hash join on the shared lower
+  // endpoint, bounded by Σ deg² — and degree here is capped by k plus the
+  // in-degree of the knn relation, not corpus size; the closure is a hash
+  // join of wedges against the edge list on (a, b). No global structure,
+  // no driver state — the standard MapReduce triangle enumeration.
+  val graphTriangles: (QFn, String) = (
+    (s, dir) => {
+      val und = simKnnGraph._1(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint() // wedge + closure both consume it
+      val wedge = und.as("e1").join(und.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("apex"), col("e1.v").as("a"), col("e2.v").as("b"))
+      val tri = wedge.join(und.as("e3"),
+          col("a") === col("e3.u") && col("b") === col("e3.v"))
+        .select(col("apex"), col("a"), col("b"))
+      tri.select(explode(array(col("apex"), col("a"), col("b"))).as("vec_id"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+    s"""$knnEdgesCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM knn),
+       |wedge AS (SELECT e1.u AS apex, e1.v AS a, e2.v AS b
+       |          FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v),
+       |tri AS (SELECT apex, a, b
+       |        FROM wedge JOIN und e3 ON wedge.a = e3.u AND wedge.b = e3.v),
+       |corners AS (
+       |  SELECT apex AS vec_id FROM tri
+       |  UNION ALL SELECT a FROM tri
+       |  UNION ALL SELECT b FROM tri)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM corners GROUP BY vec_id""".stripMargin)
+
+  // Top-3 characteristic terms per document by df-damped term frequency
+  // (score = tf·1e6 div df — the integer-exact relevance ordering; a float
+  // idf log would rank near-identically but cannot hash-match across
+  // engines). Scale shape: ONE corpus scan builds the (doc, term, tf)
+  // frame, which is checkpointed — it is both sides' basis (df is a term
+  // aggregate OVER it, and the score join reads it again), and at corpus
+  // scale materializing the tf matrix beats tokenizing the raw text twice;
+  // per-doc top-3 is the string-keyed heap aggregate — k rows per doc
+  // cross the shuffle, nothing sorts a doc's full vocabulary.
+  val textTopTerms: (QFn, String) = (
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfq = tf.groupBy(col("w").as("dw")).agg(count(lit(1)).as("df"))
+      tf.join(dfq, col("w") === col("dw"))
+        .select(col("doc_id"), col("w"), expr("tf * 1000000 div df").as("score_e6"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.TopKByScore
+          .topKStr(col("score_e6").cast("double"), col("w"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("t.id").as("term"),
+          col("t.score").cast("long").as("score_e6"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+    s"""$toksCte, tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |df AS (SELECT w AS dw, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, w AS term,
+       |         CAST(tf * 1000000 // df AS BIGINT) AS score_e6
+       |       FROM tf JOIN df ON dw = w)
+       |SELECT doc_id, term, score_e6, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score_e6 DESC, term) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
+    "text_top_terms" -> textTopTerms,
     "text_bpe_pairs" -> textBpePairs,
     "sim_hybrid_search" -> simHybridSearch,
     "cluster_assign" -> clusterAssign,

@@ -36,6 +36,8 @@ class ScanAuditSpec extends AnyFunSuite {
     "sim_hybrid_search" -> "query-embedding side pruned (vec_id=0)",
     "emb_pq_codes" -> "codebook side pruned (vec_id<8)",
     "dedup_embedding_cosine" -> "LSH band self-join over pruned projections",
+    "graph_pagerank" -> ("node frame + its one-row count, both " +
+      "column-pruned vec_id-only scans (edge list is checkpointed)"),
     // differently-filtered slices of one table meeting in a join/union
     "events_asof_join" -> "clicks vs purchases slices, filters pushed",
     "events_range_join" -> "probe vs context slices, filters pushed",
