@@ -1409,6 +1409,59 @@ object AnalyticsQueries {
       |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_pm
       |FROM dau JOIN mau ON month_us = m""".stripMargin)
 
+  // RFM customer segmentation (recency / frequency / monetary) in exact
+  // integers: per-user stats reduce in ONE partial-aggregable pass, the
+  // corpus max-ts rides a one-row broadcast (recency is relative to the
+  // data's own horizon — deterministic, no wall clock), and fixed
+  // threshold buckets avoid the global quantile sort a percentile-based
+  // RFM would pay. Output is the ≤27-cell segment grid with exact counts
+  // and value totals — the mix table a marketing/retention pipeline feeds.
+  val eventsRfmSegments: (QFn, String) = (
+    (s, dir) => {
+      val per = events(s, dir)
+        .select(col("user_id"), tsUs.as("ts_us"),
+          floor(col("value") * 1000000).cast("long").as("v_e6"))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(col("v_e6")).as("money_e6"))
+        .localCheckpoint() // |users| rows feed the horizon agg + the grid
+      per.crossJoin(broadcast(per.agg(max(col("last_us")).as("horizon_us"))))
+        .select(
+          expr("""CASE WHEN (horizon_us - last_us) div 86400000000 <= 0 THEN 'active'
+                 |     WHEN (horizon_us - last_us) div 86400000000 <= 1 THEN 'warm'
+                 |     ELSE 'cold' END""".stripMargin).as("r_seg"),
+          expr("CASE WHEN freq >= 70 THEN 'high' WHEN freq >= 55 THEN 'mid' " +
+            "ELSE 'low' END").as("f_seg"),
+          expr("""CASE WHEN money_e6 >= 4000000000 THEN 'big'
+                 |     WHEN money_e6 >= 3000000000 THEN 'mid'
+                 |     ELSE 'small' END""".stripMargin).as("m_seg"),
+          col("freq"), col("money_e6"))
+        .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("freq")).as("n_events"),
+          sum(col("money_e6")).as("total_e6"))
+    },
+    """WITH per AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS money_e6
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT max(last_us) AS horizon_us FROM per)
+      |SELECT
+      |  CASE WHEN (horizon_us - last_us) // 86400000000 <= 0 THEN 'active'
+      |       WHEN (horizon_us - last_us) // 86400000000 <= 1 THEN 'warm'
+      |       ELSE 'cold' END AS r_seg,
+      |  CASE WHEN freq >= 70 THEN 'high' WHEN freq >= 55 THEN 'mid'
+      |       ELSE 'low' END AS f_seg,
+      |  CASE WHEN money_e6 >= 4000000000 THEN 'big'
+      |       WHEN money_e6 >= 3000000000 THEN 'mid'
+      |       ELSE 'small' END AS m_seg,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(freq) AS BIGINT) AS n_events,
+      |  CAST(sum(money_e6) AS BIGINT) AS total_e6
+      |FROM per CROSS JOIN h GROUP BY 1, 2, 3""".stripMargin)
+
   // Three-stage ORDERED funnel (view → click → purchase, each stage
   // strictly after the previous) — the CEP sequence-match shape as exact
   // staged aggregation: t1 = first view per user; t2 = first click after
@@ -1515,6 +1568,7 @@ object AnalyticsQueries {
     "events_power_users_pareto" -> eventsPowerUsersPareto,
     "events_path_trigrams" -> eventsPathTrigrams,
     "events_dau_mau" -> eventsDauMau,
+    "events_rfm_segments" -> eventsRfmSegments,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,

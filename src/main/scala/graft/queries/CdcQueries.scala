@@ -265,6 +265,37 @@ object CdcQueries {
        |        ORDER BY lsn_num DESC) AS rn FROM changelog)
        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin)
 
+  // Consumer-side SCD TYPE-2 materialization: every non-DELETE version of a
+  // (resource, id) becomes a history row valid from its own commit to the
+  // NEXT change's commit (open-ended sentinel when still current; a DELETE
+  // closes the last version without emitting a row of its own). The other
+  // canonical changelog consumer besides upsert-latest — dimension history
+  // for time-travel joins. ONE shuffle on the state key drives the lead()
+  // window, the same partitioning the upsert materialization uses; no
+  // self-join of the log against itself.
+  val cdcScd2: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("resource"), col("id"))
+        .orderBy(col("lsn_num"))
+      changelog(s, dir)
+        .withColumn("valid_to_ts",
+          coalesce(lead(col("commit_ts"), 1).over(w), lit(253402300800L)))
+        .withColumn("is_current",
+          lead(col("lsn_num"), 1).over(w).isNull)
+        .filter(col("op") =!= "DELETE")
+        .select(col("resource"), col("id"), col("op"), col("lsn_num"),
+          col("user_id"), col("value"),
+          col("commit_ts").as("valid_from_ts"), col("valid_to_ts"),
+          col("is_current"))
+    },
+    s"""$cte SELECT resource, id, op, lsn_num, user_id, value,
+       |  commit_ts AS valid_from_ts,
+       |  coalesce(lead(commit_ts, 1) OVER w, 253402300800) AS valid_to_ts,
+       |  lead(lsn_num, 1) OVER w IS NULL AS is_current
+       |FROM changelog
+       |WINDOW w AS (PARTITION BY resource, id ORDER BY lsn_num)
+       |QUALIFY op <> 'DELETE'""".stripMargin)
+
   // At-least-once consumer dedup: replay the last 10% of the WAL (redelivery
   // after a crash) and collapse duplicates by the (resource, lsn) identity —
   // consumers dedup on meta.lsn (converter.zig:99-100).
@@ -303,5 +334,6 @@ object CdcQueries {
     "cdc_snapshot_read" -> cdcSnapshotRead,
     "cdc_snapshot_then_stream" -> cdcSnapshotThenStream,
     "cdc_upsert_state" -> cdcUpsertState,
+    "cdc_scd2" -> cdcScd2,
     "cdc_at_least_once_dedup" -> cdcAtLeastOnceDedup)
 }

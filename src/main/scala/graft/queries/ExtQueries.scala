@@ -2545,7 +2545,150 @@ object ExtQueries {
        |  FROM sc)
        |WHERE rank <= 3""".stripMargin)
 
+  // Near-dup IMAGE detection by perceptual-hash banding — the multimodal
+  // twin of MinHash LSH: the decoded raster's aHash (real pixel math, same
+  // kernel as mm_ahash) splits into 4 disjoint bit-bands sized to the
+  // raster (bw = ceil(w·h/4)); by pigeonhole any pair within Hamming
+  // distance ≤ 3 shares at least one identical band, so band-equality
+  // equi-joins generate a candidate set that PROVABLY contains every
+  // near-dup pair, and the exact popcount verify runs on candidates only —
+  // never all image pairs. One checkpointed hash frame feeds both join
+  // sides; the oracle re-derives every hash bit from the raw bytes and
+  // runs the same band join.
+  val mmDedupPhash: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val w = lit(4) + col("doc_id") % 4
+      val h = lit(3) + col("doc_id") % 3
+      val media = d.select(col("doc_id"),
+          concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+            lit("\n255\n"),
+            rpad(col("text"), (w * h * 3).cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      val hs = graft.multimodal.Multimodal.ahashPpm(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"))
+        .localCheckpoint() // both band-join sides read this frame
+      val banded = hs
+        .withColumn("bw", expr("cast((width * height + 3) div 4 as int)"))
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+            "'band', b, 'bv', shiftright(ahash, cast(b * bw as int)) & " +
+            "(shiftleft(cast(1 as bigint), bw) - 1)))")).as("bb"))
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      banded.as("a").join(banded.as("b"),
+          col("a.width") === col("b.width") &&
+            col("a.height") === col("b.height") &&
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.width").as("width"), col("a.height").as("height"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("width"), col("height"),
+          col("hamming"))
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |    rpad(text, CAST((4 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INTEGER),
+      |         text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, t.p AS p,
+      |    ascii(substring(px, CAST(t.p * 3 + 1 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 2 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 3 AS INTEGER), 1)) AS lum
+      |  FROM g, unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS t(p)),
+      |s AS (SELECT doc_id, sum(lum) AS tot FROM b GROUP BY doc_id),
+      |hsh AS (
+      |  SELECT b.doc_id, b.w, b.h,
+      |    CAST(sum(CASE WHEN b.lum * (b.w * b.h) > s.tot
+      |        THEN (CAST(1 AS BIGINT) << b.p) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM b JOIN s ON b.doc_id = s.doc_id GROUP BY 1, 2, 3),
+      |banded AS (
+      |  SELECT doc_id, w, h, ahash, t.b AS band,
+      |    (ahash >> CAST(t.b * ((w * h + 3) // 4) AS INTEGER))
+      |      & ((CAST(1 AS BIGINT) << CAST((w * h + 3) // 4 AS INTEGER)) - 1) AS bv
+      |  FROM hsh, unnest(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.w AS w, a.h AS h, a.ahash AS ha, b.ahash AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.w = b.w AND a.h = b.h AND a.band = b.band AND a.bv = b.bv
+      |      AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)
+
+  // Recall evaluation of the LSH candidate generator — the measurement a
+  // production dedup pipeline keeps next to the pipeline itself, shaped
+  // like every ANN recall eval (sim_ann_recall): a deterministic QUERY
+  // SAMPLE (doc_id % 5 = 0, the labeled-sample knob) gets its TRUE
+  // near-dup neighbors computed exactly against the WHOLE corpus — work
+  // bounded by |slice| × corpus, never corpus² — with truth defined by
+  // integer cross-multiplication (3·common ≥ |A|+|B| ⇔ J ≥ 0.5, no float).
+  // Recall = share of truth pairs the banded MinHash candidates caught, in
+  // exact per-million. The direction guard keeps a both-in-slice pair from
+  // double-counting its shingle overlap.
+  val dedupLshRecall: (QFn, String) = (
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sa = sh.filter(col("doc_id") % 5 === 0)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sa.as("sa").join(sh.as("sb"),
+          col("sa.s") === col("sb.s") &&
+            (col("sa.doc_id") < col("sb.doc_id") ||
+              (col("sa.doc_id") > col("sb.doc_id") &&
+                col("sb.doc_id") % 5 =!= 0)))
+        .groupBy(least(col("sa.doc_id"), col("sb.doc_id")).as("doc_a"),
+          greatest(col("sa.doc_id"), col("sb.doc_id")).as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+        .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+        .filter(col("n_common") * 3 >= col("za.n") + col("zb.n"))
+        .select(col("doc_a"), col("doc_b"))
+      val caught = truth.join(lshCandidates(s, dir), Seq("doc_a", "doc_b"),
+        "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_truth"), col("n_caught"),
+          expr("n_caught * 1000000 div greatest(n_truth, 1)").as("recall_pm"))
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |          FROM sh GROUP BY 1),
+       |truth AS (
+       |  SELECT m.doc_a, m.doc_b
+       |  FROM (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |          greatest(a.doc_id, b.doc_id) AS doc_b,
+       |          CAST(count(*) AS BIGINT) AS n_common
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 = 0
+       |          AND (a.doc_id < b.doc_id
+       |            OR (a.doc_id > b.doc_id AND b.doc_id % 5 <> 0))
+       |        GROUP BY 1, 2) m
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b
+       |  WHERE m.n_common * 3 >= za.n + zb.n),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |caught AS (SELECT t.* FROM truth t
+       |           WHERE EXISTS (SELECT 1 FROM cand c
+       |                         WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM caught)
+       |SELECT n_truth, n_caught,
+       |  CAST(n_caught * 1000000 // greatest(n_truth, 1) AS BIGINT) AS recall_pm
+       |FROM nt CROSS JOIN nc""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "mm_dedup_phash" -> mmDedupPhash,
+    "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "text_top_terms" -> textTopTerms,

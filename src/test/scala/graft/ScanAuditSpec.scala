@@ -65,6 +65,8 @@ class ScanAuditSpec extends AnyFunSuite {
     "dedup_ngram_jaccard" -> "persisted shingles, text overcount",
     "dedup_keep_best" -> "persisted shingles + the (doc_id, n_chars) side",
     "dedup_containment" -> "persisted shingles, text overcount",
+    "dedup_lsh_recall" -> ("persisted shingles, text overcount (query " +
+      "slice + corpus side + candidate frame all read the cached subtree)"),
     "dedup_edit_distance" -> "persisted shingles, text overcount",
     "pipeline_clean_corpus" -> "persisted shingles, text overcount",
     "pipeline_decontaminate" -> "persisted shingles, text overcount",
