@@ -42,6 +42,10 @@ final case class PpmFeatures(
 
 final case class PpmAhash(doc_id: Long, width: Long, height: Long, ahash: Long)
 
+final case class Pcm8Stats(
+    doc_id: Long, n_samples: Long, peak: Long, sum_abs: Long,
+    mean_abs_e4: Long, energy: Long, zero_crossings: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -305,6 +309,59 @@ object Multimodal {
             p += 1
           }
           PpmAhash(rec.doc_id, w.toLong, h.toLong, hash)
+        }
+      }
+    }
+  }
+
+  /** REAL audio feature extraction over an 8-bit PCM payload — the audio
+    * analog of the P6 pixel kernels: parse the "PA8\n<n>\n<bias>\n" header
+    * (n samples, bias = the format's silence point — 128 for standard
+    * unsigned-8-bit WAV; the fixture corpus is pure ASCII < 128, so its
+    * blobs declare a corpus-centered bias to exercise real sign structure),
+    * then one linear pass over the sample bytes computing the exact-integer
+    * loudness/activity stats a speech/music data pipeline filters on:
+    * peak |amplitude|, Σ|a|, energy Σa² (bounded: |a| < 256 ⇒ a² < 65536
+    * per sample — no overflow below ~1.4e14 samples), and zero crossings
+    * (strict sign flips across the bias). Per-clip work is linear in
+    * samples, partition-wise, nothing crosses an exchange; malformed
+    * headers are dropped, matching the decode kernels' contract. */
+  def pcm8Stats(ds: Dataset[MediaRecord]): Dataset[Pcm8Stats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        val b = rec.media
+        def lineEnd(from: Int): Int = {
+          var i = from
+          while (i < b.length && b(i) != '\n') i += 1
+          i
+        }
+        val e0 = lineEnd(0)
+        if (e0 != 3 || b(0) != 'P' || b(1) != 'A' || b(2) != '8') None
+        else {
+          val e1 = lineEnd(e0 + 1); val e2 = lineEnd(e1 + 1)
+          val hdr = try {
+            Some((new String(b, e0 + 1, e1 - e0 - 1, "US-ASCII").toInt,
+              new String(b, e1 + 1, e2 - e1 - 1, "US-ASCII").toInt))
+          } catch { case _: NumberFormatException => None }
+          hdr.collect { case (n, bias) if n >= 1 && e2 + 1 + n <= b.length =>
+            val off = e2 + 1
+            var p = 0
+            var peak = 0L; var sumAbs = 0L; var energy = 0L; var zc = 0L
+            var prev = 0
+            while (p < n) {
+              val a = (b(off + p) & 0xFF) - bias
+              val abs = math.abs(a).toLong
+              if (abs > peak) peak = abs
+              sumAbs += abs
+              energy += a.toLong * a
+              if (p > 0 && prev * a < 0) zc += 1
+              prev = a
+              p += 1
+            }
+            Pcm8Stats(rec.doc_id, n.toLong, peak, sumAbs,
+              sumAbs * 10000 / n, energy, zc)
+          }
         }
       }
     }

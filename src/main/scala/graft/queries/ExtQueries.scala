@@ -2686,7 +2686,49 @@ object ExtQueries {
        |  CAST(n_caught * 1000000 // greatest(n_truth, 1) AS BIGINT) AS recall_pm
        |FROM nt CROSS JOIN nc""".stripMargin)
 
+  // REAL audio-modality features: each doc carries an 8-bit PCM clip
+  // ("PA8" header + sample bytes, the fixture's honest stand-in for a WAV
+  // payload — see Multimodal.pcm8Stats for the bias note) and the kernel
+  // computes exact-integer loudness/activity stats — peak, Σ|a|, energy,
+  // zero crossings — in ONE linear partition-wise pass, the filter basis a
+  // speech/music pipeline runs before any expensive model. The oracle
+  // re-derives every number from the raw bytes (ascii-probe per sample,
+  // lag window for the sign flips).
+  val mmAudioStats: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val n = lit(100) + col("doc_id") % 50
+      val media = d.select(col("doc_id"),
+          concat(lit("PA8\n"), n.cast("string"), lit("\n77\n"),
+            rpad(col("text"), n.cast("int"), col("text")))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.pcm8Stats(media).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 100 + doc_id % 50 AS n,
+      |    rpad(text, CAST(100 + doc_id % 50 AS INTEGER), text) AS px
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, n, t.p AS p,
+      |    ascii(substring(px, CAST(t.p AS INTEGER), 1)) - 77 AS amp
+      |  FROM g, unnest(generate_series(1, CAST(n AS INTEGER))) AS t(p)),
+      |l AS (
+      |  SELECT doc_id, n, amp,
+      |    lag(amp) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      |  FROM a)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(max(abs(amp)) AS BIGINT) AS peak,
+      |  CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(abs(amp)) * 10000 // n AS BIGINT) AS mean_abs_e4,
+      |  CAST(sum(amp * amp) AS BIGINT) AS energy,
+      |  CAST(sum(CASE WHEN prev * amp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM l GROUP BY doc_id, n""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "mm_audio_stats" -> mmAudioStats,
     "mm_dedup_phash" -> mmDedupPhash,
     "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,

@@ -531,7 +531,57 @@ object OlapDeepQueries {
       |    AS cum_rev_e4
       |FROM by_month""".stripMargin)
 
+  // TPC-H Q2-shaped minimum-cost supplier, adapted to the fixture columns
+  // (no partsupp table — see the object Scaladoc): for each part in a size
+  // slice, the cheapest OBSERVED unit price from any supplier in one
+  // region, with the supplier identity. The region⋈nation⋈supplier chain
+  // collapses dimension-side to a broadcast BEFORE the fact is touched;
+  // the per-part argmin is a partial-aggregable min(struct) — one shuffle
+  // on the part key, no per-part sort, no correlated subquery (the
+  // decorrelated form Q2's MIN subquery optimizes to). Unit price is
+  // floor-scaled e4 with the same IEEE op order on both engines.
+  val olapCheapestSupplier: (QFn, String) = (
+    (s, dir) => {
+      val supInRegion = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 10000.0 / col("l_quantity"))
+            .cast("long").as("unit_e4"))
+        .join(broadcast(supInRegion), col("l_suppkey") === col("s_suppkey"))
+      li.join(t(s, dir, "part").filter(col("p_size") % 10 === 3)
+            .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(min(struct(col("unit_e4"), col("s_suppkey"), col("s_name")))
+          .as("best"))
+        .select(col("p_partkey"), col("best.unit_e4").as("unit_e4"),
+          col("best.s_suppkey").as("s_suppkey"),
+          col("best.s_name").as("s_name"))
+    },
+    """WITH sup AS (
+      |  SELECT s_suppkey, s_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |u AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(l_extendedprice * 10000.0 / l_quantity) AS BIGINT)
+      |      AS unit_e4,
+      |    s_suppkey, s_name
+      |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey AND p_size % 10 = 3)
+      |SELECT l_partkey AS p_partkey, unit_e4, s_suppkey, s_name FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+      |    ORDER BY unit_e4, s_suppkey, s_name) AS rn
+      |  FROM u)
+      |WHERE rn = 1""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_cheapest_supplier" -> olapCheapestSupplier,
     "olap_market_basket" -> olapMarketBasket,
     "olap_sales_opportunity" -> olapSalesOpportunity,
     "olap_yoy_growth" -> olapYoyGrowth,
