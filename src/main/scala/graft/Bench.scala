@@ -129,9 +129,21 @@ object Bench {
           // methodology), the median is the honesty number.
           def oneTrial(endAt: Long, expect: Int, tag: String): Double = {
             val walDir = Files.createTempDirectory("graft-bench-live").toString
-            val ch = h.session().startReplication("graft_bench_slot",
-              "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
-              readTimeoutMs = 1000)
+            // the previous trial's socket close releases the slot
+            // ASYNCHRONOUSLY server-side; a back-to-back START_REPLICATION
+            // can land while the old walsender still holds it ("slot is
+            // active for PID …") — bounded retry instead of failing the
+            // trial (observed once per ~10 clean-box runs)
+            def openChannel(attempt: Int = 0): graft.source.postgres.SocketCopyBothChannel =
+              try h.session().startReplication("graft_bench_slot",
+                "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
+                readTimeoutMs = 1000)
+              catch {
+                case e: Exception if attempt < 50 && e.getMessage != null &&
+                    e.getMessage.contains("is active for") =>
+                  Thread.sleep(100); openChannel(attempt + 1)
+              }
+            val ch = openChannel()
             val sp = new ReplicationSpooler(ch, walDir)
             val t0 = System.nanoTime()
             val deadline = t0 + 300L * 1000000000L

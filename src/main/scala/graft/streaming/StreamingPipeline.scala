@@ -50,7 +50,13 @@ object StreamingPipeline {
       graft.serialization.JsonEnvelope.envelopeCol(
         op = col("op"), dataJson = col("data"), resource = col("resource"),
         timestamp = col("commit_ts"), lsn = col("lsn")))
-    val routed = Routing.routeInline(serialized, streams)
+    // GRAFT_ROUTE_FORM=join selects the broadcast-join routing form for an
+    // A/B (RoutingInlineSpec pins row-identity between the two); inline is
+    // the default — zero exchanges, no per-batch broadcast build
+    val routed =
+      if (sys.env.getOrElse("GRAFT_ROUTE_FORM", "inline") == "join")
+        Routing.route(serialized, Routing.streamsDF(spark, streams))
+      else Routing.routeInline(serialized, streams)
     // Routing-key extraction from the JSON row payload. The key set is
     // closed (it comes from config), so this folds into a CASE over constant
     // JSON paths — codegen-friendly, unlike a dynamic path. A missing key
