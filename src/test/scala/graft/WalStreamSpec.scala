@@ -165,6 +165,40 @@ class WalStreamSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("slice cuts beyond ~2x scheduler width coalesce at plan time, " +
+      "below it plans are unchanged") {
+    val dir = Files.createTempDirectory("graft-wal-coal").toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val evs = (1L to 4000L).map(i => WalFixture.Ev(i, 1700000000000000L, 1L,
+      "click", 1.0, "{}"))
+    WalLog.write(java.nio.file.Paths.get(dir, "00000000.wal"),
+      evs.iterator.flatMap(e => WalFixture.frames(e, seen)))
+    // local[4] session: defaultParallelism=4 → cap 8 partitions
+    val cap = 2 * spark.sparkContext.defaultParallelism
+    // fine stride: 4000/8 = 500 cuts — far past the cap
+    val fine = new graft.source.wal.PgWalMicroBatchStream(dir,
+      maxPerBatch = 100000, sliceEvents = 8)
+    val fs = fine.initialOffset(); val fe = fine.latestOffset()
+    val fineParts = fine.planInputPartitions(fs, fe)
+    assert(fineParts.length <= cap,
+      s"coalesced plan must respect the cap (${fineParts.length} > $cap)")
+    assert(fineParts.length > 1, "coalescing must keep parallelism")
+    // partitions must tile the offset range exactly (no gap, no overlap)
+    val bounds = fineParts.map(_.asInstanceOf[graft.source.wal.PgWalInputPartition])
+    assert(bounds.head.afterLsn == fs.asInstanceOf[graft.source.wal.LsnOffset].lsn)
+    assert(bounds.last.untilLsn == fe.asInstanceOf[graft.source.wal.LsnOffset].lsn)
+    bounds.sliding(2).foreach { case Array(a, b) =>
+      assert(a.untilLsn == b.afterLsn, "partitions must tile contiguously")
+    }
+    // coarse stride under the cap: planned exactly one partition per slice
+    val coarse = new graft.source.wal.PgWalMicroBatchStream(dir,
+      maxPerBatch = 100000, sliceEvents = 1000) // 4 cuts → 5 ≤ cap
+    val cs = coarse.initialOffset(); val ce = coarse.latestOffset()
+    val coarseParts = coarse.planInputPartitions(cs, ce)
+    assert(coarseParts.length >= 4 && coarseParts.length <= cap,
+      s"sub-cap plan must keep its per-slice partitions (${coarseParts.length})")
+  }
+
   test("idle stream retains at most the head boundary snapshot") {
     val dir = Files.createTempDirectory("graft-wal-idle").toString
     val seen = scala.collection.mutable.Set.empty[String]
