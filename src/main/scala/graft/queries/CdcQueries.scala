@@ -296,6 +296,36 @@ object CdcQueries {
        |WINDOW w AS (PARTITION BY resource, id ORDER BY lsn_num)
        |QUALIFY op <> 'DELETE'""".stripMargin)
 
+  // Log-compaction materialization (the Kafka compacted-topic contract):
+  // one row per (resource, id) — the LATEST version's payload, or an
+  // explicit TOMBSTONE when the latest change is a DELETE. The compaction
+  // sibling of cdc_upsert_state (which drops deleted keys outright):
+  // downstream rebuilds need the tombstone to propagate the deletion.
+  // Same single state-key shuffle; tombstone payload columns are zeroed
+  // (not null) so the compare stays engine-exact.
+  val cdcTombstoneCompaction: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("resource"), col("id"))
+        .orderBy(col("lsn_num").desc)
+      changelog(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("is_tombstone", col("op") === "DELETE")
+        .select(col("resource"), col("id"), col("op").as("last_op"),
+          col("lsn_num"), col("is_tombstone"),
+          when(col("is_tombstone"), lit(-1L)).otherwise(col("user_id"))
+            .as("user_id"),
+          when(col("is_tombstone"), lit(0.0)).otherwise(col("value"))
+            .as("value"))
+    },
+    s"""$cte SELECT resource, id, op AS last_op, lsn_num,
+       |  op = 'DELETE' AS is_tombstone,
+       |  CASE WHEN op = 'DELETE' THEN -1 ELSE user_id END AS user_id,
+       |  CASE WHEN op = 'DELETE' THEN 0.0 ELSE value END AS value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY resource, id
+       |        ORDER BY lsn_num DESC) AS rn FROM changelog)
+       |WHERE rn = 1""".stripMargin)
+
   // At-least-once consumer dedup: replay the last 10% of the WAL (redelivery
   // after a crash) and collapse duplicates by the (resource, lsn) identity —
   // consumers dedup on meta.lsn (converter.zig:99-100).
@@ -335,5 +365,6 @@ object CdcQueries {
     "cdc_snapshot_then_stream" -> cdcSnapshotThenStream,
     "cdc_upsert_state" -> cdcUpsertState,
     "cdc_scd2" -> cdcScd2,
+    "cdc_tombstone_compaction" -> cdcTombstoneCompaction,
     "cdc_at_least_once_dedup" -> cdcAtLeastOnceDedup)
 }

@@ -2727,7 +2727,57 @@ object ExtQueries {
       |    AS zero_crossings
       |FROM l GROUP BY doc_id, n""".stripMargin)
 
+  // Matryoshka (MRL) prefix-energy report: how much of each embedding's
+  // energy the 16- and 32-dim PREFIXES retain — the measurement that
+  // decides how far a matryoshka-trained embedding column can be truncated
+  // for cheap first-stage retrieval. Pure shuffle-free projection (three
+  // sequential-fold sums per row, scan speed); ratios rounded to e4 like
+  // every float-derived score in the suite (the sum itself is the same
+  // left fold on both engines at these lengths).
+  val embMatryoshkaPrefix: (QFn, String) = (
+    (s, dir) => {
+      def sq(n: Int) = expr(
+        s"aggregate(slice(embedding, 1, $n), 0D, (a, x) -> a + double(x) * double(x))")
+      emb(s, dir).select(col("vec_id"),
+        round(sq(16) / sq(64), 4).as("energy_16_r4"),
+        round(sq(32) / sq(64), 4).as("energy_32_r4"))
+    },
+    """SELECT vec_id,
+      |  round(list_sum(list_transform(embedding[1:16], x -> x::DOUBLE * x::DOUBLE))
+      |    / list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4)
+      |    AS energy_16_r4,
+      |  round(list_sum(list_transform(embedding[1:32], x -> x::DOUBLE * x::DOUBLE))
+      |    / list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4)
+      |    AS energy_32_r4
+      |FROM embeddings""".stripMargin)
+
+  // Near-dup cluster-size distribution — the one-page report every dedup
+  // run ships (how much of the corpus sits in 2-clusters vs mega-clusters
+  // decides the dedup policy). Components label frame → size per cluster →
+  // histogram by size; all aggregates partial-aggregable, output bounded
+  // by the largest cluster size, never corpus size.
+  val dedupClusterStats: (QFn, String) = (
+    (s, dir) => {
+      val comp = graft.dedup.Components
+        .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+      comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("sz")).as("n_docs"))
+    },
+    dedupComponents._2.replace(
+      """SELECT node AS doc_id, CAST(min(seed) AS BIGINT) AS component
+        |FROM r GROUP BY node""".stripMargin,
+      """, comp AS (SELECT node, min(seed) AS component FROM r GROUP BY node),
+        |csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+        |           FROM comp GROUP BY component)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) * sz AS BIGINT) AS n_docs
+        |FROM csizes GROUP BY sz""".stripMargin))
+
   val all: Map[String, (QFn, String)] = Map(
+    "emb_matryoshka_prefix" -> embMatryoshkaPrefix,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "mm_audio_stats" -> mmAudioStats,
     "mm_dedup_phash" -> mmDedupPhash,
     "dedup_lsh_recall" -> dedupLshRecall,
