@@ -2635,6 +2635,15 @@ object ExtQueries {
   // Recall = share of truth pairs the banded MinHash candidates caught, in
   // exact per-million. The direction guard keeps a both-in-slice pair from
   // double-counting its shingle overlap.
+  //
+  // Cost note (sf~1 probe: 97 s on the 10×-replicated corpus vs ~2 s at
+  // gate scale): the exact-truth join's row count is Σ_s df_slice(s)·df(s)
+  // over shingles s — document frequency squared-ish, which exact-dup
+  // replication inflates quadratically. That is the nature of an exact
+  // eval leg, and the slice fraction is the stated budget knob; a
+  // production run would also drop stop-shingles (df above a cap) from
+  // the truth side, which bounds the join without touching recall for
+  // any pair whose overlap isn't purely stop-shingles.
   val dedupLshRecall: (QFn, String) = (
     (s, dir) => {
       val sh = shingles(s, dir)
