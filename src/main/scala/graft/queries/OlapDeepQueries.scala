@@ -580,7 +580,43 @@ object OlapDeepQueries {
       |  FROM u)
       |WHERE rn = 1""".stripMargin)
 
+  // TPC-H Q16-shaped supplier variety, adapted to the fixture columns (no
+  // partsupp; supplier-part relationships observed from lineitem): how many
+  // DISTINCT suppliers can furnish parts of each (brand, size), excluding
+  // suppliers with a demonstrated quality problem (any large returned
+  // shipment, quantity above 49 — the adapted form of Q16's complaint filter). The exclusion
+  // list derives from one pushed-filter fact slice and anti-joins BEFORE
+  // the distinct count; the supplier-part pair set is deduped map-side by
+  // the two-key distinct, and the final count-distinct is Spark's standard
+  // two-level expand — no single hot partition.
+  val olapSupplierVariety: (QFn, String) = (
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
+        .select(col("l_suppkey")).distinct()
+      pairs.join(badSupp, Seq("l_suppkey"), "left_anti")
+        .join(t(s, dir, "part").filter(col("p_size") <= 25)
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |bad AS (
+      |  SELECT DISTINCT l_suppkey FROM lineitem
+      |  WHERE l_returnflag = 'R' AND l_quantity > 49)
+      |SELECT p_brand, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM pairs
+      |JOIN part ON l_partkey = p_partkey AND p_size <= 25
+      |WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+      |GROUP BY 1, 2""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_supplier_variety" -> olapSupplierVariety,
     "olap_cheapest_supplier" -> olapCheapestSupplier,
     "olap_market_basket" -> olapMarketBasket,
     "olap_sales_opportunity" -> olapSalesOpportunity,
