@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** The deeper TPC-H-shaped OLAP tier: multi-fact join chains, disjunctive
   * predicates, distribution queries, and exists/not-exists decorrelation —
   * the query shapes a warehouse migration actually exercises beyond simple
-  * star rollups. (Q2/Q11/Q16/Q20 need a `partsupp` table the fixture set
-  * does not carry; Q12/Q19/Q21 are adapted to the columns that exist —
+  * star rollups. (Q11/Q20 need a `partsupp` table the fixture set does not
+  * carry; Q2 and Q16 are adapted to lineitem-observed supplier-part
+  * relationships — `olap_cheapest_supplier`, `olap_supplier_variety` —
+  * and Q12/Q19/Q21 are adapted to the columns that exist —
   * lateness is derived from `l_shipdate - o_orderdate` because the fixtures
   * have no commit/receipt dates, and Q19's disjunction runs on
   * brand × size × quantity without the container/shipmode legs.)
