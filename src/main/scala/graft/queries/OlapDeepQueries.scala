@@ -585,20 +585,29 @@ object OlapDeepQueries {
   // TPC-H Q16-shaped supplier variety, adapted to the fixture columns (no
   // partsupp; supplier-part relationships observed from lineitem): how many
   // DISTINCT suppliers can furnish parts of each (brand, size), excluding
-  // suppliers with a demonstrated quality problem (any large returned
-  // shipment, quantity above 49 — the adapted form of Q16's complaint filter). The exclusion
-  // list derives from one pushed-filter fact slice and anti-joins BEFORE
-  // the distinct count; the supplier-part pair set is deduped map-side by
-  // the two-key distinct, and the final count-distinct is Spark's standard
-  // two-level expand — no single hot partition.
+  // suppliers with a demonstrated quality problem — a RETURN RATE above
+  // 340 per-mille, the adapted form of Q16's complaint filter (an
+  // any-bad-line predicate saturates: on this op mix every supplier
+  // eventually ships one large return, but rates separate cleanly —
+  // 2/10, 40/100, 344/1000 suppliers excluded across the three fixture
+  // scales). ONE fact scan builds the per-(part, supplier) pair-stats
+  // frame (checkpointed — far below fact cardinality); the per-supplier
+  // rate rolls up FROM that frame (its counts are partial-aggregable),
+  // anti-joins back before the distinct count, and the final
+  // count-distinct is Spark's standard two-level expand — no single hot
+  // partition.
   val olapSupplierVariety: (QFn, String) = (
     (s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val badSupp = t(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
-        .select(col("l_suppkey")).distinct()
-      pairs.join(badSupp, Seq("l_suppkey"), "left_anti")
+      val pairStats = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"))
+        .localCheckpoint() // feeds the rate rollup AND the pair set
+      val badSupp = pairStats.groupBy(col("l_suppkey").as("bs"))
+        .agg(sum(col("n")).as("tot"), sum(col("nr")).as("ret"))
+        .filter(expr("ret * 1000 div tot > 340"))
+        .select(col("bs").as("l_suppkey"))
+      pairStats.join(badSupp, Seq("l_suppkey"), "left_anti")
         .join(t(s, dir, "part").filter(col("p_size") <= 25)
             .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
@@ -606,10 +615,15 @@ object OlapDeepQueries {
         .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
     },
     """WITH pairs AS (
-      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |  SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+      |  FROM lineitem GROUP BY 1, 2),
       |bad AS (
-      |  SELECT DISTINCT l_suppkey FROM lineitem
-      |  WHERE l_returnflag = 'R' AND l_quantity > 49)
+      |  SELECT l_suppkey FROM (
+      |    SELECT l_suppkey, CAST(sum(n) AS BIGINT) AS tot,
+      |      CAST(sum(nr) AS BIGINT) AS ret
+      |    FROM pairs GROUP BY 1)
+      |  WHERE ret * 1000 // tot > 340)
       |SELECT p_brand, p_size,
       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
       |FROM pairs
