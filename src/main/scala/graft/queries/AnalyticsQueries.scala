@@ -1462,6 +1462,107 @@ object AnalyticsQueries {
       |  CAST(sum(money_e6) AS BIGINT) AS total_e6
       |FROM per CROSS JOIN h GROUP BY 1, 2, 3""".stripMargin)
 
+  // Day-over-day churn (absence detection): users active on day D who
+  // produce NOTHING on day D+1 — the complement of retention, and the CEP
+  // "absence" pattern no join-on-presence can express without an anti
+  // join. ONE fact scan reduces to the distinct (day, user) frame
+  // (checkpointed, ≤ daily actives — far below event count); the
+  // day-shifted LEFT ANTI join against itself runs on reduced frames
+  // only. Days are fixed 86400 s UTC spans in integer µs (weekly granularity is
+  // structurally zero on the dense fixture — every user is active every
+  // week — so the report runs at the granularity where absence exists).
+  val eventsChurnDaily: (QFn, String) = (
+    (s, dir) => {
+      val wu = events(s, dir)
+        .select(tsUs.as("ts_us"), col("user_id"))
+        .select((col("ts_us") - pmod(col("ts_us"), lit(86400000000L)))
+          .as("day_us"), col("user_id"))
+        .distinct().localCheckpoint() // feeds both anti-join sides
+      val next = wu.select((col("day_us") - 86400000000L).as("prev_day_us"),
+        col("user_id").as("nu"))
+      val churned = wu.join(next,
+          col("day_us") === col("prev_day_us") && col("user_id") === col("nu"),
+          "left_anti")
+        .groupBy(col("day_us")).agg(count(lit(1)).as("n_churned"))
+      val actives = wu.groupBy(col("day_us").as("ad"))
+        .agg(count(lit(1)).as("n_active"))
+      // the last observed day has no following day — every user would
+      // count as churned; drop it (standard churn-report convention)
+      val lastDay = wu.agg(max(col("day_us")).as("last_d"))
+      actives.join(churned, col("ad") === col("day_us"))
+        .crossJoin(broadcast(lastDay))
+        .filter(col("ad") < col("last_d"))
+        .select(col("ad").as("day_us"), col("n_active"), col("n_churned"),
+          expr("n_churned * 1000000 div n_active").as("churn_pm"))
+    },
+    """WITH wu AS (
+      |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+      |    user_id
+      |  FROM events),
+      |churned AS (
+      |  SELECT w.day_us, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM wu w
+      |  WHERE NOT EXISTS (SELECT 1 FROM wu n
+      |    WHERE n.day_us = w.day_us + 86400000000
+      |      AND n.user_id = w.user_id)
+      |  GROUP BY 1),
+      |actives AS (
+      |  SELECT day_us AS ad, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM wu GROUP BY 1),
+      |lw AS (SELECT max(day_us) AS last_d FROM wu)
+      |SELECT ad AS day_us, n_active, n_churned,
+      |  CAST(n_churned * 1000000 // n_active AS BIGINT) AS churn_pm
+      |FROM actives JOIN churned ON ad = churned.day_us
+      |CROSS JOIN lw WHERE ad < last_d""".stripMargin)
+
+  // Traffic burstiness per event type: the squared coefficient of
+  // variation of inter-event gaps, ENTIRELY in exact integer arithmetic —
+  // cv²·e6 = 1e6·(n·Σg² − (Σg)²) div (Σg)² with decimal(38,0)
+  // intermediates and every divide an integral floor-div (a decimal `/`
+  // rounds to the result scale before a cast truncates — not floor).
+  // Gaps are truncated to MILLISECONDS first: with µs gaps the 1e6-scaled
+  // numerator can reach ~1e42 and overflow even decimal(38,0); at ms the
+  // audited headroom holds to ~1e9 gaps per type (same rule as the
+  // anomaly z-score query). cv² ≈ 1e6 is Poisson; far above is bursty.
+  // One user-type-key shuffle for the lag() window, then a per-type
+  // partial-aggregable reduce to |types| rows.
+  val eventsBurstiness: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("user_id"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("gap", expr(
+          "(ts_us - lag(ts_us, 1) OVER (PARTITION BY event_type, user_id " +
+            "ORDER BY ts_us, event_id)) div 1000"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast("decimal(38,0)")).as("sg"),
+          sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sg2"))
+        .select(col("event_type"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_ms"),
+          expr("(1000000 * (n_gaps * sg2 - sg * sg)) div (sg * sg)")
+            .as("cv2_e6"))
+    },
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY event_type, user_id
+      |      ORDER BY epoch_us(ts), event_id)) // 1000 AS gap
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gap) AS HUGEINT) AS sg,
+      |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_ms,
+      |  CAST((1000000 * (n_gaps * sg2 - sg * sg)) // (sg * sg) AS BIGINT)
+      |    AS cv2_e6
+      |FROM a""".stripMargin)
+
   // Three-stage ORDERED funnel (view → click → purchase, each stage
   // strictly after the previous) — the CEP sequence-match shape as exact
   // staged aggregation: t1 = first view per user; t2 = first click after
@@ -1569,6 +1670,8 @@ object AnalyticsQueries {
     "events_path_trigrams" -> eventsPathTrigrams,
     "events_dau_mau" -> eventsDauMau,
     "events_rfm_segments" -> eventsRfmSegments,
+    "events_churn_daily" -> eventsChurnDaily,
+    "events_burstiness" -> eventsBurstiness,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "events_skew_join" -> eventsSkewJoin,
     "olap_large_orders" -> olapLargeOrders,
