@@ -260,8 +260,14 @@ object FramesLog {
     if (!Files.exists(d)) Seq.empty
     else { val s = Files.list(d); try s.iterator().asScala.toSeq finally s.close() }
 
+  /** @param includeUncommitted also read part files whose epoch MARKER has
+    *   not landed (with async progress tracking, a stop() can race the
+    *   final epoch's marker write: its data is durably appended but the
+    *   commit bookkeeping is behind — the at-least-once window). Consumers
+    *   reading uncommitted epochs must dedup on `lsn` as always. */
   def read(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      includeUncommitted: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val base = Paths.get(dir)
     val epochs: Set[Long] =
@@ -269,7 +275,7 @@ object FramesLog {
     val parts: Seq[String] = ls(base).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("part-") && n.endsWith(".frames") &&
-        epochs.contains(n.substring(5, 13).toLong)
+        (includeUncommitted || epochs.contains(n.substring(5, 13).toLong))
     }.map(_.toString)
     spark.createDataset(parts).repartition(math.max(1, parts.size))
       .mapPartitions { paths =>
