@@ -339,7 +339,7 @@ object Bench {
       val deliveredByBacklog =
         scala.collection.mutable.Map.empty[(Long, Long), Long]
       def oneDrain(src: DataFrame, lo: Long, hi: Long, cut: Long,
-          nSegs: Int, frames: Boolean): Double = {
+          nSegs: Int, frames: Boolean, async: Boolean = true): Double = {
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
@@ -352,7 +352,7 @@ object Bench {
           maxEventsPerBatch = Int.MaxValue,
           sliceEvents = sys.env.getOrElse("GRAFT_BENCH_SLICE", "3000").toInt,
           sinkFormat = if (frames) "frames" else "parquet",
-          asyncProgress = frames)
+          asyncProgress = frames && async)
         q.processAllAvailable() // prime: startup + first segment
         renderRange(src, walDir, cut + 1, hi, 1, nSegs)
         val t0 = System.nanoTime()
@@ -448,7 +448,7 @@ object Bench {
         val (min10, max10) = (b10.getLong(0), b10.getLong(1))
         drainEvents10 = ev10.count() - 1000
         val t10 = Seq.fill(3)(oneDrain(ev10, min10, max10, min10 + 999, 40,
-          framesHeadline))
+          framesHeadline, async = false))
         wal10TrialsRec ++= t10
         val secs10 = t10.min
         results("wal_drain_10x") = secs10
