@@ -420,7 +420,8 @@ object Bench {
         val handles = MultiSlot.start(spark,
           Seq(SlotSpec("a", walA), SlotSpec("b", walB)),
           Routing.fixtureStreams, ckptDir, outDir, triggerMs = 0L,
-          maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000)
+          maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000,
+          sinkFormat = if (framesHeadline) "frames" else "parquet")
         MultiSlot.drainAll(handles) // prime both slots
         renderRange(ev, walA, primeCut + 1, mid, 1, if (scale > 1) 2 * scale else 1)
         renderRange(ev, walB, mid + 1001, maxId, 1, if (scale > 1) 2 * scale else 1)
