@@ -20,8 +20,12 @@ import java.nio.file.{Files, Paths}
   *    at any SF), then timed decode → convert → route → serialize → sink
   *    drain through the streaming source in large micro-batches — the
   *    reference's backlog-drain workload (tests/load/README.md). Per-batch
-  *    p50/p99 latency rides the listener. `wal_drain_2slot` drains the same
-  *    backlog split across two slots (the scale-out axis).
+  *    p50/p99 latency rides the listener. `wal_drain_{2,4}slot` drain the
+  *    same backlog split across N slots (the scale-out axis) with per-slot
+  *    confirmed-LSN isolation asserted; `wal_drain_wire` drains it through
+  *    the real wire producer (CRC32C RecordBatches, murmur2, flush-barrier
+  *    acks) against the scripted in-process broker, with the delivered
+  *    (topic, lsn) set checked against the file-mode sinks'.
   *  - suite trials are INTERLEAVED: 3 round-robin passes over all queries,
   *    min per query — a minutes-long contention window on this box hits all
   *    queries equally instead of corrupting one query's min-of-3
@@ -86,13 +90,36 @@ object Bench {
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     var liveLoadBefore = -1.0; var liveLoadAfter = -1.0
+    var liveLoadWaitS = 0.0; var liveLoadVerdict = "skipped"
     val runLive = sys.env.getOrElse("GRAFT_BENCH_LIVE",
       sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1")) != "0"
     if (runLive && graft.source.postgres.PgServerHarness.binariesPresent) {
       import graft.source.postgres.{PgServerHarness, ReplicationSpooler, WireBootstrap}
       import graft.config.StreamDef
       import graft.model.ChangeEvent
+      // Load-average GATE (r8's recorded artifact ran at before=2.12 against
+      // the stated <0.5 idle criterion — numbers still cleared baseline, but
+      // the artifact contradicted the protocol). Wait up to
+      // GRAFT_BENCH_LOAD_WAIT_S (default 180 s) for 1-min load < threshold,
+      // recording the wait; if the box never goes idle, the run proceeds and
+      // the artifact carries verdict "breach" so the reader weighs the
+      // numbers accordingly instead of discovering the load post-hoc.
+      val loadThresh =
+        sys.env.getOrElse("GRAFT_BENCH_LOAD_THRESH", "0.5").toDouble
+      val loadWaitBudgetS =
+        sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_S", "180").toInt
+      val gateT0 = System.nanoTime()
+      while (loadAvg() >= loadThresh &&
+          (System.nanoTime() - gateT0) / 1e9 < loadWaitBudgetS)
+        Thread.sleep(5000)
+      liveLoadWaitS = (System.nanoTime() - gateT0) / 1e9
       liveLoadBefore = loadAvg()
+      liveLoadVerdict =
+        if (liveLoadBefore >= 0 && liveLoadBefore < loadThresh) "pass"
+        else "breach"
+      System.err.println(
+        f"[bench] live_drain load gate: waited $liveLoadWaitS%.0f s, " +
+          f"load=$liveLoadBefore%.2f (threshold $loadThresh) → $liveLoadVerdict")
       PgServerHarness.start() match {
         case None =>
           System.err.println("[bench] live_drain skipped: server boot failed")
@@ -134,15 +161,23 @@ object Bench {
             // can land while the old walsender still holds it ("slot is
             // active for PID …") — bounded retry instead of failing the
             // trial (observed once per ~10 clean-box runs)
-            def openChannel(attempt: Int = 0): graft.source.postgres.SocketCopyBothChannel =
-              try h.session().startReplication("graft_bench_slot",
+            def openChannel(attempt: Int = 0): graft.source.postgres.SocketCopyBothChannel = {
+              val sess = h.session()
+              try sess.startReplication("graft_bench_slot",
                 "graft_bench_pub", ChangeEvent.lsnText(boot.startLsn),
                 readTimeoutMs = 1000)
               catch {
                 case e: Exception if attempt < 50 && e.getMessage != null &&
                     e.getMessage.contains("is active for") =>
+                  // close the failed attempt's session BEFORE retrying —
+                  // retries would otherwise leak up to 50 open connections
+                  try sess.close() catch { case _: Throwable => () }
                   Thread.sleep(100); openChannel(attempt + 1)
+                case e: Throwable =>
+                  try sess.close() catch { case _: Throwable => () }
+                  throw e
               }
+            }
             val ch = openChannel()
             val sp = new ReplicationSpooler(ch, walDir)
             val t0 = System.nanoTime()
@@ -268,6 +303,7 @@ object Bench {
     // (tests/load/README.md measures a 70 s drain of a pre-built WAL
     // backlog, excluding process startup).
     var latencyP50 = 0L; var latencyP99 = 0L
+    val walTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val wal10TrialsRec = scala.collection.mutable.Buffer.empty[Double]
     var drainEvents = 0L
     var drainEvents10 = 0L
@@ -339,16 +375,20 @@ object Bench {
       val deliveredByBacklog =
         scala.collection.mutable.Map.empty[(Long, Long), Long]
       def oneDrain(src: DataFrame, lo: Long, hi: Long, cut: Long,
-          nSegs: Int, frames: Boolean, async: Boolean = true): Double = {
+          nSegs: Int, frames: Boolean, async: Boolean = true,
+          wire: Option[graft.FakeKafkaBroker] = None): Double = {
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
         renderRange(src, walDir, lo, cut, 0, 1)
+        wire.foreach(_.deliveredLsn.clear())
         // sliceEvents splits the batch into ~32 parallel decode partitions
         // (99k-event backlog / 3000 ≈ one slice per core on this box);
         // GRAFT_BENCH_SLICE overrides for slice-size experiments
         val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
-          ckptDir, outDir, kafkaBootstrap = None, triggerMs = 0L,
+          ckptDir, outDir,
+          kafkaBootstrap = wire.map(b => s"wire://localhost:${b.port}"),
+          triggerMs = 0L,
           maxEventsPerBatch = Int.MaxValue,
           sliceEvents = sys.env.getOrElse("GRAFT_BENCH_SLICE", "3000").toInt,
           sinkFormat = if (frames) "frames" else "parquet",
@@ -361,20 +401,25 @@ object Bench {
         q.stop()
         // honesty check (off the timed path): the delivered SET — distinct
         // routed frames by lsn — must be identical and non-zero on every
-        // trial of the same backlog, across BOTH sinks; a trial that lost
-        // frames is disqualified, not averaged in. The frames read includes
+        // trial of the same backlog, across BOTH sinks. A mismatch throws;
+        // the per-trial isolation in the callers records that trial as -1.0
+        // (disqualified — it never enters the min) and runs the next trial,
+        // so one lost-frame trial is visible in the trial list without
+        // aborting the whole workload. The frames read includes
         // uncommitted-epoch part files: with async progress a stop() can
         // race the FINAL epoch's marker write (data durable, bookkeeping
         // behind — the documented at-least-once window), and the
         // committed-only count showed exactly that trial-to-trial 127-frame
         // wobble. Distinct-by-(lsn, topic) absorbs the redelivery side of
         // the same window.
-        val delivered =
-          if (frames) graft.sink.frames.FramesLog
+        val delivered = wire match {
+          case Some(b) => b.deliveredLsn.size.toLong // broker-side (topic, lsn) set
+          case None if frames => graft.sink.frames.FramesLog
             .read(spark, outDir, includeUncommitted = true)
             .select("topic", "lsn").distinct().count()
-          else spark.read.parquet(outDir)
+          case None => spark.read.parquet(outDir)
             .select("topic", "lsn").distinct().count()
+        }
         require(delivered > 0, s"sink empty after drain ($outDir)")
         deliveredByBacklog.get(lo -> hi) match {
           case Some(prev) => require(prev == delivered,
@@ -389,53 +434,138 @@ object Bench {
         primeCut, if (scale > 1) 4 * scale else 1, frames)
       // min of 5 — the reference's own committed-baseline methodology
       // (tests/benchmarks/baseline/components.json is min-of-5); this box's
-      // contention makes fewer trials noticeably upward-biased
-      val secs = Seq.fill(5)(headlineDrain(framesHeadline)).min
+      // contention makes fewer trials noticeably upward-biased. Per-trial
+      // fault isolation: a thrown trial (including a delivered-set
+      // disqualification) records -1.0 in the trial list and the next trial
+      // still runs.
+      val hdTrials = (1 to 5).map { i =>
+        try headlineDrain(framesHeadline)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] wal_drain trial $i failed: $e")
+          e.printStackTrace()
+          -1.0
+        }
+      }
+      walTrialsRec ++= hdTrials
+      val hdOk = hdTrials.filter(_ > 0)
+      val secs = if (hdOk.nonEmpty) hdOk.min else -1.0
       results("wal_drain") = secs
       val (p50, p99) = metrics.batchLatencyMs
       latencyP50 = p50; latencyP99 = p99
       spark.streams.removeListener(listener)
-      System.err.println(
+      if (hdOk.nonEmpty) System.err.println(
         f"[bench] wal_drain: $drainEvents events in $secs%.2f s = " +
           f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
       if (framesHeadline) {
         // the pre-r8 parquet-stand-in series, kept for cross-round
         // comparability (min-of-3: it is no longer the headline)
-        val pq = Seq.fill(3)(headlineDrain(frames = false)).min
+        val pqOk = (1 to 3).map { i =>
+          try headlineDrain(frames = false)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] wal_drain_parquet trial $i failed: $e")
+            -1.0
+          }
+        }.filter(_ > 0)
+        val pq = if (pqOk.nonEmpty) pqOk.min else -1.0
         results("wal_drain_parquet") = pq
-        System.err.println(
+        if (pqOk.nonEmpty) System.err.println(
           f"[bench] wal_drain_parquet: $drainEvents events in $pq%.2f s = " +
             f"${drainEvents / pq}%.0f events/s (pre-r8 headline series)")
       }
 
-      // -------- 2-slot drain (scale-out axis: near-linear per slot) ------
-      def twoSlotDrain(): Double = {
-        val walA = Files.createTempDirectory("graft-bench-wal2a").toString
-        val walB = Files.createTempDirectory("graft-bench-wal2b").toString
-        val outDir = Files.createTempDirectory("graft-bench-out2").toString
-        val ckptDir = Files.createTempDirectory("graft-bench-ckpt2").toString
-        val mid = minId + (maxId - minId) / 2
-        renderRange(ev, walA, minId, primeCut, 0, 1)
-        renderRange(ev, walB, mid + 1, mid + 1000, 0, 1)
+      // -------- N-slot drain (scale-out axis: near-linear per slot) ------
+      // The backlog splits into N contiguous event_id ranges, one slot
+      // (independent streaming query + WAL dir + checkpoint + confirmed-LSN
+      // file) each — the reference's one-walsender-per-slot unit of
+      // parallelism, which the single-process reference cannot scale out at
+      // all. Off the timed path, per-slot COMMIT ISOLATION is asserted:
+      // every slot's confirmed LSN advanced, and because LSNs derive from
+      // event_id, the confirmed values must be strictly increasing across
+      // the slots' disjoint ranges — one slot's progress never leaks into
+      // another's confirmed file.
+      def nSlotDrain(n: Int): Double = {
+        val outDir = Files.createTempDirectory("graft-bench-outn").toString
+        val ckptDir = Files.createTempDirectory("graft-bench-ckptn").toString
+        val span = maxId - minId + 1
+        val ranges = (0 until n).map { i =>
+          val lo = minId + i * span / n
+          val hi = if (i == n - 1) maxId else minId + (i + 1) * span / n - 1
+          (lo, hi)
+        }
+        val wals = ranges.indices.map(i =>
+          Files.createTempDirectory(s"graft-bench-wal$n-$i").toString)
+        ranges.zip(wals).foreach { case ((lo, _), w) =>
+          renderRange(ev, w, lo, lo + 999, 0, 1) }
         val handles = MultiSlot.start(spark,
-          Seq(SlotSpec("a", walA), SlotSpec("b", walB)),
+          wals.zipWithIndex.map { case (w, i) => SlotSpec(s"s$i", w) },
           Routing.fixtureStreams, ckptDir, outDir, triggerMs = 0L,
           maxEventsPerBatch = Int.MaxValue, sliceEvents = 3000,
           sinkFormat = if (framesHeadline) "frames" else "parquet")
-        MultiSlot.drainAll(handles) // prime both slots
-        renderRange(ev, walA, primeCut + 1, mid, 1, if (scale > 1) 2 * scale else 1)
-        renderRange(ev, walB, mid + 1001, maxId, 1, if (scale > 1) 2 * scale else 1)
+        MultiSlot.drainAll(handles) // prime every slot
+        val segsPerSlot = if (scale > 1) math.max(1, 4 * scale / n) else 1
+        ranges.zip(wals).foreach { case ((lo, hi), w) =>
+          renderRange(ev, w, lo + 1000, hi, 1, segsPerSlot) }
         val t0 = System.nanoTime()
         MultiSlot.drainAll(handles)
         val secs = (System.nanoTime() - t0) / 1e9
+        // commit isolation (off the timed path)
+        val confirmed = handles.map(_.confirmed)
+        confirmed.zipWithIndex.foreach { case (c, i) =>
+          require(c > 0, s"slot $i never committed (confirmed=$c)") }
+        confirmed.sliding(2).foreach { case Seq(a, b) =>
+          require(a < b, s"slot confirmed LSNs not isolated: $confirmed")
+        case _ => () }
         MultiSlot.stopAll(handles)
         secs
       }
-      val secs2 = Seq(twoSlotDrain(), twoSlotDrain()).min
-      results("wal_drain_2slot") = secs2
-      System.err.println(
-        f"[bench] wal_drain_2slot: ~$drainEvents events over 2 slots in " +
-          f"$secs2%.2f s = ${drainEvents / secs2}%.0f events/s")
+      Seq(2, 4).foreach { n =>
+        val label = s"wal_drain_${n}slot"
+        val tns = (1 to 2).map { i =>
+          try nSlotDrain(n)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $label trial $i failed: $e")
+            e.printStackTrace()
+            -1.0
+          }
+        }
+        val ok = tns.filter(_ > 0)
+        results(label) = if (ok.nonEmpty) ok.min else -1.0
+        if (ok.nonEmpty) System.err.println(
+          f"[bench] $label: ~$drainEvents events over $n slots in " +
+            f"${ok.min}%.2f s = ${drainEvents / ok.min}%.0f events/s")
+      }
+
+      // -------- wire drain: headline backlog through the REAL producer ----
+      // The frames-file sink is the IO *shape* of a produce; this point runs
+      // the actual K1 path — per-task WireProducer sockets, message-format-v2
+      // RecordBatches, CRC32C, murmur2 partitioning, flush-barrier acks —
+      // against the scripted in-process broker (which re-verifies CRC32C on
+      // every batch). Prices codec + framing + round-trips into a recorded
+      // number; the delivered (topic, lsn) SET must equal the file-mode
+      // sinks' set for the same backlog (same deliveredByBacklog key).
+      if (sys.env.getOrElse("GRAFT_BENCH_WIRE", "1") != "0") {
+        val broker = new graft.FakeKafkaBroker(Map(
+          "cdc.click" -> 4, "cdc.purchase" -> 4, "cdc.signup" -> 4,
+          "cdc.view" -> 4), retain = false)
+        try {
+          val wt = (1 to 3).map { i =>
+            try oneDrain(ev, minId, maxId, primeCut,
+              if (scale > 1) 4 * scale else 1, frames = true,
+              wire = Some(broker))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] wal_drain_wire trial $i failed: $e")
+              e.printStackTrace()
+              -1.0
+            }
+          }
+          val wOk = wt.filter(_ > 0)
+          results("wal_drain_wire") = if (wOk.nonEmpty) wOk.min else -1.0
+          if (wOk.nonEmpty) System.err.println(
+            f"[bench] wal_drain_wire: $drainEvents events through the wire " +
+              f"producer in ${wOk.min}%.2f s = ${drainEvents / wOk.min}%.0f " +
+              f"events/s [${wt.map(t => f"$t%.3f").mkString(", ")}]")
+        } finally broker.close()
+      }
 
       // -------- 10× drain (~1M events): the at-scale design point ---------
       // FIXED 3 trials, min + full list in the artifact (was 1 — the same
@@ -443,26 +573,51 @@ object Bench {
       // variance swings identical trials 2× with gc=0/steal=0/idle load, so
       // one sample can land anywhere in the band). Skip only when the round
       // already runs at an explicit larger scale, or with GRAFT_BENCH_10X=0.
-      if (scale == 1 && sys.env.getOrElse("GRAFT_BENCH_10X", "1") != "0") try {
-        val ev10 = mkEv(10)
-        val b10 = ev10.agg(min("event_id"), max("event_id")).head()
-        val (min10, max10) = (b10.getLong(0), b10.getLong(1))
-        drainEvents10 = ev10.count() - 1000
-        val t10 = Seq.fill(3)(oneDrain(ev10, min10, max10, min10 + 999, 40,
-          framesHeadline, async = false))
-        wal10TrialsRec ++= t10
-        val secs10 = t10.min
-        results("wal_drain_10x") = secs10
-        System.err.println(
-          f"[bench] wal_drain_10x: $drainEvents10 events in $secs10%.2f s min" +
-            f" of 3 = ${drainEvents10 / secs10}%.0f events/s " +
-            f"[${t10.map(t => f"$t%.3f").mkString(", ")}]")
-      } catch { case e: Throwable => // its own label: wal_drain already succeeded
-        System.err.println(s"[bench] wal_drain_10x failed: ${e.getMessage}")
+      if (scale == 1 && sys.env.getOrElse("GRAFT_BENCH_10X", "1") != "0") {
+        // Trials are individually fault-isolated: r8's recorded artifact had
+        // `wal_drain_10x_trials: []` with a clean `failed` list because one
+        // thrown trial aborted the whole Seq.fill AND the block-level catch
+        // only told stderr (which the driver's 2000-char tail dropped). Now
+        // every failed trial records -1.0 in the trial list, a fully-failed
+        // headline lands in the artifact's `failed` list as -1.0, and the
+        // first failure's stack trace goes to stderr for root-causing.
+        try {
+          val ev10 = mkEv(10)
+          val b10 = ev10.agg(min("event_id"), max("event_id")).head()
+          val (min10, max10) = (b10.getLong(0), b10.getLong(1))
+          drainEvents10 = ev10.count() - 1000
+          val t10 = (1 to 3).map { i =>
+            try oneDrain(ev10, min10, max10, min10 + 999, 40,
+              framesHeadline, async = false)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] wal_drain_10x trial $i failed: $e")
+              e.printStackTrace()
+              -1.0
+            }
+          }
+          wal10TrialsRec ++= t10
+          val ok = t10.filter(_ > 0)
+          if (ok.nonEmpty) {
+            val secs10 = ok.min
+            results("wal_drain_10x") = secs10
+            System.err.println(
+              f"[bench] wal_drain_10x: $drainEvents10 events in $secs10%.2f s" +
+                f" min of ${ok.size} = ${drainEvents10 / secs10}%.0f events/s " +
+                f"[${t10.map(t => f"$t%.3f").mkString(", ")}]")
+          } else results("wal_drain_10x") = -1.0
+        } catch { case e: Throwable => // setup (mkEv/count) failed outright
+          System.err.println(s"[bench] wal_drain_10x setup failed: $e")
+          e.printStackTrace()
+          results("wal_drain_10x") = -1.0
+        }
       }
 
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] wal_drain failed: ${e.getMessage}")
+      // headline failure must reach the ARTIFACT, not just stderr: -1.0
+      // lands it in the `failed` list (the suite's convention)
+      System.err.println(s"[bench] wal_drain failed: $e")
+      e.printStackTrace()
+      if (!results.contains("wal_drain")) results("wal_drain") = -1.0
     }
 
 
@@ -477,11 +632,13 @@ object Bench {
       if (runDrain) "1" else "0") != "0"
     if (runFloor) {
       // passes > 1 (GRAFT_BENCH_FLOOR_PASSES) report the LAST pass only:
-      // pass 1 absorbs JIT/codegen/stream-startup when the floor runs
-      // without the suite's warm-up (a cold first micro-batch costs seconds
-      // and would swallow the whole arrival window into one batch)
-      val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES",
-        if (runSuite) "1" else "2").toInt
+      // pass 1 absorbs JIT/codegen/stream-startup (a cold first micro-batch
+      // costs seconds and would swallow the whole arrival window into one
+      // batch). Default is 2 passes in EVERY mode — r8's recorded suite run
+      // used 1 pass and cold-start swallowed the async win (artifact p50
+      // 207 ms async vs 208 sync, vs ~60/~250 warm); the suite's warm-up
+      // runs queries, not streams, so it does not warm the floor path.
+      val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES", "2").toInt
       // Two floor variants per pass:
       //  - async DSv2 frames sink (the headline `latency_floor_ms`): offset
       //    and commit log writes off the critical path — the directive's
@@ -574,12 +731,14 @@ object Bench {
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""n_queries":${results.size},""" +
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
+      s""""wal_drain_trials":[${walTrialsRec.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
+      s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
       s""""latency_floor_sync_ms":{"p50":$floorSyncP50,"p99":$floorSyncP99},""" +
       s""""sf":"$sfDir""""
@@ -588,8 +747,8 @@ object Bench {
       summaryKeys + s""","queries":${jmap(results.toSeq)}}"""
     // Compact map: the drain/latency headline points plus the 12 slowest
     // suite queries (the ones worth comparing round-over-round by eye).
-    val headline = Seq("wal_drain", "wal_drain_2slot", "wal_drain_10x",
-      "live_drain", "live_drain_10x")
+    val headline = Seq("wal_drain", "wal_drain_wire", "wal_drain_2slot",
+      "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x")
       .flatMap(k => results.get(k).map(k -> _))
     val slowest = results.toSeq
       .filterNot { case (k, v) => nonComparable(k) ||

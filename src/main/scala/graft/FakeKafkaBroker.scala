@@ -22,13 +22,25 @@ import scala.jdk.CollectionConverters._
   *    push_request_errors analogue used for fail-fast and retry tests).
   *  - `brokerless = true` — Metadata reports an empty broker list
   *    (testConnection must fail).
+  *
+  * Lives in main (not test) because `graft.Bench`'s `wal_drain_wire` point
+  * drains the headline backlog through it — the PgServerHarness precedent.
+  * `retain = false` (bench mode) skips queueing full record strings and
+  * keeps only the delivered (topic, lsn) set, so a ~1M-record drain does
+  * not hold every payload in broker memory.
   */
-final class FakeKafkaBroker(topics: Map[String, Int]) extends AutoCloseable {
+final class FakeKafkaBroker(topics: Map[String, Int],
+    retain: Boolean = true) extends AutoCloseable {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
 
   /** (topic, partition, key, value) in arrival order. */
   val received = new ConcurrentLinkedQueue[(String, Int, String, String)]()
+  /** Distinct delivered (topic, meta.lsn) — the delivered-SET honesty
+    * metric, comparable 1:1 with the frames-file sink's
+    * `distinct(topic, lsn)` count. Maintained in every mode. */
+  val deliveredLsn: java.util.Set[(String, String)] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   /** Produce requests seen (including scripted failures). */
   val produceRequests = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var brokerless = false
@@ -116,9 +128,18 @@ final class FakeKafkaBroker(topics: Map[String, Int]) extends AutoCloseable {
                   // decode VERIFIES the CRC32C — a corrupt producer frame
                   // fails here loudly
                   KafkaWire.decodeRecordBatch(batch).foreach { r =>
-                    received.add((topic, partition,
+                    val v =
+                      if (r.value == null) null else new String(r.value, "UTF-8")
+                    if (v != null) {
+                      val i = v.lastIndexOf("\"lsn\":\"")
+                      if (i >= 0) {
+                        val e = v.indexOf('"', i + 7)
+                        if (e > i) deliveredLsn.add((topic, v.substring(i + 7, e)))
+                      }
+                    }
+                    if (retain) received.add((topic, partition,
                       if (r.key == null) null else new String(r.key, "UTF-8"),
-                      if (r.value == null) null else new String(r.value, "UTF-8")))
+                      v))
                   }
                 }
                 body.i32(partition)

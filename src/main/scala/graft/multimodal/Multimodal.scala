@@ -337,10 +337,15 @@ object Multimodal {
           i
         }
         val e0 = lineEnd(0)
-        if (e0 != 3 || b(0) != 'P' || b(1) != 'A' || b(2) != '8') None
+        if (e0 != 3 || e0 >= b.length ||
+            b(0) != 'P' || b(1) != 'A' || b(2) != '8') None
         else {
           val e1 = lineEnd(e0 + 1); val e2 = lineEnd(e1 + 1)
-          val hdr = try {
+          // a missing 2nd/3rd newline makes lineEnd return b.length (or
+          // past it) — malformed, drop; without this guard the String
+          // constructor below throws StringIndexOutOfBounds (not the
+          // caught NumberFormatException) and fails the task
+          val hdr = if (e1 >= b.length || e2 >= b.length) None else try {
             Some((new String(b, e0 + 1, e1 - e0 - 1, "US-ASCII").toInt,
               new String(b, e1 + 1, e2 - e1 - 1, "US-ASCII").toInt))
           } catch { case _: NumberFormatException => None }

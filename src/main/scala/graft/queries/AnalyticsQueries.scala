@@ -1475,7 +1475,10 @@ object AnalyticsQueries {
     (s, dir) => {
       val wu = events(s, dir)
         .select(tsUs.as("ts_us"), col("user_id"))
-        .select((col("ts_us") - pmod(col("ts_us"), lit(86400000000L)))
+        // sign-of-dividend remainder (`%`), matching the oracle's `%` and
+        // the sibling events_dau_mau — pmod would diverge for negative
+        // epoch-µs timestamps
+        .select((col("ts_us") - (col("ts_us") % lit(86400000000L)))
           .as("day_us"), col("user_id"))
         .distinct().localCheckpoint() // feeds both anti-join sides
       val next = wu.select((col("day_us") - 86400000000L).as("prev_day_us"),
@@ -1540,7 +1543,9 @@ object AnalyticsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("gap").cast("decimal(38,0)")).as("sg"),
-          sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sg2"))
+          // cast BEFORE squaring: a long*long square overflows for any
+          // single gap over ~3.0e9 ms; the oracle squares in HUGEINT
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sg2"))
         .select(col("event_type"), col("n_gaps"),
           expr("sg div n_gaps").as("mean_gap_ms"),
           expr("(1000000 * (n_gaps * sg2 - sg * sg)) div (sg * sg)")

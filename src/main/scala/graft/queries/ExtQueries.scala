@@ -2183,6 +2183,30 @@ object ExtQueries {
   // fits the budget — gate-scale plans are unchanged. The heap aggregate
   // merges per-block partial top-k lists exactly (top-k is decomposable),
   // so results are oracle-identical at any fan.
+  // CORPUS-PROPORTIONAL CELLS (the r8 perf-watch fix): blocking bounded
+  // per-TASK work, but TOTAL within-cell work was still Σ|cell|² over the
+  // FIXED label cells — sf~1 → sf~10 grew ~38×. The label cell is therefore
+  // refined by a deterministic coarse quantizer whose resolution derives
+  // from the data: b16 = the 16-bit sign word of the first 16 embedding
+  // dimensions (measured 0.44-0.56 positive per label on the fixture — an
+  // even splitter), and per label the cell count doubles until the expected
+  // cell fits the target: ncells = 2^min{b : cnt ≤ T·2^b} (T = 1024,
+  // `graft.knn.cell` overrides in tests), cell = b16 mod ncells. Total
+  // within-cell work is then Σ|cell|² ≈ n·T — LINEAR in the corpus, the
+  // IVF shape — and at gate scale every label cell already fits T, so
+  // ncells = 1 and the semantics degenerate to exact within-label knn
+  // (byte-identical plans and results).
+  //
+  // Recall contract (semantics are IVF-approximate once ncells > 1, and
+  // the ORACLE implements the identical quantizer — results stay
+  // hash-exact at every scale): identical and near-identical vectors agree
+  // on every sign bit, so the dup/near-dup regime that semantic dedup
+  // exists for has recall 1.0 BY CONSTRUCTION (pinned in KnnCellSpec with
+  // exact-copy replicas under a forced small cell target); for genuinely
+  // near-orthogonal pairs (cos→0) a sign bit agrees with p = 1 − θ/π → ~½,
+  // so low-similarity graph edges thin out as ncells grows — the standard
+  // IVF trade, documented here and measured by the KnnCellSpec recall
+  // probe rather than hidden behind an unbounded exact join.
   val simKnnGraph: (QFn, String) = (
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
@@ -2195,10 +2219,35 @@ object ExtQueries {
       // where fan=8 replication dominates)
       val BLOCK = sys.props.get("graft.knn.block")
         .orElse(sys.env.get("GRAFT_KNN_BLOCK")).getOrElse("1024").toLong
-      val fan = emb(s, dir).groupBy(col("label").as("flabel"))
-        .agg(ceil(count(lit(1)).cast("double") / BLOCK).cast("int").as("fan"))
-      val q = e.join(broadcast(fan), col("label") === col("flabel"))
-        .select(col("vec_id").as("src"), col("label"),
+      val CELL = sys.props.get("graft.knn.cell")
+        .orElse(sys.env.get("GRAFT_KNN_CELL")).getOrElse("1024").toLong
+      // 16-bit sign word (NaN-free fixture; Spark NaN>=0 is false where
+      // DuckDB sorts NaN high — embeddings are finite by construction)
+      val b16 = expr("aggregate(sequence(1, 16), 0L, (acc, j) -> " +
+        "acc + IF(element_at(embedding, j) >= 0, shiftleft(1L, j - 1), 0L))")
+      // ONE pruned stats pass over (label, b16) feeds BOTH the per-label
+      // cell resolution and the per-cell blocking fan — no second fact scan
+      val bstats = emb(s, dir).select(col("label").as("slabel"), b16.as("b16"))
+        .groupBy(col("slabel"), col("b16")).agg(count(lit(1)).as("bcnt"))
+        .localCheckpoint()
+      val nbByLabel = bstats.groupBy(col("slabel"))
+        .agg(sum(col("bcnt")).as("cnt"))
+        .select(col("slabel").as("nlabel"),
+          expr(s"shiftleft(1L, coalesce(filter(sequence(0, 16), " +
+            s"b -> cnt <= $CELL * shiftleft(1L, b))[0], 16))").as("ncells"))
+      val cellFan = bstats
+        .join(broadcast(nbByLabel), col("slabel") === col("nlabel"))
+        .withColumn("fcell", pmod(col("b16"), col("ncells")))
+        .groupBy(col("slabel").as("flabel"), col("fcell"))
+        .agg(ceil(sum(col("bcnt")).cast("double") / BLOCK).cast("int").as("fan"))
+      def withCell(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("b16", b16)
+        .join(broadcast(nbByLabel), col("label") === col("nlabel"))
+        .withColumn("cell", pmod(col("b16"), col("ncells")))
+        .join(broadcast(cellFan),
+          col("label") === col("flabel") && col("cell") === col("fcell"))
+      val q = withCell(e)
+        .select(col("vec_id").as("src"), col("label"), col("cell"),
           col("embedding").as("qe"),
           pmod(hash(col("vec_id")), col("fan")).as("qsalt"),
           explode(sequence(lit(0), col("fan") - 1)).as("csalt"))
@@ -2217,14 +2266,15 @@ object ExtQueries {
         // broadcast and the join flips to a shuffle join on these same keys,
         // this pre-partitioning is the alignment the join needs anyway.
         .repartition(e.sparkSession.sessionState.conf.numShufflePartitions,
-          col("label"), col("qsalt"), col("csalt"))
-      val c = e.join(broadcast(fan), col("label") === col("flabel"))
+          col("label"), col("cell"), col("qsalt"), col("csalt"))
+      val c = withCell(e)
         .select(col("vec_id").as("dst"), col("label").as("clabel"),
-          col("embedding").as("ce"),
+          col("cell").as("ccell"), col("embedding").as("ce"),
           pmod(hash(col("vec_id")), col("fan")).as("c_csalt"),
           explode(sequence(lit(0), col("fan") - 1)).as("c_qsalt"))
       val scored = q.join(c,
-          col("label") === col("clabel") && col("qsalt") === col("c_qsalt") &&
+          col("label") === col("clabel") && col("cell") === col("ccell") &&
+            col("qsalt") === col("c_qsalt") &&
             col("csalt") === col("c_csalt") && col("src") =!= col("dst"))
         .select(col("src"), col("dst"), col("label"),
           round(graft.functions.CosineSimilarity(col("qe"), col("ce")), 4)
@@ -2238,15 +2288,24 @@ object ExtQueries {
         .select(col("src"), col("t.id").as("dst"), col("label"),
           col("t.score").as("cos"), (col("pos") + 1).cast("long").as("rank"))
     },
-    """WITH e AS (
+    """WITH e0 AS (
       |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |    coalesce(list_sum(list_transform(generate_series(1, 16),
+      |      j -> CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)), 0) AS b16
       |  FROM embeddings),
+      |lc AS (SELECT label, count(*) AS cnt FROM e0 GROUP BY label),
+      |nb AS (SELECT label, (1::BIGINT << coalesce(list_filter(generate_series(0, 16),
+      |         b -> cnt <= 1024 * (1::BIGINT << b))[1], 16)) AS ncells FROM lc),
+      |e AS (SELECT e0.vec_id, e0.label, e0.embedding, e0.nrm,
+      |        e0.b16 % nb.ncells AS cell
+      |      FROM e0 JOIN nb ON e0.label = nb.label),
       |scored AS (
       |  SELECT q.vec_id AS src, c.vec_id AS dst, q.label AS label,
       |    round(list_sum(list_transform(generate_series(1, 64),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
-      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+      |  FROM e q JOIN e c ON q.label = c.label AND q.cell = c.cell
+      |    AND q.vec_id <> c.vec_id)
       |SELECT src, dst, label, cos, rank FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
       |  FROM scored)
@@ -2264,15 +2323,24 @@ object ExtQueries {
         simKnnGraph._1(s, dir).filter(col("cos") >= 0.35)
           .select(col("src"), col("dst")))
       .select(col("node").as("vec_id"), col("component")),
-    """WITH RECURSIVE e AS (
+    """WITH RECURSIVE e0 AS (
       |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |    coalesce(list_sum(list_transform(generate_series(1, 16),
+      |      j -> CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)), 0) AS b16
       |  FROM embeddings),
+      |lc AS (SELECT label, count(*) AS cnt FROM e0 GROUP BY label),
+      |nb AS (SELECT label, (1::BIGINT << coalesce(list_filter(generate_series(0, 16),
+      |         b -> cnt <= 1024 * (1::BIGINT << b))[1], 16)) AS ncells FROM lc),
+      |e AS (SELECT e0.vec_id, e0.label, e0.embedding, e0.nrm,
+      |        e0.b16 % nb.ncells AS cell
+      |      FROM e0 JOIN nb ON e0.label = nb.label),
       |scored AS (
       |  SELECT q.vec_id AS src, c.vec_id AS dst,
       |    round(list_sum(list_transform(generate_series(1, 64),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
-      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+      |  FROM e q JOIN e c ON q.label = c.label AND q.cell = c.cell
+      |    AND q.vec_id <> c.vec_id),
       |knn AS (
       |  SELECT src, dst, cos FROM (
       |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
@@ -2636,17 +2704,25 @@ object ExtQueries {
   // exact per-million. The direction guard keeps a both-in-slice pair from
   // double-counting its shingle overlap.
   //
-  // Cost note (sf~1 probe: 97 s on the 10×-replicated corpus vs ~2 s at
-  // gate scale): the exact-truth join's row count is Σ_s df_slice(s)·df(s)
-  // over shingles s — document frequency squared-ish, which exact-dup
-  // replication inflates quadratically. That is the nature of an exact
-  // eval leg, and the slice fraction is the stated budget knob; a
-  // production run would also drop stop-shingles (df above a cap) from
-  // the truth side, which bounds the join without touching recall for
-  // any pair whose overlap isn't purely stop-shingles.
+  // Cost bound (the r8 perf-weak fix): the exact-truth join's row count is
+  // Σ_s df_slice(s)·df(s) over shingles s — document frequency
+  // squared-ish, which exact-dup replication inflates quadratically (the
+  // 10× probe ran 97 s vs ~2 s at gate scale). The documented
+  // STOP-SHINGLE DF-CAP is now enforced on BOTH engines: truth is defined
+  // over the capped shingle universe (shingles with corpus df ≤ 128 —
+  // n_common AND the |A|/|B| sizes both count capped shingles only, the
+  // standard stop-word-filtered Jaccard), which bounds the join at
+  // 128 · |slice occurrences| — LINEAR in the corpus. 128 is inert at
+  // every gate scale (max fixture df ≈ 7 at sf0.01) and keeps replica
+  // families matchable at the replicated rungs (a shingle unique to one
+  // original has df = copies ≤ 128 at the sf~10/copies=100 rung); only
+  // pairs whose entire overlap is stop-shingles leave the truth set.
   val dedupLshRecall: (QFn, String) = (
     (s, dir) => {
-      val sh = shingles(s, dir)
+      val sh0 = shingles(s, dir)
+      val keptS = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 128).select(col("s"))
+      val sh = sh0.join(keptS, Seq("s"))
       val sa = sh.filter(col("doc_id") % 5 === 0)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val truth = sa.as("sa").join(sh.as("sb"),
@@ -2669,14 +2745,16 @@ object ExtQueries {
           expr("n_caught * 1000000 div greatest(n_truth, 1)").as("recall_pm"))
     },
     s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 128),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-       |          FROM sh GROUP BY 1),
+       |          FROM shc GROUP BY 1),
        |truth AS (
        |  SELECT m.doc_a, m.doc_b
        |  FROM (SELECT least(a.doc_id, b.doc_id) AS doc_a,
        |          greatest(a.doc_id, b.doc_id) AS doc_b,
        |          CAST(count(*) AS BIGINT) AS n_common
-       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 = 0
+       |        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id % 5 = 0
        |          AND (a.doc_id < b.doc_id
        |            OR (a.doc_id > b.doc_id AND b.doc_id % 5 <> 0))
        |        GROUP BY 1, 2) m

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The corpus-proportional cell quantizer in sim_knn_graph (r8 VERDICT #2):
+  * per label, the cell count doubles until the expected cell fits the target
+  * (`graft.knn.cell`, default 1024), cell = sign-word(first 16 dims) mod
+  * ncells. Contracts pinned here:
+  *
+  *  1. INERT AT GATE SCALE — with the default target every fixture label
+  *     cell fits, ncells = 1, and results are bit-identical to the
+  *     unquantized (label-only) semantics. This is what keeps the exact
+  *     DuckDB oracle green without the oracle needing a special case.
+  *  2. DUP-REGIME RECALL 1.0 BY CONSTRUCTION — identical vectors share
+  *     every sign bit, hence every cell at any resolution: on a corpus of
+  *     exact-copy replicas under a FORCED small target (ncells > 1), each
+  *     vector's replicas still appear as its top neighbors (cos 1.0).
+  *     This is the regime semantic dedup exists for at 100 TB.
+  *  3. NEAR-ORTHOGONAL RECALL is the documented IVF trade — measured and
+  *     reported here (edge recall of the quantized graph vs label-exact at
+  *     a forced split), loosely bounded rather than assumed away.
+  */
+class KnnCellSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def withCellTarget[A](target: Option[String])(f: => A): A = {
+    val prev = sys.props.get("graft.knn.cell")
+    target match {
+      case Some(t) => sys.props("graft.knn.cell") = t
+      case None => sys.props.remove("graft.knn.cell")
+    }
+    try f finally prev match {
+      case Some(v) => sys.props("graft.knn.cell") = v
+      case None => sys.props.remove("graft.knn.cell")
+    }
+  }
+
+  private def knn(dir: String): Set[String] =
+    SparkEntry.queries("sim_knn_graph")(spark, dir)
+      .collect().map(_.mkString("|")).toSet
+
+  test("default cell target is inert at gate scale (ncells = 1 everywhere)") {
+    val dflt = withCellTarget(None)(knn(SparkTestBase.sf))
+    // a target far above any cell size == the unquantized label-only plan
+    val unquantized = withCellTarget(Some("100000000"))(knn(SparkTestBase.sf))
+    assert(dflt == unquantized)
+    assert(dflt.nonEmpty)
+  }
+
+  test("exact-copy replicas stay co-celled at any resolution (dup recall 1.0)") {
+    // 3 exact copies of each vector (shifted vec_id, same embedding), the
+    // ScaleSmoke replication shape; force ncells > 1 per label
+    val e = spark.read.parquet(s"${SparkTestBase.sf}/embeddings.parquet")
+    val span = e.agg(max("vec_id")).head().getLong(0) + 1L
+    val rep = (0 until 3).map(k =>
+      e.withColumn("vec_id", col("vec_id") + lit(k * span))).reduce(_ unionByName _)
+    val dir = Files.createTempDirectory("graft-knncell").toString
+    rep.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = withCellTarget(Some("24")) {
+      SparkEntry.queries("sim_knn_graph")(spark, dir)
+        .select(col("src"), col("dst"), col("cos"), col("rank")).collect()
+    }
+    // every vector must see BOTH of its exact replicas at cos 1.0 in its
+    // top-2 — possible only if identical vectors landed in the same cell
+    val bySrc = rows.groupBy(_.getLong(0))
+    val n = rep.count()
+    assert(bySrc.size == n, s"expected $n sources, got ${bySrc.size}")
+    bySrc.foreach { case (src, rs) =>
+      val top2 = rs.filter(_.getLong(3) <= 2)
+      assert(top2.length == 2, s"src $src has ${top2.length} top-2 rows")
+      val expected = (0 until 3).map(k => (src % span) + k * span)
+        .filterNot(_ == src).toSet
+      assert(top2.map(_.getLong(1)).toSet == expected,
+        s"src $src top-2 ${top2.map(_.getLong(1)).toSet} != replicas $expected")
+      top2.foreach(r => assert(r.getDouble(2) == 1.0))
+    }
+  }
+
+  test("near-orthogonal edge recall under forced split is measured, not assumed") {
+    // the fixture is the adversarial case for ANY ANN cell scheme: vectors
+    // are near-orthogonal, so a sign bit splits even true-threshold pairs
+    // with p ≈ 1 − θ/π. Measure the quantized graph's edge recall vs the
+    // label-exact graph at a forced 2-way split and bound it loosely —
+    // the number documents the trade instead of silently shipping it.
+    val exact = withCellTarget(Some("100000000"))(knn(SparkTestBase.sf))
+    val quant = withCellTarget(Some("32"))(knn(SparkTestBase.sf))
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    info(f"forced-split knn edge recall vs label-exact: $recall%.3f " +
+      f"(${quant.size} vs ${exact.size} edges)")
+    assert(recall > 0.10 && recall <= 1.0)
+  }
+}
