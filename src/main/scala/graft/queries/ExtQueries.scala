@@ -2227,9 +2227,13 @@ object ExtQueries {
         "acc + IF(element_at(embedding, j) >= 0, shiftleft(1L, j - 1), 0L))")
       // ONE pruned stats pass over (label, b16) feeds BOTH the per-label
       // cell resolution and the per-cell blocking fan — no second fact scan
+      // NOT checkpointed: bstats appears under both broadcast subtrees, but
+      // they canonicalize to the same shuffle and ReusedExchange dedupes it
+      // within the one execution — an eager localCheckpoint here costs a
+      // whole extra job per invocation (~150 ms at gate scale) to save a
+      // re-aggregation of a frame that is already tiny
       val bstats = emb(s, dir).select(col("label").as("slabel"), b16.as("b16"))
         .groupBy(col("slabel"), col("b16")).agg(count(lit(1)).as("bcnt"))
-        .localCheckpoint()
       val nbByLabel = bstats.groupBy(col("slabel"))
         .agg(sum(col("bcnt")).as("cnt"))
         .select(col("slabel").as("nlabel"),
@@ -2709,20 +2713,29 @@ object ExtQueries {
   // squared-ish, which exact-dup replication inflates quadratically (the
   // 10× probe ran 97 s vs ~2 s at gate scale). The documented
   // STOP-SHINGLE DF-CAP is now enforced on BOTH engines: truth is defined
-  // over the capped shingle universe (shingles with corpus df ≤ 128 —
+  // over the capped shingle universe (shingles with corpus df ≤ 32 —
   // n_common AND the |A|/|B| sizes both count capped shingles only, the
   // standard stop-word-filtered Jaccard), which bounds the join at
-  // 128 · |slice occurrences| — LINEAR in the corpus. 128 is inert at
-  // every gate scale (max fixture df ≈ 7 at sf0.01) and keeps replica
-  // families matchable at the replicated rungs (a shingle unique to one
-  // original has df = copies ≤ 128 at the sf~10/copies=100 rung); only
-  // pairs whose entire overlap is stop-shingles leave the truth set.
+  // 32 · |slice occurrences| — LINEAR in the corpus. 32 is inert at every
+  // gate scale (max fixture df: 7 at sf0.01, 25 at sf0.1 — gate results
+  // are bit-unchanged) and binds as soon as replication inflates df (at
+  // the 10× exact-dup rung a first cut of 128 barely bound — df = 10
+  // × df_orig ≈ 10–70 stayed under it and the rung still ran ~quadratic,
+  // 40 s; at 32 the rung is cap-bounded). The trade, stated: truth
+  // coverage shrinks to pairs sharing at least one sub-cap shingle — on
+  // a corpus where every doc is a 100-way exact dup the capped eval
+  // degenerates toward empty truth, which is the correct semantics for a
+  // stop-word-filtered measure of that corpus, and the oracle applies
+  // the identical cap either way.
   val dedupLshRecall: (QFn, String) = (
     (s, dir) => {
       val sh0 = shingles(s, dir)
       val keptS = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 128).select(col("s"))
-      val sh = sh0.join(keptS, Seq("s"))
+        .filter(col("df") <= 32).select(col("s"))
+      // checkpointed: the capped frame feeds THREE consumers (slice side,
+      // candidate side, sizes) — without this the df aggregate + join
+      // re-execute per consumer (measured +0.9 s at gate scale)
+      val sh = sh0.join(keptS, Seq("s")).localCheckpoint()
       val sa = sh.filter(col("doc_id") % 5 === 0)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val truth = sa.as("sa").join(sh.as("sb"),
@@ -2745,7 +2758,7 @@ object ExtQueries {
           expr("n_caught * 1000000 div greatest(n_truth, 1)").as("recall_pm"))
     },
     s"""$toksCte, $shCte, $sigCte, $bandsCte,
-       |dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 128),
+       |dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 32),
        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
        |          FROM shc GROUP BY 1),
