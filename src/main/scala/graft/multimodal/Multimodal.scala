@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video payloads as opaque `binary` columns
   * with typed metadata, decoded partition-wise.
   *
-  * The container ships no image/audio codecs, so [[Multimodal.fakeDecode]] is
-  * a CLEARLY-MARKED deterministic STUB standing in for a codec call — the
-  * Spark-side plumbing is real and tested: binary column handling, a typed
-  * `Dataset[MediaRecord]` boundary, partition-wise decode via `mapPartitions`
-  * (one decoder instance per partition, the shape a JNI codec needs), and a
-  * schema'd metadata result. Swap `fakeDecode` for the codec and nothing else
-  * changes.
+  * Codec status (r9): JPEG and PNG decode are REAL — the JDK's own ImageIO
+  * (java.desktop, present headless) in [[Multimodal.decodeCompressed]] —
+  * alongside the pure-JVM binary-PPM parser and the PCM8 audio kernel. The
+  * remaining CLEARLY-MARKED stub is [[Multimodal.fakeDecode]]/
+  * [[Multimodal.featureStub]]'s vision-ENCODER stand-in (model inference
+  * needs a runtime the container doesn't ship) — kept because its queries
+  * pin the partition-wise batching shape (one decoder/model handle per
+  * partition, rows streamed through, schema'd output) that a JNI codec or
+  * ONNX session slots into with nothing else changing.
   */
 final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
@@ -45,6 +47,13 @@ final case class PpmAhash(doc_id: Long, width: Long, height: Long, ahash: Long)
 final case class Pcm8Stats(
     doc_id: Long, n_samples: Long, peak: Long, sum_abs: Long,
     mean_abs_e4: Long, energy: Long, zero_crossings: Long)
+
+final case class CodecDecoded(
+    doc_id: Long, width: Long, height: Long,
+    mean_r_e4: Long, mean_g_e4: Long, mean_b_e4: Long, ahash: Long)
+
+final case class CodecShape(
+    doc_id: Long, width: Long, height: Long, out_bytes: Long)
 
 object Multimodal {
 
@@ -122,9 +131,9 @@ object Multimodal {
     * pixel payload. maxval must be < 256: the spec's 16-bit variant
     * (maxval ≥ 256, 2 big-endian bytes per sample) is REJECTED rather than
     * mis-read as 1-byte samples — the raster validation and pixel walks
-    * below assume exactly one byte per sample. This is the boundary where
-    * [[fakeDecode]]'s stub ends: PPM decodes for real; compressed formats
-    * (JPEG/PNG) still need the external codec the container doesn't ship. */
+    * below assume exactly one byte per sample. PPM decodes for real here;
+    * compressed formats (JPEG/PNG) decode for real in
+    * [[decodeCompressed]] via the JDK's ImageIO (r9). */
   def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
@@ -367,6 +376,140 @@ object Multimodal {
             Pcm8Stats(rec.doc_id, n.toLong, peak, sumAbs,
               sumAbs * 10000 / n, energy, zc)
           }
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL compressed-format codecs — JPEG and PNG via the JDK's own ImageIO
+  // (the java.desktop module ships with every JRE, headless included; no
+  // external library). This graduates the r8 "compressed formats need the
+  // external codec the container doesn't ship" boundary: PNG is LOSSLESS,
+  // so pixel statistics computed after a real encode→decode round trip are
+  // oracle-exact against the raw pattern; JPEG is lossy, so its oracle
+  // contract is exact DIMENSIONS/shape (always preserved) plus a
+  // unit-gated pixel-fidelity bound (CodecSpec). The remaining stub
+  // boundary shrinks to the vision ENCODER (model inference) alone.
+  // ---------------------------------------------------------------------
+
+  /** Sniff-and-decode a compressed image payload (PNG 0x89'P', JPEG
+    * 0xFFD8) to (width, height, packed-RGB ints row-major). Non-image or
+    * corrupt payloads → None (quarantine policy, same as the P6 kernels).
+    * One ImageIO reader per call — reader instances are not thread-safe,
+    * calls are; the in-memory stream keeps executors off the disk cache. */
+  def decodeCompressed(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 4) return None
+    val png = (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'
+    val jpg = (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+    if (!png && !jpg) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          // 24-bit RGB contract: getRGB returns ARGB with alpha 0xFF — mask
+          // it so decode(encode(rgb)) is the identity on the raster
+          var i = 0
+          while (i < px.length) { px(i) &= 0xFFFFFF; i += 1 }
+          (w, h, px)
+        }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Encode a packed-RGB raster with the JDK codec (format "png"/"jpeg").
+    * Used by the fixture builders below (a 100 TB media table arrives
+    * already encoded; encode here exists to exercise the decode path on
+    * REAL compressed bytes). */
+  def encodeImage(w: Int, h: Int, rgb: Array[Int], format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** Deterministic raster from the fixture text — the oracle-reproducible
+    * pattern: w = 8·(1+id%4), h = 6·(1+id%3), channel byte k = text byte
+    * (k mod len) — exactly DuckDB's `rpad(text, w·h·3, text)` byte k. */
+  def patternRgb(docId: Long, text: String): (Int, Int, Array[Int]) = {
+    val w = (8 * (1 + docId % 4)).toInt
+    val h = (6 * (1 + docId % 3)).toInt
+    val t = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val rgb = new Array[Int](w * h)
+    var p = 0
+    while (p < rgb.length) {
+      def b(i: Int): Int = t((p * 3 + i) % t.length) & 0xFF
+      rgb(p) = (b(0) << 16) | (b(1) << 8) | b(2)
+      p += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** The documents fixture as REAL compressed images: the deterministic
+    * pattern raster, encoded per row with the JDK codec — partition-wise,
+    * executors never ship rasters to the driver. */
+  def mediaCompressedTable(docs: DataFrame, format: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (w, h, rgb) = patternRgb(id, text)
+          MediaRecord(id, encodeImage(w, h, rgb, format))
+        }
+      }
+  }
+
+  /** REAL compressed decode → pixel statistics: per-channel e4 means and
+    * the 63-bit aHash (same contract as [[ahashPpm]]: bit p set iff
+    * lum·n > Σlum, first min(n,63) raster-order pixels), all exact-integer.
+    * Through PNG this is oracle-exact END TO END — encode, the codec's
+    * actual bit format, decode, and the kernels all have to agree with
+    * DuckDB's reconstruction from the raw pattern for the hash to match. */
+  def decodeCompressedMeta(ds: Dataset[MediaRecord]): Dataset[CodecDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeCompressed(r.media).map { case (w, h, rgb) =>
+          val n = w.toLong * h
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < rgb.length) {
+            val v = rgb(p)
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            p += 1
+          }
+          val tot = sr + sg + sb
+          var hash = 0L
+          val bits = math.min(n, 63L).toInt
+          p = 0
+          while (p < bits) {
+            val v = rgb(p)
+            val lum = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+            if (lum * n > tot) hash |= 1L << p
+            p += 1
+          }
+          CodecDecoded(r.doc_id, w.toLong, h.toLong,
+            sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, hash)
+        }
+      }
+    }
+  }
+
+  /** REAL lossy-codec decode → shape: dimensions and the decoded byte
+    * budget. JPEG preserves dims exactly (the oracle-checkable part);
+    * pixel fidelity is unit-gated in CodecSpec, not oracle-compared. */
+  def decodeCompressedShape(ds: Dataset[MediaRecord]): Dataset[CodecShape] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeCompressed(r.media).map { case (w, h, _) =>
+          CodecShape(r.doc_id, w.toLong, h.toLong, w.toLong * h * 3)
         }
       }
     }

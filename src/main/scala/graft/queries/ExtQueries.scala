@@ -1106,6 +1106,59 @@ object ExtQueries {
       |  CAST(sum(CASE WHEN ch = 2 THEN v END) * 10000 // (w * h) AS BIGINT) AS mean_b_e4
       |FROM b GROUP BY doc_id, w, h""".stripMargin)
 
+  // REAL compressed-codec decode (r9, the "container ships no codecs"
+  // boundary closed): the deterministic pattern raster is encoded to PNG
+  // with the JDK's own ImageIO (java.desktop — present headless, no
+  // external library), and the query DECODES those real PNG bytes and
+  // computes per-channel e4 means plus the 63-bit aHash. PNG is LOSSLESS,
+  // so the oracle reconstructs the identical statistics from the raw
+  // pattern — hash-equality proves the encoder, the codec bit format, the
+  // decoder, and the pixel kernels agree end-to-end. Partition-wise both
+  // ways; rasters never cross an exchange.
+  val mmDecodePng: (QFn, String) = (
+    (s, dir) => Multimodal.decodeCompressedMeta(
+      Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF(),
+    """WITH g AS (
+      |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 6 * (1 + doc_id % 3) AS h,
+      |    rpad(text,
+      |      CAST(8 * (1 + doc_id % 4) * 6 * (1 + doc_id % 3) * 3 AS INTEGER),
+      |      text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, t.p AS p,
+      |    ascii(substring(px, CAST(t.p * 3 + 1 AS INTEGER), 1)) AS r,
+      |    ascii(substring(px, CAST(t.p * 3 + 2 AS INTEGER), 1)) AS gg,
+      |    ascii(substring(px, CAST(t.p * 3 + 3 AS INTEGER), 1)) AS bb
+      |  FROM g, unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS t(p)),
+      |s AS (SELECT doc_id, sum(r + gg + bb) AS tot FROM b GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.w AS BIGINT) AS width,
+      |  CAST(b.h AS BIGINT) AS height,
+      |  CAST(sum(r) * 10000 // (b.w * b.h) AS BIGINT) AS mean_r_e4,
+      |  CAST(sum(gg) * 10000 // (b.w * b.h) AS BIGINT) AS mean_g_e4,
+      |  CAST(sum(bb) * 10000 // (b.w * b.h) AS BIGINT) AS mean_b_e4,
+      |  CAST(sum(CASE WHEN b.p < least(b.w * b.h, 63)
+      |      AND (r + gg + bb) * (b.w * b.h) > s.tot
+      |      THEN (CAST(1 AS BIGINT) << CAST(b.p AS INTEGER)) ELSE 0 END)
+      |    AS BIGINT) AS ahash
+      |FROM b JOIN s ON b.doc_id = s.doc_id
+      |GROUP BY b.doc_id, b.w, b.h""".stripMargin)
+
+  // REAL lossy-codec decode: the same pattern encoded as actual JPEG
+  // (ImageIO), decoded back — dimensions and the decoded byte budget are
+  // exactly preserved by JPEG and oracle-checked; pixel fidelity through
+  // the lossy transform is unit-gated in CodecSpec (mean |err| bound),
+  // the honest split for a lossy codec (a value-exact pixel oracle is
+  // impossible BY DESIGN, not by gap).
+  val mmDecodeJpeg: (QFn, String) = (
+    (s, dir) => Multimodal.decodeCompressedShape(
+      Multimodal.mediaCompressedTable(docs(s, dir), "jpeg")).toDF(),
+    """SELECT doc_id,
+      |  CAST(8 * (1 + doc_id % 4) AS BIGINT) AS width,
+      |  CAST(6 * (1 + doc_id % 3) AS BIGINT) AS height,
+      |  CAST(8 * (1 + doc_id % 4) * 6 * (1 + doc_id % 3) * 3 AS BIGINT)
+      |    AS out_bytes
+      |FROM documents""".stripMargin)
+
   // REAL resize — the mm_resize_stub graduation: the same deterministic P6
   // payloads as mm_decode_ppm are DECODED (header actually parsed) and then
   // box-filter downsampled by 2 in exact integer math — each output pixel is
@@ -2936,6 +2989,8 @@ object ExtQueries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_decode_ppm" -> mmDecodePpm,
+    "mm_decode_png" -> mmDecodePng,
+    "mm_decode_jpeg" -> mmDecodeJpeg,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_resize_plan" -> mmResizePlan,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r9 codec graduation: JPEG/PNG decode through the JDK's own ImageIO
+  * (java.desktop — no external library). Contracts:
+  *  - PNG is LOSSLESS: encode → decode is the identity on the raster, so
+  *    the mm_decode_png query can be oracle-exact end-to-end.
+  *  - JPEG is lossy: dimensions/shape are exactly preserved (the
+  *    oracle-checked part of mm_decode_jpeg); pixel error through the
+  *    default-quality transform is BOUNDED here — on the fixture's
+  *    noise-like ASCII pattern (the hard case for a DCT codec) and on a
+  *    smooth gradient (the easy case, much tighter).
+  *  - Sniffing: non-image payloads are quarantined (None), never thrown.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def pattern(id: Long, text: String) = Multimodal.patternRgb(id, text)
+
+  test("PNG round-trip is the identity on the raster (lossless contract)") {
+    val (w, h, rgb) = pattern(7L, "the quick brown fox jumps over the lazy dog 0123456789")
+    val png = Multimodal.encodeImage(w, h, rgb, "png")
+    // real PNG magic on the wire
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val Some((dw, dh, back)) = Multimodal.decodeCompressed(png)
+    assert((dw, dh) == (w, h))
+    assert(back.toSeq == rgb.toSeq, "PNG decode must reproduce every pixel")
+  }
+
+  test("JPEG preserves dimensions exactly; pixel error is bounded") {
+    // noise-like pattern (fixture shape): the DCT-hostile case
+    val (w, h, rgb) = pattern(11L, "jpeg fidelity probe text with enough variety 42!")
+    val jpeg = Multimodal.encodeImage(w, h, rgb, "jpeg")
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8) // SOI marker
+    val Some((dw, dh, back)) = Multimodal.decodeCompressed(jpeg)
+    assert((dw, dh) == (w, h), "JPEG must preserve dimensions exactly")
+    def chans(v: Int) = Seq((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+    val errs = rgb.zip(back).flatMap { case (a, b) =>
+      chans(a).zip(chans(b)).map { case (x, y) => math.abs(x - y) } }
+    val mae = errs.sum.toDouble / errs.length
+    info(f"JPEG mean abs channel error on ASCII-noise pattern: $mae%.1f")
+    assert(mae < 48.0, s"noise-pattern MAE $mae out of bounds")
+
+    // smooth gradient: the codec's design case must be much tighter
+    val gw = 64; val gh = 48
+    val grad = Array.tabulate(gw * gh) { p =>
+      val x = p % gw; val y = p / gw
+      ((x * 4) << 16) | ((y * 5) << 8) | 128
+    }
+    val gj = Multimodal.encodeImage(gw, gh, grad, "jpeg")
+    val Some((_, _, gback)) = Multimodal.decodeCompressed(gj)
+    val gerrs = grad.zip(gback).flatMap { case (a, b) =>
+      chans(a).zip(chans(b)).map { case (x, y) => math.abs(x - y) } }
+    val gmae = gerrs.sum.toDouble / gerrs.length
+    info(f"JPEG mean abs channel error on smooth gradient: $gmae%.1f")
+    assert(gmae < 8.0, s"gradient MAE $gmae out of bounds")
+  }
+
+  test("non-image payloads are quarantined, not thrown") {
+    assert(Multimodal.decodeCompressed(null).isEmpty)
+    assert(Multimodal.decodeCompressed(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeCompressed("P6\n2 2\n255\n............".getBytes).isEmpty)
+    // valid magic, corrupt body → IOException path → None
+    assert(Multimodal.decodeCompressed(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeCompressed(
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)).isEmpty)
+  }
+
+  test("mm_decode_png / mm_decode_jpeg return rows at sf0.001 and dims match") {
+    val spark = SparkTestBase.spark
+    val png = SparkEntry.queries("mm_decode_png")(spark, SparkTestBase.sf).collect()
+    val jpg = SparkEntry.queries("mm_decode_jpeg")(spark, SparkTestBase.sf).collect()
+    assert(png.length == 500 && jpg.length == 500)
+    // both decode paths must agree on the pattern's dimensions
+    val pd = png.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    jpg.foreach { r =>
+      assert(pd(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+  }
+}
