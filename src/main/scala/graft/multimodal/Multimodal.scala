@@ -515,6 +515,85 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio container codec — RIFF/WAVE via the JDK's javax.sound
+  // (java.desktop, headless). PCM is lossless, so stats computed after a
+  // real WAV encode→decode round trip are oracle-exact — the audio twin
+  // of the PNG contract above. The PA8 kernel remains as the raw-PCM
+  // parser; this is the standard-container path.
+  // ---------------------------------------------------------------------
+
+  /** Encode unsigned-8-bit mono PCM samples as a REAL WAV file with the
+    * JDK's own writer (RIFF header + fmt + data chunks come out of
+    * javax.sound, not hand-rolled bytes). */
+  def encodeWavU8(samples: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload with the JDK codec to unsigned sample ints.
+    * Only the u8 mono PCM profile the fixture uses is accepted; anything
+    * else (or a corrupt container) is quarantined as None. */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Int]] = {
+    import javax.sound.sampled._
+    if (bytes == null || bytes.length < 12 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F')
+      return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED ||
+          fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val out = new Array[Int](raw.length)
+        var i = 0
+        while (i < raw.length) { out(i) = raw(i) & 0xFF; i += 1 }
+        Some(out)
+      }
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** REAL WAV decode → the pcm8Stats contract at the standard u8-WAV
+    * silence point (bias 128): peak |amplitude|, Σ|a|, mean|a|·e4, energy
+    * Σa², strict-sign-flip zero crossings — exact integers, one linear
+    * partition-wise pass over genuinely containerized audio. */
+  def wavStats(ds: Dataset[MediaRecord]): Dataset[Pcm8Stats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        decodeWav(rec.media).filter(_.nonEmpty).map { samples =>
+          val n = samples.length
+          var peak = 0L; var sumAbs = 0L; var energy = 0L; var zc = 0L
+          var prev = 0
+          var p = 0
+          while (p < n) {
+            val a = samples(p) - 128
+            val abs = math.abs(a).toLong
+            if (abs > peak) peak = abs
+            sumAbs += abs
+            energy += a.toLong * a
+            if (p > 0 && prev * a < 0) zc += 1
+            prev = a
+            p += 1
+          }
+          Pcm8Stats(rec.doc_id, n.toLong, peak, sumAbs,
+            sumAbs * 10000 / n, energy, zc)
+        }
+      }
+    }
+  }
+
   /** The documents fixture as a media table: utf-8 payload bytes stand in for
     * encoded frames (TESTDATA has no true binary column; the corpus is pure
     * ASCII, so byte index == character index — the decode/feature oracles

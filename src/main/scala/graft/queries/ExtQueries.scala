@@ -2880,6 +2880,59 @@ object ExtQueries {
       |    AS zero_crossings
       |FROM l GROUP BY doc_id, n""".stripMargin)
 
+  // REAL audio CONTAINER codec (r9): the same loudness/activity stats,
+  // but the clip is a genuine RIFF/WAVE file — encoded AND decoded with
+  // the JDK's own javax.sound codec (java.desktop, headless; no external
+  // library), u8 mono PCM at the standard 128 silence point. Samples
+  // alternate text bytes with +128-shifted text bytes so amplitudes
+  // straddle the bias and zero crossings are real. PCM is lossless, so
+  // the oracle's raw-pattern reconstruction must match hash-exactly
+  // through the real container round trip — the audio twin of
+  // mm_decode_png's contract. CodecSpec pins the WAV round-trip identity
+  // and the quarantine paths.
+  val mmAudioWav: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val n = (100 + id % 50).toInt
+            val t = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val samples = new Array[Byte](n)
+            var k = 0
+            while (k < n) {
+              samples(k) = (((t(k % t.length) & 0x7F) + (k % 2) * 128) & 0xFF).toByte
+              k += 1
+            }
+            graft.multimodal.MediaRecord(id,
+              graft.multimodal.Multimodal.encodeWavU8(samples))
+          }
+        }
+      graft.multimodal.Multimodal.wavStats(media).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, 100 + doc_id % 50 AS n,
+      |    rpad(text, CAST(100 + doc_id % 50 AS INTEGER), text) AS px
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, n, t.k AS k,
+      |    ascii(substring(px, CAST(t.k + 1 AS INTEGER), 1))
+      |      + (t.k % 2) * 128 - 128 AS amp
+      |  FROM g, unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS t(k)),
+      |l AS (
+      |  SELECT doc_id, n, amp,
+      |    lag(amp) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      |  FROM a)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(max(abs(amp)) AS BIGINT) AS peak,
+      |  CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(abs(amp)) * 10000 // n AS BIGINT) AS mean_abs_e4,
+      |  CAST(sum(amp * amp) AS BIGINT) AS energy,
+      |  CAST(sum(CASE WHEN prev * amp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM l GROUP BY doc_id, n""".stripMargin)
+
   // Matryoshka (MRL) prefix-energy report: how much of each embedding's
   // energy the 16- and 32-dim PREFIXES retain — the measurement that
   // decides how far a matryoshka-trained embedding column can be truncated
@@ -2932,6 +2985,7 @@ object ExtQueries {
     "emb_matryoshka_prefix" -> embMatryoshkaPrefix,
     "dedup_cluster_stats" -> dedupClusterStats,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_audio_wav" -> mmAudioWav,
     "mm_dedup_phash" -> mmDedupPhash,
     "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,

@@ -68,6 +68,28 @@ class CodecSpec extends AnyFunSuite {
       Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)).isEmpty)
   }
 
+  test("WAV round-trip is the identity on the samples (lossless PCM contract)") {
+    val samples = Array.tabulate(257)(i => ((i * 37 + 11) % 256).toByte)
+    val wav = Multimodal.encodeWavU8(samples)
+    // a genuine RIFF/WAVE container on the wire
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    val Some(back) = Multimodal.decodeWav(wav)
+    assert(back.toSeq == samples.map(_ & 0xFF).toSeq)
+    // quarantine paths
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("mm_audio_wav returns rows at sf0.001") {
+    val spark = SparkTestBase.spark
+    val rows = SparkEntry.queries("mm_audio_wav")(spark, SparkTestBase.sf).collect()
+    assert(rows.length == 500)
+    // real zero-crossing structure from the alternating-bias pattern
+    assert(rows.count(_.getLong(6) > 0) > 400)
+  }
+
   test("mm_decode_png / mm_decode_jpeg return rows at sf0.001 and dims match") {
     val spark = SparkTestBase.spark
     val png = SparkEntry.queries("mm_decode_png")(spark, SparkTestBase.sf).collect()
