@@ -55,6 +55,9 @@ final case class CodecDecoded(
 final case class CodecShape(
     doc_id: Long, width: Long, height: Long, out_bytes: Long)
 
+final case class VideoFrame(
+    doc_id: Long, frame_idx: Long, width: Long, height: Long, out_bytes: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -510,6 +513,57 @@ object Multimodal {
       it.flatMap { r =>
         decodeCompressed(r.media).map { case (w, h, _) =>
           CodecShape(r.doc_id, w.toLong, h.toLong, w.toLong * h * 3)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video-stream demux — MJPEG. An MJPEG stream IS concatenated JPEG
+  // frames, and the EOI marker (FF D9) cannot appear unescaped inside a
+  // frame's entropy-coded data (JPEG byte-stuffs 0x00 after FF there), so
+  // splitting on EOI is a correct demuxer, not a heuristic. Each demuxed
+  // frame then decodes through the real ImageIO codec.
+  // ---------------------------------------------------------------------
+
+  /** Split an MJPEG byte stream into its JPEG frames (each beginning with
+    * SOI FF D8, ending with EOI FF D9 inclusive). Trailing garbage after
+    * the last EOI, or a stream not starting at SOI, is quarantined. */
+  def demuxMjpeg(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    var start = 0
+    var i = 0
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xD9) {
+        frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+        start = i + 2
+        i += 2
+      } else i += 1
+    }
+    if (start != bytes.length) None // incomplete trailing frame
+    else Some(frames.result())
+  }
+
+  /** Strided frame sampling + REAL per-frame decode over an MJPEG column:
+    * demux, take frames 0, stride, 2·stride…, decode each with the real
+    * codec, emit per-frame geometry. The 100 TB shape: per-asset work is
+    * linear in sampled frames, partition-wise, full streams never cross an
+    * exchange — the decode-only-what-you-sample plan a video pipeline
+    * needs before frames feed an encoder. */
+  def sampleMjpegFrames(ds: Dataset[MediaRecord], stride: Int): Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        demuxMjpeg(rec.media).toSeq.flatMap { frames =>
+          Iterator.range(0, frames.size, stride).flatMap { f =>
+            decodeCompressed(frames(f)).map { case (w, h, _) =>
+              VideoFrame(rec.doc_id, f.toLong, w.toLong, h.toLong,
+                w.toLong * h * 3)
+            }
+          }
         }
       }
     }

@@ -2933,6 +2933,57 @@ object ExtQueries {
       |    AS zero_crossings
       |FROM l GROUP BY doc_id, n""".stripMargin)
 
+  // REAL video-stream path (r9): each doc carries an MJPEG stream — a
+  // genuine video format that IS concatenated real JPEG frames (3–6 per
+  // doc, per-frame dims varying with the frame index) — demuxed on the
+  // EOI marker (correct, not heuristic: JPEG byte-stuffing keeps FF D9
+  // out of entropy data), every 2nd frame decoded through the real
+  // ImageIO codec. Geometry is exactly preserved by JPEG, so the
+  // per-sampled-frame dims are oracle-exact; pixel fidelity is the same
+  // CodecSpec-gated contract as mm_decode_jpeg. The plan decodes ONLY
+  // sampled frames — the decode-what-you-sample shape a 100 TB video
+  // pipeline runs ahead of any encoder.
+  val mmVideoMjpeg: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val nFrames = (3 + id % 4).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            var f = 0
+            while (f < nFrames) {
+              val w = (8 * (1 + (id + f) % 4)).toInt
+              val h = (6 * (1 + (id + f) % 3)).toInt
+              val t = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+              val rgb = new Array[Int](w * h)
+              var p = 0
+              while (p < rgb.length) {
+                def b(i: Int): Int = t((p * 3 + i + f) % t.length) & 0xFF
+                rgb(p) = (b(0) << 16) | (b(1) << 8) | b(2)
+                p += 1
+              }
+              bos.write(graft.multimodal.Multimodal.encodeImage(w, h, rgb, "jpeg"))
+              f += 1
+            }
+            graft.multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }
+      graft.multimodal.Multimodal.sampleMjpegFrames(media, stride = 2).toDF()
+    },
+    """WITH g AS (SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents),
+      |f AS (
+      |  SELECT doc_id, t.f AS frame_idx
+      |  FROM g, unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER), 2))
+      |    AS t(f))
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(8 * (1 + (doc_id + frame_idx) % 4) AS BIGINT) AS width,
+      |  CAST(6 * (1 + (doc_id + frame_idx) % 3) AS BIGINT) AS height,
+      |  CAST(8 * (1 + (doc_id + frame_idx) % 4)
+      |    * 6 * (1 + (doc_id + frame_idx) % 3) * 3 AS BIGINT) AS out_bytes
+      |FROM f""".stripMargin)
+
   // Matryoshka (MRL) prefix-energy report: how much of each embedding's
   // energy the 16- and 32-dim PREFIXES retain — the measurement that
   // decides how far a matryoshka-trained embedding column can be truncated
@@ -2986,6 +3037,7 @@ object ExtQueries {
     "dedup_cluster_stats" -> dedupClusterStats,
     "mm_audio_stats" -> mmAudioStats,
     "mm_audio_wav" -> mmAudioWav,
+    "mm_video_mjpeg" -> mmVideoMjpeg,
     "mm_dedup_phash" -> mmDedupPhash,
     "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,

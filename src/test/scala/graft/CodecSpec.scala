@@ -82,6 +82,37 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
   }
 
+  test("MJPEG demux: exact frame boundaries on real JPEG bytes") {
+    val (w1, h1, rgb1) = pattern(3L, "frame one content for the demuxer")
+    val (w2, h2, rgb2) = pattern(8L, "frame two, different dims and bytes")
+    val f1 = Multimodal.encodeImage(w1, h1, rgb1, "jpeg")
+    val f2 = Multimodal.encodeImage(w2, h2, rgb2, "jpeg")
+    val stream = f1 ++ f2 ++ f1
+    val Some(frames) = Multimodal.demuxMjpeg(stream)
+    assert(frames.size == 3)
+    assert(frames(0).toSeq == f1.toSeq && frames(1).toSeq == f2.toSeq &&
+      frames(2).toSeq == f1.toSeq)
+    // each demuxed frame decodes standalone with the right geometry
+    assert(Multimodal.decodeCompressed(frames(1)).exists {
+      case (w, h, _) => (w, h) == (w2, h2) })
+    // quarantine: truncated trailing frame, or not starting at SOI
+    assert(Multimodal.demuxMjpeg(stream.dropRight(1)).isEmpty)
+    assert(Multimodal.demuxMjpeg(stream.drop(2)).isEmpty)
+    assert(Multimodal.demuxMjpeg(null).isEmpty)
+  }
+
+  test("mm_video_mjpeg returns sampled frames at sf0.001 with real decode dims") {
+    val spark = SparkTestBase.spark
+    val rows = SparkEntry.queries("mm_video_mjpeg")(spark, SparkTestBase.sf).collect()
+    // 500 docs × 2-3 sampled frames (every 2nd of 3-6)
+    assert(rows.length > 900 && rows.length < 1600)
+    rows.foreach { r =>
+      val (id, f, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(f % 2 == 0)
+      assert(w == 8 * (1 + (id + f) % 4) && h == 6 * (1 + (id + f) % 3))
+    }
+  }
+
   test("mm_audio_wav returns rows at sf0.001") {
     val spark = SparkTestBase.spark
     val rows = SparkEntry.queries("mm_audio_wav")(spark, SparkTestBase.sf).collect()
