@@ -233,7 +233,11 @@ private final class FramesWireWriterFactory(host: String, port: Int,
 private final class FramesWireDataWriter(host: String, port: Int,
     schema: StructType) extends DataWriter[InternalRow] {
   private val (ti, ki, vi, _) = FrameCols(schema)
-  private val prod = new graft.sink.kafka.WireProducer(host, port)
+  // pooled per executor: a real producer keeps its broker sockets for the
+  // sink's lifetime instead of dialing per task per epoch (WireProducerPool)
+  private val prod = graft.sink.kafka.WireProducerPool.borrow(host, port)
+  private var barriered = false
+
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -244,10 +248,17 @@ private final class FramesWireDataWriter(host: String, port: Int,
   }
   override def commit(): WriterCommitMessage = {
     prod.flush() // task succeeds only once every record is acked (K2)
+    barriered = true
     FramesWireCommit(rows)
   }
   override def abort(): Unit = ()
-  override def close(): Unit = prod.close()
+  override def close(): Unit = {
+    // return to the pool ONLY after a clean barrier; an aborted task's
+    // producer may hold disowned records or a mid-frame socket — discard
+    if (barriered && prod.deliveryErrorCount == 0)
+      graft.sink.kafka.WireProducerPool.give(host, port, prod)
+    else graft.sink.kafka.WireProducerPool.discard(prod)
+  }
 }
 
 /** Distributed reader for the file-mode log (test/consumer utility): lists

@@ -191,4 +191,12 @@ final class WireProducer(host: String, port: Int,
   override def close(): Unit = {
     try flush() finally closeQuietly()
   }
+
+  /** Close WITHOUT the flush barrier — for discarding a producer whose
+    * task aborted: flushing here could deliver (or spend retry backoff
+    * on) records the epoch already disowned. */
+  def abortClose(): Unit = {
+    pending.clear(); queued = 0
+    closeQuietly()
+  }
 }

@@ -1,0 +1,55 @@
+package graft.sink.kafka
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+/** Per-executor (per-JVM) pool of [[WireProducer]] connections, keyed by
+  * broker endpoint — the persistent-connection discipline every real Kafka
+  * producer keeps (reference: the producer lives for the sink's lifetime,
+  * producer.zig; librdkafka holds broker sockets across produce calls).
+  * Without it, each Spark TASK of each EPOCH dialed a fresh TCP connection
+  * + Metadata round-trip: at a 5 ms trigger that is ~200 connections/s of
+  * pure churn, and on the headline drain it priced connection setup into
+  * every micro-batch.
+  *
+  * Contract:
+  *  - `borrow` hands out an idle pooled producer or creates one.
+  *  - `give` returns a producer ONLY after a clean delivery barrier (the
+  *    caller's flush succeeded and `deliveryErrorCount` is 0) — a producer
+  *    whose task aborted may hold undelivered queued records or a
+  *    mid-frame socket, so it is closed instead (`discard`). At-least-once
+  *    is unaffected either way (restart redelivers), but a dirty producer
+  *    must never leak another epoch's records into a later flush.
+  *  - the pool is bounded per endpoint; overflow producers are closed.
+  */
+object WireProducerPool {
+  private val MaxIdlePerEndpoint = 64
+  private val pools =
+    new ConcurrentHashMap[(String, Int), ConcurrentLinkedQueue[WireProducer]]()
+
+  def borrow(host: String, port: Int): WireProducer = {
+    val q = pools.computeIfAbsent((host, port),
+      _ => new ConcurrentLinkedQueue[WireProducer]())
+    Option(q.poll()).getOrElse(new WireProducer(host, port))
+  }
+
+  /** Return a HEALTHY producer (post-barrier, zero delivery errors). */
+  def give(host: String, port: Int, p: WireProducer): Unit = {
+    val q = pools.computeIfAbsent((host, port),
+      _ => new ConcurrentLinkedQueue[WireProducer]())
+    if (q.size < MaxIdlePerEndpoint) q.offer(p)
+    else discard(p)
+  }
+
+  /** Close a producer whose state is unknown (abort / delivery failure) —
+    * no flush barrier: its queue may hold records the epoch disowned. */
+  def discard(p: WireProducer): Unit =
+    try p.abortClose() catch { case _: Exception => () }
+
+  /** Test hook: drop every pooled connection. */
+  def clear(): Unit = {
+    pools.forEach { (_, q) =>
+      var p = q.poll()
+      while (p != null) { discard(p); p = q.poll() }
+    }
+  }
+}
