@@ -282,7 +282,20 @@ object Bench {
     val trials = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failedQ = scala.collection.mutable.Set.empty[String]
+    // Per-PASS totals + GC time: r9 observed whole-suite run-level drift
+    // (+10-25% across untouched queries between same-code full runs);
+    // recording each round-robin pass's wall-clock sum and its GC delta
+    // makes intra-run drift and GC pressure DATA in the artifact instead
+    // of a post-hoc hypothesis.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val passTotals = scala.collection.mutable.Buffer.empty[Double]
+    val passGcMs = scala.collection.mutable.Buffer.empty[Long]
     if (runSuite) (1 to 3).foreach { _ =>
+      val p0 = System.nanoTime(); val g0 = gcMs()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try runToNoop(fn(spark, sfDir))
@@ -292,7 +305,12 @@ object Bench {
         }
         trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
       }
+      passTotals += (System.nanoTime() - p0) / 1e9
+      passGcMs += gcMs() - g0
     }
+    if (runSuite && passTotals.nonEmpty) System.err.println(
+      f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
+        f"gc [${passGcMs.mkString(", ")}] ms")
     if (runSuite) ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
       results(name) = if (failedQ(name)) -1.0 else trials(name).min
@@ -309,6 +327,7 @@ object Bench {
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
     var floorSyncP50 = 0L; var floorSyncP99 = 0L
+    var floorWireP50 = 0L; var floorWireP99 = 0L
     // GRAFT_BENCH_DRAIN=0 skips the drain workloads cleanly (suite-focused
     // iteration); the driver's full run keeps the default.
     val runDrain = sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1") != "0"
@@ -646,7 +665,12 @@ object Bench {
       //  - sync parquet stand-in (`latency_floor_sync_ms`): the pre-r8
       //    number, kept so the async win is measured against its own round,
       //    not remembered from a previous one
-      def floorOnce(sinkFormat: String, async: Boolean): (Long, Long) = {
+      //  - wire DSv2 producers against the scripted broker
+      //    (`latency_floor_wire_ms`): the end-to-end Kafka-path floor —
+      //    real codec + socket + ack round-trip per batch, pooled
+      //    connections (WireProducerPool), async progress
+      def floorOnce(sinkFormat: String, async: Boolean,
+          wire: Option[graft.FakeKafkaBroker] = None): (Long, Long) = {
         val metricsF = new graft.metrics.GraftMetrics
         val listenerF = new graft.metrics.GraftQueryListener(metricsF)
         spark.streams.addListener(listenerF)
@@ -665,7 +689,9 @@ object Bench {
           val outDir = Files.createTempDirectory("graft-bench-floor-out").toString
           val ckptDir = Files.createTempDirectory("graft-bench-floor-ckpt").toString
           val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
-            ckptDir, outDir, kafkaBootstrap = None, triggerMs = 5L,
+            ckptDir, outDir,
+            kafkaBootstrap = wire.map(b => s"wire://localhost:${b.port}"),
+            triggerMs = 5L,
             sinkFormat = sinkFormat, asyncProgress = async)
           var seg = 0
           (1 to 120).foreach { i =>
@@ -685,23 +711,35 @@ object Bench {
           spark.streams.removeListener(listenerF)
         }
       }
-      (1 to passes).foreach { pass =>
+      val floorBroker =
+        if (sys.env.getOrElse("GRAFT_BENCH_FLOOR_WIRE", "1") != "0")
+          Some(new graft.FakeKafkaBroker(Map(
+            "cdc.click" -> 4, "cdc.purchase" -> 4, "cdc.signup" -> 4,
+            "cdc.view" -> 4), retain = false))
+        else None
+      try (1 to passes).foreach { pass =>
         try {
           val (sp50, sp99) = floorOnce("parquet", async = false)
           val (ap50, ap99) = floorOnce("frames", async = true)
+          val (wp50, wp99) = floorBroker match {
+            case Some(b) => floorOnce("frames", async = true, wire = Some(b))
+            case None => (0L, 0L)
+          }
           if (pass == passes) {
             floorP50 = ap50; floorP99 = ap99
             floorSyncP50 = sp50; floorSyncP99 = sp99
+            floorWireP50 = wp50; floorWireP99 = wp99
           }
           System.err.println(
             s"[bench] latency_floor pass $pass/$passes (trigger=5ms, " +
               s"1-event batches): async-frames p50=${ap50}ms p99=${ap99}ms, " +
-              s"sync-parquet p50=${sp50}ms p99=${sp99}ms")
+              s"sync-parquet p50=${sp50}ms p99=${sp99}ms, " +
+              s"wire p50=${wp50}ms p99=${wp99}ms")
         } catch { case e: Throwable =>
           // p50=0 in the JSON means "not measured", never "sub-ms floor"
           System.err.println(s"[bench] latency_floor failed: ${e.getMessage}")
         }
-      }
+      } finally floorBroker.foreach(_.close())
     }
 
     // The driver records only the LAST 2000 characters of stdout (BENCH_r06:
@@ -741,6 +779,9 @@ object Bench {
       s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
       s""""latency_floor_sync_ms":{"p50":$floorSyncP50,"p99":$floorSyncP99},""" +
+      s""""latency_floor_wire_ms":{"p50":$floorWireP50,"p99":$floorWireP99},""" +
+      s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
+      s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
       s""""sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
