@@ -1667,7 +1667,65 @@ object AnalyticsQueries {
       |  CAST((SELECT count(*) FROM s3) * 1000000 //
       |    greatest((SELECT count(*) FROM s2), 1) AS BIGINT) AS purchase_rate_pm""".stripMargin)
 
+  // Linear multi-touch attribution — the marketing-analytics shape behind
+  // "which channel gets credit for this purchase": every purchase splits
+  // 1e6 credit units EQUALLY across the DISTINCT non-purchase event types
+  // the user touched in the 7 days before it, each type's share an exact
+  // floor-div (1e6 div n — remainders are dropped identically on both
+  // engines, so totals hash-match where a float 1/n split would drift with
+  // summation order). Strictly-before is the composite (ts, event_id)
+  // order, the same total order every sessionize/funnel query uses. Scale
+  // shape: ONE user-key shuffle co-locates a user's purchases with their
+  // touches; the in-task range predicate (7-day lookback) bounds the
+  // per-conversion candidate set by the user's WINDOWED activity — the
+  // lookback bound is what keeps this linear at 100 TB, exactly why real
+  // attribution pipelines define one; the per-conversion distinct and the
+  // final per-type rollup are both partial-aggregable.
+  val eventsAttributionLinear: (QFn, String) = (
+    (s, dir) => {
+      val base = events(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+      val convs = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("ts_us").as("cts"),
+          col("event_id").as("conv_id"))
+      val touches = base.filter(col("event_type") =!= "purchase")
+      val credits = touches.join(convs,
+          col("user_id") === col("cu") &&
+            (col("ts_us") < col("cts") ||
+              (col("ts_us") === col("cts") && col("event_id") < col("conv_id"))) &&
+            col("cts") - col("ts_us") <= lit(604800000000L))
+        .select(col("conv_id"), col("event_type")).distinct()
+        .groupBy(col("conv_id"))
+        .agg(collect_list(col("event_type")).as("types"),
+          count(lit(1)).as("n_types"))
+        .select(col("conv_id"), explode(col("types")).as("touch_type"),
+          expr("1000000 div n_types").as("credit_e6"))
+      credits.groupBy(col("touch_type"))
+        .agg(sum(col("credit_e6")).as("total_credit_e6"),
+          count(lit(1)).as("n_conversions"))
+    },
+    """WITH base AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |convs AS (SELECT user_id AS cu, ts_us AS cts, event_id AS conv_id
+      |          FROM base WHERE event_type = 'purchase'),
+      |ct AS (
+      |  SELECT DISTINCT conv_id, event_type
+      |  FROM base t JOIN convs c ON t.user_id = c.cu
+      |    AND (t.ts_us < c.cts OR (t.ts_us = c.cts AND t.event_id < c.conv_id))
+      |    AND c.cts - t.ts_us <= 604800000000
+      |  WHERE t.event_type <> 'purchase'),
+      |nt AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_types
+      |       FROM ct GROUP BY 1)
+      |SELECT ct.event_type AS touch_type,
+      |  CAST(sum(1000000 // n_types) AS BIGINT) AS total_credit_e6,
+      |  CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM ct JOIN nt ON ct.conv_id = nt.conv_id
+      |GROUP BY 1""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_attribution_linear" -> eventsAttributionLinear,
     "events_funnel_steps" -> eventsFunnelSteps,
     "events_trending_topk" -> eventsTrendingTopk,
     "events_markov_transitions" -> eventsMarkovTransitions,

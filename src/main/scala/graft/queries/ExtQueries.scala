@@ -2631,6 +2631,214 @@ object ExtQueries {
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY vec_id""".stripMargin)
 
+  // Corpus collocations — the top word bigrams by LIFT (observed pair
+  // frequency over the frequency its endpoints' independent rates
+  // predict), the exact-integer surrogate for PMI: lift_e6 = 1e6·N·c(a,b)
+  // div (c1(a)·c2(b)) where c1/c2 are positional unigram totals DERIVED
+  // FROM the pair frame itself — so one scan tokenizes the corpus and
+  // everything downstream is aggregation over (w1, w2). log(PMI) would
+  // rank identically but cannot hash-match across engines; the lift ratio
+  // in decimal(38,0)/HUGEINT intermediates can (1e6·N·c overflows a Long
+  // at web-corpus N — the same audited headroom rule as burstiness).
+  // Min-support 5 prunes the noise tail BEFORE the rank. Scale shape: one
+  // pair-key shuffle aggregate; the positional unigram frames are
+  // |vocab|-sized partial aggregates over it that BROADCAST back; the
+  // one-row pair total rides a broadcast crossJoin; top-25 is
+  // TakeOrderedAndProject, never a global sort materialization.
+  val textCollocations: (QFn, String) = (
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks
+        .select(posexplode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+          .as(Seq("pos", "p")))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds c1, c2, the total AND the scored frame
+      val c1 = pairs.groupBy(col("w1").as("a")).agg(sum(col("c")).as("c1"))
+      val c2 = pairs.groupBy(col("w2").as("b")).agg(sum(col("c")).as("c2"))
+      val total = pairs.agg(sum(col("c")).as("n_pairs"))
+      pairs.filter(col("c") >= 5)
+        .join(broadcast(c1), col("w1") === col("a"))
+        .join(broadcast(c2), col("w2") === col("b"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("c").as("pair_n"),
+          // denominator promoted BEFORE the multiply: c1·c2 in Long
+          // overflows at web-corpus vocab rates even when the ratio is tiny
+          expr("cast((cast(1000000 as decimal(38,0)) * n_pairs * c) div " +
+            "(cast(c1 as decimal(38,0)) * c2) as bigint)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+        .limit(25)
+    },
+    s"""$toksCte,
+       |pr AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM toks WHERE len(t) >= 2)),
+       |pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       |          FROM pr GROUP BY 1, 2),
+       |c1 AS (SELECT w1 AS a, CAST(sum(c) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+       |c2 AS (SELECT w2 AS b, CAST(sum(c) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM pairs)
+       |SELECT w1, w2, c AS pair_n,
+       |  CAST((1000000::HUGEINT * n_pairs * c) // (c1::HUGEINT * c2) AS BIGINT) AS lift_e6
+       |FROM pairs JOIN c1 ON w1 = a JOIN c2 ON w2 = b CROSS JOIN tot
+       |WHERE c >= 5
+       |ORDER BY lift_e6 DESC, w1, w2 LIMIT 25""".stripMargin)
+
+  // Embedding-distribution drift between two corpus halves (vec_id parity
+  // — the stand-in for "yesterday's batch vs today's"): per label, the
+  // squared L2 distance between the halves' centroids, in EXACT integer
+  // arithmetic — dims quantize to e6 Longs (floor of a double product is
+  // bit-identical across engines), each centroid coordinate is
+  // floor(sum/n) computed in DOUBLE (sums stay far below 2^53, and
+  // floor-of-double agrees on negatives where Long `div` truncates toward
+  // zero — embeddings are signed, money is not). The monitoring query an
+  // embedding pipeline runs per ingest batch to catch encoder or data
+  // drift. Scale shape: ONE (label, dim, half) shuffle aggregate (64·k·2
+  // output rows regardless of corpus size), then a k-row reshape — the
+  // corpus is touched exactly once and everything after is constant-sized.
+  val embCentroidShift: (QFn, String) = (
+    (s, dir) => {
+      val ve = emb(s, dir).select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
+      val cent = ve.groupBy(col("label"), col("dim"))
+        .agg(
+          floor(sum(when(col("half") === 0, col("x_e6"))).cast("double") /
+            count(when(col("half") === 0, 1))).cast("long").as("c0"),
+          floor(sum(when(col("half") === 1, col("x_e6"))).cast("double") /
+            count(when(col("half") === 1, 1))).cast("long").as("c1"),
+          count(when(col("half") === 0, 1)).as("n0d"),
+          count(when(col("half") === 1, 1)).as("n1d"))
+      cent.groupBy(col("label"))
+        .agg(sum((col("c0") - col("c1")) * (col("c0") - col("c1")))
+            .as("shift_l2sq_e12"),
+          max(col("n0d")).as("n_half0"), max(col("n1d")).as("n_half1"))
+    },
+    """WITH ve AS (
+      |  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x_e6
+      |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(floor(CAST(sum(CASE WHEN half = 0 THEN x_e6 END) AS DOUBLE)
+      |      / count(CASE WHEN half = 0 THEN 1 END)) AS BIGINT) AS c0,
+      |    CAST(floor(CAST(sum(CASE WHEN half = 1 THEN x_e6 END) AS DOUBLE)
+      |      / count(CASE WHEN half = 1 THEN 1 END)) AS BIGINT) AS c1,
+      |    CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n0d,
+      |    CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1d
+      |  FROM ve GROUP BY 1, 2)
+      |SELECT label, CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS shift_l2sq_e12,
+      |  CAST(max(n0d) AS BIGINT) AS n_half0,
+      |  CAST(max(n1d) AS BIGINT) AS n_half1
+      |FROM cent GROUP BY 1""".stripMargin)
+
+  // Multi-source BFS hop levels over the undirected k-NN graph — "how far
+  // is every vector from the nearest seed", the reachability primitive
+  // under influence propagation and seed-expansion labeling. Seeds are a
+  // deterministic slice (vec_id % 97 = 0); depth is bounded at 4 (a fixed
+  // semantic, not a convergence guess — unreached nodes are absent, which
+  // is itself signal). EXACT because levels are integers and min() is
+  // order-free. Scale shape: the textbook Pregel frontier loop — per
+  // level, ONLY the newly-reached frontier joins the edge list (one hash
+  // join on the node key, the same key the edges already shuffle on), then
+  // one partial-aggregable min folds new candidates into the reached set;
+  // the reached frame is checkpointed per level so lineage stays flat. At
+  // 100 TB the frontier join moves |frontier|·avg-degree rows, never the
+  // full graph — the property that makes BFS feasible at all.
+  val graphBfsLevels: (QFn, String) = (
+    (s, dir) => {
+      val edges = simKnnGraph._1(s, dir)
+        .select(col("src"), col("dst"))
+      // both directions: reachability is undirected even though knn is not
+      val bi = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint() // every level's join reads this frame
+      var reached = emb(s, dir).select(col("vec_id").as("node"))
+        .filter(col("node") % 97 === 0)
+        .select(col("node"), lit(0L).as("level"))
+        .localCheckpoint()
+      (1 to 4).foreach { lvl =>
+        val frontier = reached.filter(col("level") === (lvl - 1))
+        val nxt = frontier.join(bi, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(lvl.toLong).as("level"))
+        reached = reached.union(nxt)
+          .groupBy(col("node")).agg(min(col("level")).as("level"))
+          .localCheckpoint()
+      }
+      reached.select(col("node").as("vec_id"), col("level"))
+    },
+    s"""$knnEdgesCtes,
+       |bi AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+       |l0 AS (SELECT vec_id AS node, CAST(0 AS BIGINT) AS level
+       |       FROM embeddings WHERE vec_id % 97 = 0),
+       |l1 AS (SELECT node, CAST(min(level) AS BIGINT) AS level FROM (
+       |  SELECT node, level FROM l0 UNION ALL
+       |  SELECT bi.dst, 1 FROM l0 JOIN bi ON l0.node = bi.src
+       |    AND l0.level = 0) GROUP BY 1),
+       |l2 AS (SELECT node, CAST(min(level) AS BIGINT) AS level FROM (
+       |  SELECT node, level FROM l1 UNION ALL
+       |  SELECT bi.dst, 2 FROM l1 JOIN bi ON l1.node = bi.src
+       |    AND l1.level = 1) GROUP BY 1),
+       |l3 AS (SELECT node, CAST(min(level) AS BIGINT) AS level FROM (
+       |  SELECT node, level FROM l2 UNION ALL
+       |  SELECT bi.dst, 3 FROM l2 JOIN bi ON l2.node = bi.src
+       |    AND l2.level = 2) GROUP BY 1),
+       |l4 AS (SELECT node, CAST(min(level) AS BIGINT) AS level FROM (
+       |  SELECT node, level FROM l3 UNION ALL
+       |  SELECT bi.dst, 4 FROM l3 JOIN bi ON l3.node = bi.src
+       |    AND l3.level = 3) GROUP BY 1)
+       |SELECT node AS vec_id, level FROM l4""".stripMargin)
+
+  // Bounded k-core peeling (k = 4, 2 rounds) — the density filter that
+  // separates "vector sits in a genuinely dense neighborhood" from "vector
+  // merely has k neighbors because knn forces k edges on everyone". The
+  // semantic is R ROUNDS of degree-<k removal, not run-to-fixpoint — a
+  // deterministic contract at any scale (fixpoint iteration count is
+  // data-dependent; a fixed R is reproducible and each round strictly
+  // shrinks the survivor set). Output = survivors with the degree that
+  // qualified them in the last round. Scale shape: per round ONE hash join
+  // of the (small, shrinking) survivor set against the checkpointed edge
+  // list — the edge frame never recomputes — and one partial-aggregable
+  // degree count; the survivor key set is a semi-join filter, so rounds
+  // get CHEAPER as peeling proceeds. The classic iterative-refinement plan
+  // (PageRank's loop with a filter instead of a sum).
+  val graphKcore: (QFn, String) = (
+    (s, dir) => {
+      val edges = simKnnGraph._1(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint() // (u,v) u≠v both directions, distinct by construction
+      var alive = emb(s, dir).select(col("vec_id").as("node"))
+      var deg: org.apache.spark.sql.DataFrame = null
+      (1 to 2).foreach { _ =>
+        deg = bi
+          .join(alive.select(col("node").as("au")), col("u") === col("au"))
+          .join(alive.select(col("node").as("av")), col("v") === col("av"))
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 4)
+          .localCheckpoint()
+        alive = deg.select(col("u").as("node"))
+      }
+      deg.select(col("u").as("vec_id"), col("deg"))
+    },
+    s"""$knnEdgesCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM knn),
+       |bi AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |a1 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bi
+       |       GROUP BY 1 HAVING count(*) >= 4),
+       |a2 AS (SELECT bi.u, CAST(count(*) AS BIGINT) AS deg FROM bi
+       |       JOIN a1 x ON bi.u = x.u JOIN a1 y ON bi.v = y.u
+       |       GROUP BY 1 HAVING count(*) >= 4)
+       |SELECT u AS vec_id, deg FROM a2""".stripMargin)
+
   // Top-3 characteristic terms per document by df-damped term frequency
   // (score = tf·1e6 div df — the integer-exact relevance ordering; a float
   // idf log would rank near-identically but cannot hash-match across
@@ -3042,6 +3250,10 @@ object ExtQueries {
     "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_bfs_levels" -> graphBfsLevels,
+    "graph_kcore" -> graphKcore,
+    "text_collocations" -> textCollocations,
+    "emb_centroid_shift" -> embCentroidShift,
     "text_top_terms" -> textTopTerms,
     "text_bpe_pairs" -> textBpePairs,
     "sim_hybrid_search" -> simHybridSearch,

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * predicates, distribution queries, and exists/not-exists decorrelation —
   * the query shapes a warehouse migration actually exercises beyond simple
   * star rollups. (Q11/Q20 need a `partsupp` table the fixture set does not
-  * carry; Q2 and Q16 are adapted to lineitem-observed supplier-part
+  * carry, so both are adapted to the trade lineitem actually witnesses —
+  * `olap_important_stock`, `olap_surge_suppliers`; Q2 and Q16 are adapted
+  * to lineitem-observed supplier-part
   * relationships — `olap_cheapest_supplier`, `olap_supplier_variety` —
   * and Q12/Q19/Q21 are adapted to the columns that exist —
   * lateness is derived from `l_shipdate - o_orderdate` because the fixtures
@@ -631,7 +633,110 @@ object OlapDeepQueries {
       |WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad)
       |GROUP BY 1, 2""".stripMargin)
 
+  // TPC-H Q11-shaped important stock: the supplier-part positions whose
+  // observed trade value exceeds 5× the MEAN position value in a 5-nation
+  // group. Q11's partsupp value (supplycost·availqty) is adapted to the
+  // value lineitem actually witnesses — Σ price·qty per (suppkey,
+  // partkey); Q11's fixed-fraction cut (0.0001/SF — it must scale the
+  // threshold by hand) is replaced by the mean-relative form, which is
+  // scale-stable BY CONSTRUCTION (measured: 9 rows at sf0.01, 31 at sf0.1
+  // — never degenerating to empty or to everything as the corpus grows).
+  // Scale shape: the nation filter shrinks supplier BEFORE the fact is
+  // touched (broadcast); ONE (supp, part) shuffle aggregate builds the
+  // position frame, checkpointed because it feeds BOTH the one-row
+  // total/count and the threshold filter; the cut is the exact-integer
+  // cross-multiplication value·n > 5·total — never a ratio division — so
+  // it is bit-identical across engines and no float epsilon can flip a
+  // boundary position. The only data-scaled shuffle is partial-aggregable.
+  val olapImportantStock: (QFn, String) = (
+    (s, dir) => {
+      val grpSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_nationkey") < 5).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val positions = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          floor(col("l_extendedprice") * col("l_quantity") * 100)
+            .cast("long").as("v_e2"))
+        .join(broadcast(grpSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("v_e2")).as("value_e2"))
+        .localCheckpoint() // feeds the group total AND the threshold filter
+      val total = positions
+        .agg(sum(col("value_e2")).as("total_e2"), count(lit(1)).as("n_pos"))
+      positions.crossJoin(broadcast(total))
+        // decimal(38,0): value·n and 5·total both clear Long range at
+        // warehouse scale (value_e2 ~1e13 × n_pos ~1e9); HUGEINT on the
+        // oracle side — same audited-headroom rule as events_burstiness
+        .filter(expr("cast(value_e2 as decimal(38,0)) * n_pos > " +
+          "5 * cast(total_e2 as decimal(38,0))"))
+        .select(col("l_suppkey"), col("l_partkey"), col("value_e2"))
+    },
+    """WITH gs AS (
+      |  SELECT s_suppkey FROM supplier JOIN nation
+      |    ON s_nationkey = n_nationkey AND n_nationkey < 5),
+      |pos AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT))
+      |      AS BIGINT) AS value_e2
+      |  FROM lineitem JOIN gs ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2,
+      |               CAST(count(*) AS BIGINT) AS n_pos FROM pos)
+      |SELECT l_suppkey, l_partkey, value_e2 FROM pos, tot
+      |WHERE value_e2::HUGEINT * n_pos > 5 * total_e2::HUGEINT""".stripMargin)
+
+  // TPC-H Q20-shaped surge suppliers: suppliers that shipped MORE THAN HALF
+  // of a part's lifetime volume inside one year (1996) — Q20's "excess
+  // availability" correlated-threshold semi-join re-expressed on the
+  // observed ship history (the fixture has no partsupp.availqty). The
+  // year-window and lifetime sums come from ONE conditional aggregate over
+  // ONE fact scan (sum(CASE WHEN in-window)) — never two scans joined; the
+  // half-of-lifetime cut is the exact-integer compare qty1996·2 >
+  // qty_total; the supplier dimension joins AFTER the (supp, part) frame
+  // has collapsed to qualifying pairs (broadcast). The quantity sums are
+  // Longs because l_quantity is integral by fixture contract — audited,
+  // not assumed (floor() on both engines would mask a drift).
+  val olapSurgeSuppliers: (QFn, String) = (
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(when(col("sd_us") >= US_1996_01_01 &&
+            col("sd_us") < US_1997_01_01, col("qty")).otherwise(0L))
+            .as("qty_1996"),
+          sum(col("qty")).as("qty_total"))
+        .filter(expr("qty_1996 * 2 > qty_total"))
+      pairs.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_surge_parts"),
+          sum(col("qty_1996")).as("surge_qty"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_surge_parts"),
+          col("surge_qty"))
+    },
+    """WITH pairs AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(sum(CASE WHEN epoch_us(l_shipdate) >= 820454400000000
+      |                   AND epoch_us(l_shipdate) < 852076800000000
+      |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS qty_1996,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name,
+      |  CAST(count(*) AS BIGINT) AS n_surge_parts,
+      |  CAST(sum(qty_1996) AS BIGINT) AS surge_qty
+      |FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE qty_1996 * 2 > qty_total
+      |GROUP BY 1, 2""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "olap_important_stock" -> olapImportantStock,
+    "olap_surge_suppliers" -> olapSurgeSuppliers,
     "olap_supplier_variety" -> olapSupplierVariety,
     "olap_cheapest_supplier" -> olapCheapestSupplier,
     "olap_market_basket" -> olapMarketBasket,

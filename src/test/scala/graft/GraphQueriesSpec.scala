@@ -34,6 +34,62 @@ class GraphQueriesSpec extends AnyFunSuite {
       s"each triangle must credit exactly 3 corners (got $total)")
   }
 
+  test("graph_bfs_levels: seeds at 0, every level-l node has a level-(l-1) " +
+      "neighbor, nothing past depth 4") {
+    val lv = SparkEntry.queries("graph_bfs_levels")(spark, sf)
+    val rows = lv.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("level")).toMap
+    assert(rows.nonEmpty && rows.values.forall(l => l >= 0 && l <= 4))
+    // level 0 ⟺ seed (vec_id % 97 = 0); seeds are always in the output
+    assert(rows.filter(_._2 == 0).keySet == rows.keySet.filter(_ % 97 == 0))
+    // BFS optimality: a node at level l must have SOME neighbor at l-1 and
+    // NO neighbor at < l-1 (else its own level would be smaller)
+    val e = graft.queries.ExtQueries.all("sim_knn_graph")._1(spark, sf)
+      .select(col("src"), col("dst")).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.filter(_._2 > 0).foreach { case (n, l) =>
+      val nbrLevels = e.getOrElse(n, Set.empty).flatMap(rows.get)
+      assert(nbrLevels.contains(l - 1), s"node $n level $l lacks an l-1 neighbor")
+      assert(!nbrLevels.exists(_ < l - 1), s"node $n level $l not minimal")
+    }
+  }
+
+  test("graph_kcore: every survivor has degree >= 4 within the survivor set") {
+    val core = SparkEntry.queries("graph_kcore")(spark, sf)
+    val deg = core.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("deg")).toMap
+    assert(deg.nonEmpty && deg.values.forall(_ >= 4))
+    // the reported degree counts neighbors inside the round-1 survivor
+    // set, so it can never exceed the node's full-graph undirected degree
+    val e = graft.queries.ExtQueries.all("sim_knn_graph")._1(spark, sf)
+      .selectExpr("least(src, dst) u", "greatest(src, dst) v").distinct()
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    deg.foreach { case (n, d) =>
+      assert(d <= e.getOrElse(n, Set.empty).size,
+        s"node $n reports deg $d above its full-graph degree")
+    }
+  }
+
+  test("events_attribution_linear: per-conversion credit never exceeds 1e6 " +
+      "and touch types are the non-purchase set") {
+    val rows = SparkEntry.queries("events_attribution_linear")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("touch_type")).toSet
+    assert(!types.contains("purchase"))
+    rows.foreach { r =>
+      val credit = r.getAs[Long]("total_credit_e6")
+      val n = r.getAs[Long]("n_conversions")
+      // each conversion contributes at most 1e6/1 and at least 1e6/4
+      // (4 non-purchase types exist) to any single type it touched
+      assert(credit <= n * 1000000 && credit >= n * 250000,
+        s"type ${r.getAs[String]("touch_type")}: credit=$credit n=$n")
+    }
+  }
+
   test("events_path_trigrams: dense ranks 1..k, counts non-increasing") {
     val rows = SparkEntry.queries("events_path_trigrams")(spark, sf)
       .orderBy("rank").collect()

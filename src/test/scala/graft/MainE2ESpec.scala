@@ -50,7 +50,15 @@ class MainE2ESpec extends AnyFunSuite {
       timeoutS: Long = 420,
       whileRunning: () => Unit = () => ()): (Int, String) = {
     val (proc, out) = spawnMain(args, env)
-    whileRunning()
+    // a whileRunning failure (e.g. the phase-1 landing probe timing out)
+    // must kill the child AND surface its output — the bare assert used to
+    // leak the subprocess and report nothing about WHY nothing landed
+    try whileRunning() catch {
+      case t: Throwable =>
+        proc.destroyForcibly()
+        fail(s"${t.getMessage}; child alive=${proc.isAlive}; output tail:\n" +
+          out.synchronized(out.toString).takeRight(4000))
+    }
     val done = proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) { proc.destroyForcibly(); fail(s"Main timed out; output:\n$out") }
     (proc.exitValue(), out.synchronized(out.toString))
@@ -106,7 +114,7 @@ class MainE2ESpec extends AnyFunSuite {
       // generous: under a full parallel `sbt test` the child JVM shares 32
       // cores with every other Spark suite, and cold start + bootstrap +
       // first stream batch has been observed to blow a 120 s budget
-      val deadline = System.nanoTime() + 240000000000L
+      val deadline = System.nanoTime() + 330000000000L
       var landed = false
       while (!landed && System.nanoTime() < deadline) {
         landed = try {
