@@ -1686,6 +1686,7 @@ object AnalyticsQueries {
       val base = events(s, dir)
         .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
           col("event_id"))
+        .localCheckpoint() // conversions AND touches slice this one scan
       val convs = base.filter(col("event_type") === "purchase")
         .select(col("user_id").as("cu"), col("ts_us").as("cts"),
           col("event_id").as("conv_id"))
