@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** The most expensive suite queries by the latest recorded bench (r7). */
+  /** The most expensive suite queries by the latest recorded bench (r7),
+    * plus the r9 additions whose work terms scale superlinearly in theory
+    * (jaccard_suggest: Σdeg² wedges; collocations: pair-vocab shuffle;
+    * attribution: per-user conv×touch within the lookback). */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_components_doubling", "dedup_semantic", "dedup_components",
     "olap_market_basket", "cluster_train_2iter", "dedup_keep_best",
     "olap_waiting_suppliers", "text_repetition", "dedup_soft_weights",
-    "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share")
+    "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share",
+    "graph_jaccard_suggest", "text_collocations", "events_attribution_linear")
 
   /** key columns to shift per table: (table, cols, span source table+col).
     *

@@ -2631,6 +2631,94 @@ object ExtQueries {
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY vec_id""".stripMargin)
 
+  // Link prediction by neighbor Jaccard — "suggest the edge that isn't
+  // there yet": for every distance-2 pair (shares ≥1 neighbor, not
+  // adjacent), J_e6 = 1e6·|N∩| div (deg_u + deg_v − |N∩|) in exact
+  // integers, top-20. The classic friend-of-friend recommender, and on a
+  // near-dup graph the "these two clusters are about to merge" signal.
+  // Scale shape: candidates come from the SAME wedge join that bounds
+  // triangle counting — Σdeg² with degree capped by the knn relation, so
+  // the candidate set is never all-pairs; shared-neighbor counts are one
+  // partial-aggregable aggregate over wedges; the degree frame is a
+  // |V|-row broadcast-able join; existing edges leave via one hash
+  // LEFT ANTI; top-20 is TakeOrderedAndProject. The bi frame is
+  // checkpointed once and feeds degrees AND both wedge sides.
+  val graphJaccardSuggest: (QFn, String) = (
+    (s, dir) => {
+      val und = simKnnGraph._1(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint() // wedge basis AND the anti-join side
+      val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint() // degrees + both wedge sides
+      val deg = bi.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+      val wedge = bi.as("b1").join(bi.as("b2"),
+          col("b1.u") === col("b2.u") && col("b1.v") < col("b2.v"))
+        .select(col("b1.v").as("x"), col("b2.v").as("y"))
+      val shared = wedge.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("shared_n"))
+      shared.join(und, col("x") === col("u") && col("y") === col("v"),
+          "left_anti")
+        .join(deg.select(col("n").as("nx"), col("deg").as("dx")),
+          col("x") === col("nx"))
+        .join(deg.select(col("n").as("ny"), col("deg").as("dy")),
+          col("y") === col("ny"))
+        .select(col("x").as("u"), col("y").as("v"), col("shared_n"),
+          expr("shared_n * 1000000 div (dx + dy - shared_n)").as("j_e6"))
+        .orderBy(col("j_e6").desc, col("u"), col("v"))
+        .limit(20)
+    },
+    s"""$knnEdgesCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM knn),
+       |bi AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+       |wedge AS (SELECT b1.v AS x, b2.v AS y FROM bi b1 JOIN bi b2
+       |          ON b1.u = b2.u AND b1.v < b2.v),
+       |shared AS (SELECT x, y, CAST(count(*) AS BIGINT) AS shared_n
+       |           FROM wedge GROUP BY 1, 2),
+       |cand AS (SELECT s.* FROM shared s LEFT JOIN und e
+       |         ON s.x = e.u AND s.y = e.v WHERE e.u IS NULL)
+       |SELECT x AS u, y AS v, shared_n,
+       |  CAST(shared_n * 1000000 // (dx.deg + dy.deg - shared_n) AS BIGINT) AS j_e6
+       |FROM cand JOIN deg dx ON x = dx.n JOIN deg dy ON y = dy.n
+       |ORDER BY j_e6 DESC, u, v LIMIT 20""".stripMargin)
+
+  // Deterministic per-epoch training order — the "shuffle the corpus
+  // differently every epoch, reproducibly" op every trainer needs: each
+  // doc lands in a STABLE shard (md5 of doc_id — co-located across epochs
+  // so epoch N+1 never re-shuffles bytes between workers) and gets a
+  // per-epoch position from the rank of md5(epoch:doc_id) WITHIN its
+  // shard. No RNG state (retry-stable, the same rule as the sampling
+  // tier); no global sort — the rank window is shard-local, so at 100 TB
+  // the sort is bounded by corpus/shards per task and shard count is the
+  // parallelism knob (8 here; ∝ cluster in production). Two epochs
+  // materialized; the plan is epoch-count-independent (a literal explode).
+  val pipelineEpochOrder: (QFn, String) = (
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        explode(array(lit(1L), lit(2L))).as("epoch"))
+      .select(col("epoch"),
+        (expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 8).as("shard"),
+        col("doc_id"),
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("k"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos")),
+    """WITH ep AS (SELECT unnest([1, 2]) AS epoch),
+      |d AS (SELECT epoch, doc_id,
+      |        CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 8
+      |          AS shard,
+      |        md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS k
+      |      FROM documents CROSS JOIN ep)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, shard, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch, shard
+      |    ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM d""".stripMargin)
+
   // Corpus collocations — the top word bigrams by LIFT (observed pair
   // frequency over the frequency its endpoints' independent rates
   // predict), the exact-integer surrogate for PMI: lift_e6 = 1e6·N·c(a,b)
@@ -3252,6 +3340,8 @@ object ExtQueries {
     "graph_triangles" -> graphTriangles,
     "graph_bfs_levels" -> graphBfsLevels,
     "graph_kcore" -> graphKcore,
+    "graph_jaccard_suggest" -> graphJaccardSuggest,
+    "pipeline_epoch_order" -> pipelineEpochOrder,
     "text_collocations" -> textCollocations,
     "emb_centroid_shift" -> embCentroidShift,
     "text_top_terms" -> textTopTerms,
