@@ -1725,7 +1725,62 @@ object AnalyticsQueries {
       |FROM ct JOIN nt ON ct.conv_id = nt.conv_id
       |GROUP BY 1""".stripMargin)
 
+  // A/B experiment lift — the two-proportion comparison every growth team
+  // runs: users hash-split into control/treatment (md5 parity — the same
+  // deterministic, RNG-free assignment rule as the sampling tier, so a
+  // user's arm is stable across retries, days and engines), conversion =
+  // any purchase. Rates in exact per-million (floor-div), lift as the
+  // DIFFERENCE of rates — a ratio of a possibly-negative diff would hit
+  // the div-vs-// negative-rounding divergence; the diff form is exact
+  // with either sign. Scale shape: ONE user-key reduce collapses the fact
+  // to a row per user (purchase flag is a partial-aggregable max), the
+  // arm split is a per-row hash, and the final conditional aggregate is
+  // one row — no join, no window, nothing data-scaled after the reduce.
+  val eventsAbLift: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select((expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)")
+        .cast("long") % 2).as("arm"), col("converted"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_ctrl"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_treat"))
+      .select(col("n_ctrl"), col("conv_ctrl"), col("n_treat"), col("conv_treat"),
+        expr("conv_ctrl * 1000000 div n_ctrl").as("ctrl_pm"),
+        expr("conv_treat * 1000000 div n_treat").as("treat_pm"),
+        (expr("conv_treat * 1000000 div n_treat") -
+          expr("conv_ctrl * 1000000 div n_ctrl")).as("lift_pm")),
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 8)) AS BIGINT)
+      |           % 2 AS arm, converted
+      |  FROM u),
+      |t AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+      |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+      |      AS conv_ctrl,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+      |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+      |      AS conv_treat
+      |  FROM a)
+      |SELECT n_ctrl, conv_ctrl, n_treat, conv_treat,
+      |  CAST(conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS ctrl_pm,
+      |  CAST(conv_treat * 1000000 // n_treat AS BIGINT) AS treat_pm,
+      |  CAST(conv_treat * 1000000 // n_treat
+      |     - conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS lift_pm
+      |FROM t""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_ab_lift" -> eventsAbLift,
     "events_attribution_linear" -> eventsAttributionLinear,
     "events_funnel_steps" -> eventsFunnelSteps,
     "events_trending_topk" -> eventsTrendingTopk,

@@ -2631,6 +2631,77 @@ object ExtQueries {
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY vec_id""".stripMargin)
 
+  // Video scene-cut detection — the temporal-segmentation pass a video
+  // training pipeline runs before captioning/sampling: consecutive frames
+  // whose perceptual hashes differ by ≥7 of 12 bits mark a cut. Each
+  // doc carries a 4-6 frame lossless P6 "video" (frame f = a 36-byte
+  // slice of the doc text, so consecutive frames OVERLAP — mostly-similar
+  // frames with occasional jumps, exactly the signal cut detection
+  // exists for); every frame decodes through the REAL PPM codec and the
+  // same aHash kernel as mm_ahash/mm_dedup_phash, so the oracle re-derives
+  // every hash bit from raw bytes and the whole chain is value-exact
+  // (lossless path — the JPEG twin of this query would be unit-gated, not
+  // oracled). Scale shape: per-frame decode + hash is pre-shuffle
+  // map-side work; the ONLY shuffle keys on doc_id for the lag() window,
+  // whose partitions are bounded by frames-per-video; output is one row
+  // per doc. Frame explode fan-out is the same budget mm_frame_sample's
+  // partition sizing documents.
+  val mmSceneCuts: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val frames = d.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), (lit(3) + col("doc_id") % 3).cast("int")))
+            .as("f"))
+        .select((col("doc_id") * 8 + col("f")).as("doc_id"),
+          concat(lit("P6\n4 3\n255\n"),
+            rpad(expr("substring(text, cast(f * 5 + 1 as int), 36)"), 36, "x"))
+            .cast("binary").as("media"))
+        .as[graft.multimodal.MediaRecord]
+      val hs = graft.multimodal.Multimodal.ahashPpm(frames).toDF()
+        .select(expr("doc_id div 8").as("doc"), (col("doc_id") % 8).as("f"),
+          col("ahash"))
+      hs.withColumn("prev", lag(col("ahash"), 1).over(
+          Window.partitionBy(col("doc")).orderBy(col("f"))))
+        .filter(col("prev").isNotNull)
+        .select(col("doc"),
+          expr("cast(bit_count(ahash ^ prev) as bigint)").as("ham"))
+        .groupBy(col("doc"))
+        .agg((count(lit(1)) + 1).as("n_frames"),
+          sum(when(col("ham") >= 7, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("ham")).as("max_ham"))
+        .select(col("doc").as("doc_id"), col("n_frames"), col("n_cuts"),
+          col("max_ham"))
+    },
+    """WITH fr AS (
+      |  SELECT doc_id, t.f AS f,
+      |    rpad(substring(text, CAST(t.f * 5 + 1 AS INTEGER), 36), 36, 'x') AS px
+      |  FROM documents,
+      |    unnest(generate_series(0, CAST(3 + doc_id % 3 AS INTEGER))) AS t(f)),
+      |b AS (
+      |  SELECT doc_id, f, t.p AS p,
+      |    ascii(substring(px, CAST(t.p * 3 + 1 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 2 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 3 AS INTEGER), 1)) AS lum
+      |  FROM fr, unnest(generate_series(0, 11)) AS t(p)),
+      |s AS (SELECT doc_id, f, sum(lum) AS tot FROM b GROUP BY 1, 2),
+      |hsh AS (
+      |  SELECT b.doc_id, b.f,
+      |    CAST(sum(CASE WHEN b.lum * 12 > s.tot THEN (CAST(1 AS BIGINT) << b.p)
+      |             ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM b JOIN s ON b.doc_id = s.doc_id AND b.f = s.f GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT doc_id, f, ahash,
+      |    lag(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      |  FROM hsh),
+      |ham AS (
+      |  SELECT doc_id, CAST(bit_count(xor(ahash, prev)) AS BIGINT) AS ham
+      |  FROM lagged WHERE prev IS NOT NULL)
+      |SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN ham >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(max(ham) AS BIGINT) AS max_ham
+      |FROM ham GROUP BY 1""".stripMargin)
+
   // Link prediction by neighbor Jaccard — "suggest the edge that isn't
   // there yet": for every distance-2 pair (shares ≥1 neighbor, not
   // adjacent), J_e6 = 1e6·|N∩| div (deg_u + deg_v − |N∩|) in exact
@@ -3342,6 +3413,7 @@ object ExtQueries {
     "graph_kcore" -> graphKcore,
     "graph_jaccard_suggest" -> graphJaccardSuggest,
     "pipeline_epoch_order" -> pipelineEpochOrder,
+    "mm_scene_cuts" -> mmSceneCuts,
     "text_collocations" -> textCollocations,
     "emb_centroid_shift" -> embCentroidShift,
     "text_top_terms" -> textTopTerms,
