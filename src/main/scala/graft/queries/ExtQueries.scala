@@ -2702,6 +2702,75 @@ object ExtQueries {
       |  CAST(max(ham) AS BIGINT) AS max_ham
       |FROM ham GROUP BY 1""".stripMargin)
 
+  // Community-partition modularity — the quality score for a clustering of
+  // the near-dup graph (here the label partition): per community,
+  // contrib_e9 = 1e9·(4m·e_in − d_c²) div 4m² in exact decimal(38,0)/
+  // HUGEINT arithmetic (m up to ~1e12 edges puts the numerator at ~1e33 —
+  // far past Long, comfortably inside decimal(38,0)); Σ contrib_e9 is
+  // Newman's Q·1e9. Sign-safety, stated: Spark's `div` truncates toward
+  // zero and DuckDB's `//` floors, which diverge on NEGATIVES — but with a
+  // label-partitioned knn relation every edge is intra-community, so
+  // d_c = 2·e_in and the numerator is 4·e_in·(m − e_in) ≥ 0 identically;
+  // a cross-community edge source would need the floor(double) form the
+  // centroid-shift query uses (and smaller scales) or an explicit clamp.
+  // Scale shape: two broadcast-able label joins against the checkpointed
+  // edge list, two partial-aggregable aggregates, a one-row m broadcast —
+  // output is |communities| rows, nothing data-scaled after the joins.
+  val graphModularity: (QFn, String) = (
+    (s, dir) => {
+      val und = simKnnGraph._1(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint() // m, degrees AND e_in read this frame
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val m1 = broadcast(und.agg(count(lit(1)).as("m")))
+      val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      val degc = bi.join(lab, col("u") === col("vec_id"))
+        .groupBy(col("label").as("dl")).agg(count(lit(1)).as("d_c"))
+      val ein = und
+        .join(lab.select(col("vec_id").as("uu"), col("label").as("lu")),
+          col("u") === col("uu"))
+        .join(lab.select(col("vec_id").as("vv"), col("label").as("lv")),
+          col("v") === col("vv"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("el")).agg(count(lit(1)).as("e_in"))
+      lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+        .join(degc, col("label") === col("dl"), "left")
+        .join(ein, col("label") === col("el"), "left")
+        .crossJoin(m1)
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          coalesce(col("d_c"), lit(0L)).as("d_c"), col("m"))
+        .select(col("label"), col("n_nodes"), col("e_in"), col("d_c"),
+          expr("cast((cast(1000000000 as decimal(38,0)) * " +
+            "(4 * cast(m as decimal(38,0)) * e_in - " +
+            "cast(d_c as decimal(38,0)) * d_c)) div " +
+            "(4 * cast(m as decimal(38,0)) * m) as bigint)").as("contrib_e9"))
+    },
+    s"""$knnEdgesCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM knn),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |bi AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |degc AS (SELECT l.label, CAST(count(*) AS BIGINT) AS d_c
+       |         FROM bi JOIN lab l ON bi.u = l.vec_id GROUP BY 1),
+       |ein AS (SELECT lu.label, CAST(count(*) AS BIGINT) AS e_in
+       |        FROM und JOIN lab lu ON und.u = lu.vec_id
+       |                JOIN lab lv ON und.v = lv.vec_id
+       |        WHERE lu.label = lv.label GROUP BY 1),
+       |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+       |       FROM lab GROUP BY 1)
+       |SELECT nn.label, nn.n_nodes, coalesce(e_in, 0) AS e_in,
+       |  coalesce(d_c, 0) AS d_c,
+       |  CAST((1000000000::HUGEINT *
+       |        (4::HUGEINT * m.m * coalesce(e_in, 0)
+       |         - coalesce(d_c, 0)::HUGEINT * coalesce(d_c, 0)))
+       |    // (4::HUGEINT * m.m * m.m) AS BIGINT) AS contrib_e9
+       |FROM nn LEFT JOIN degc ON nn.label = degc.label
+       |        LEFT JOIN ein ON nn.label = ein.label
+       |CROSS JOIN m""".stripMargin)
+
   // Link prediction by neighbor Jaccard — "suggest the edge that isn't
   // there yet": for every distance-2 pair (shares ≥1 neighbor, not
   // adjacent), J_e6 = 1e6·|N∩| div (deg_u + deg_v − |N∩|) in exact
@@ -3414,6 +3483,7 @@ object ExtQueries {
     "graph_jaccard_suggest" -> graphJaccardSuggest,
     "pipeline_epoch_order" -> pipelineEpochOrder,
     "mm_scene_cuts" -> mmSceneCuts,
+    "graph_modularity" -> graphModularity,
     "text_collocations" -> textCollocations,
     "emb_centroid_shift" -> embCentroidShift,
     "text_top_terms" -> textTopTerms,

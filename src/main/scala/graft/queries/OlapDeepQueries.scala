@@ -634,18 +634,19 @@ object OlapDeepQueries {
       |GROUP BY 1, 2""".stripMargin)
 
   // TPC-H Q11-shaped important stock: the supplier-part positions whose
-  // observed trade value exceeds 5× the MEAN position value in a 5-nation
+  // observed trade value exceeds 3× the MEAN position value in a 5-nation
   // group. Q11's partsupp value (supplycost·availqty) is adapted to the
   // value lineitem actually witnesses — Σ price·qty per (suppkey,
   // partkey); Q11's fixed-fraction cut (0.0001/SF — it must scale the
   // threshold by hand) is replaced by the mean-relative form, which is
-  // scale-stable BY CONSTRUCTION (measured: 9 rows at sf0.01, 31 at sf0.1
-  // — never degenerating to empty or to everything as the corpus grows).
+  // scale-stable BY CONSTRUCTION (measured: 2 rows at sf0.001,
+  // 215 at sf0.01, 3645 at sf0.1 — never degenerating to empty or to
+  // everything at any fixture scale).
   // Scale shape: the nation filter shrinks supplier BEFORE the fact is
   // touched (broadcast); ONE (supp, part) shuffle aggregate builds the
   // position frame, checkpointed because it feeds BOTH the one-row
   // total/count and the threshold filter; the cut is the exact-integer
-  // cross-multiplication value·n > 5·total — never a ratio division — so
+  // cross-multiplication value·n > 3·total — never a ratio division — so
   // it is bit-identical across engines and no float epsilon can flip a
   // boundary position. The only data-scaled shuffle is partial-aggregable.
   val olapImportantStock: (QFn, String) = (
@@ -670,7 +671,7 @@ object OlapDeepQueries {
         // warehouse scale (value_e2 ~1e13 × n_pos ~1e9); HUGEINT on the
         // oracle side — same audited-headroom rule as events_burstiness
         .filter(expr("cast(value_e2 as decimal(38,0)) * n_pos > " +
-          "5 * cast(total_e2 as decimal(38,0))"))
+          "3 * cast(total_e2 as decimal(38,0))"))
         .select(col("l_suppkey"), col("l_partkey"), col("value_e2"))
     },
     """WITH gs AS (
@@ -685,7 +686,7 @@ object OlapDeepQueries {
       |tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2,
       |               CAST(count(*) AS BIGINT) AS n_pos FROM pos)
       |SELECT l_suppkey, l_partkey, value_e2 FROM pos, tot
-      |WHERE value_e2::HUGEINT * n_pos > 5 * total_e2::HUGEINT""".stripMargin)
+      |WHERE value_e2::HUGEINT * n_pos > 3 * total_e2::HUGEINT""".stripMargin)
 
   // TPC-H Q20-shaped surge suppliers: suppliers that shipped MORE THAN HALF
   // of a part's lifetime volume inside one year (1996) — Q20's "excess

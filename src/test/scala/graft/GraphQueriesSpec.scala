@@ -90,6 +90,62 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_modularity: contributions non-negative (label-partitioned knn " +
+      "has no cross-community edges), Q in (0, 1e9), d_c = 2 e_in") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var q = 0L
+    rows.foreach { r =>
+      val eIn = r.getAs[Long]("e_in"); val dC = r.getAs[Long]("d_c")
+      val c = r.getAs[Long]("contrib_e9")
+      assert(dC == 2 * eIn, "every edge must be intra-community here")
+      assert(c >= 0, s"negative contribution $c — the sign-safety premise broke")
+      q += c
+    }
+    assert(q > 0 && q < 1000000000L, s"Q_e9=$q out of range")
+  }
+
+  test("graph_jaccard_suggest: suggested pairs are non-edges with j in (0, 1e6]") {
+    val rows = SparkEntry.queries("graph_jaccard_suggest")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val edges = graft.queries.ExtQueries.all("sim_knn_graph")._1(spark, sf)
+      .selectExpr("least(src, dst) u", "greatest(src, dst) v").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val u = r.getAs[Long]("u"); val v = r.getAs[Long]("v")
+      assert(u < v && !edges.contains((u, v)), s"($u,$v) is an existing edge")
+      val j = r.getAs[Long]("j_e6")
+      assert(j > 0 && j <= 1000000L)
+    }
+  }
+
+  test("mm_scene_cuts: cuts bounded by transitions, frame counts match the " +
+      "doc_id formula") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val nf = r.getAs[Long]("n_frames")
+      assert(nf == 4 + doc % 3, s"doc $doc: n_frames=$nf")
+      assert(r.getAs[Long]("n_cuts") <= nf - 1)
+      val mh = r.getAs[Long]("max_ham")
+      assert(mh >= 0 && mh <= 12)
+    }
+  }
+
+  test("events_ab_lift: arms partition the user population, lift consistent " +
+      "with the reported rates") {
+    val r = SparkEntry.queries("events_ab_lift")(spark, sf).collect().head
+    val direct = graft.source.wal.WalFixture.eventsUs(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_ctrl") + r.getAs[Long]("n_treat") == direct,
+      s"arms must partition the $direct users")
+    assert(r.getAs[Long]("conv_ctrl") <= r.getAs[Long]("n_ctrl"))
+    assert(r.getAs[Long]("conv_treat") <= r.getAs[Long]("n_treat"))
+    assert(r.getAs[Long]("lift_pm") ==
+      r.getAs[Long]("treat_pm") - r.getAs[Long]("ctrl_pm"))
+  }
+
   test("events_path_trigrams: dense ranks 1..k, counts non-increasing") {
     val rows = SparkEntry.queries("events_path_trigrams")(spark, sf)
       .orderBy("rank").collect()
