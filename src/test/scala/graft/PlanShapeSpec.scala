@@ -566,6 +566,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
   }
 
+  test("text_collocations: unigram totals broadcast, top-25 distributed") {
+    val p = plan("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |vocab|-sized positional totals must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into:\n$p")
+  }
+
+  test("graph_jaccard_suggest: top-20 distributed, no cartesian candidates") {
+    val p = plan("graph_jaccard_suggest")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join (wedges), got:\n$p")
+  }
+
+  test("pipeline_epoch_order and mm_scene_cuts: no global single-partition " +
+      "window — ranks/lags are shard- and doc-local") {
+    Seq("pipeline_epoch_order", "mm_scene_cuts").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("Window"), s"$name should rank/lag via a window:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$name must never collapse to one partition:\n$p")
+    }
+  }
+
   test("olap_customer_distribution aggregates orders before the left join") {
     val p = plan("olap_customer_distribution")
     // the left join's right side must be the pre-aggregated per-custkey
