@@ -1779,7 +1779,54 @@ object AnalyticsQueries {
       |     - conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS lift_pm
       |FROM t""".stripMargin)
 
+  // Exponentially-smoothed daily series (α = 1/2) — the time-series
+  // smoothing a monitoring/forecast pass runs over per-type daily volume,
+  // as the EXACT integer recurrence s_t = (v_t + s_{t−1}) div 2, s_0 = v_0
+  // (values are non-negative money sums, so div-vs-// cannot diverge; a
+  // float EWMA drifts with fold order and can never hash-match). The
+  // recurrence is inherently sequential, so it runs as an in-task prefix
+  // fold over each type's COLLECTED day series — the array is bounded by
+  // the TIME SPAN (31 days here; a year is 365 entries), never by event
+  // volume, which is what makes collect_list safe where collecting events
+  // would not be. Scale shape: one (type, day) partial-aggregable rollup
+  // collapses the fact, one |types|-key shuffle gathers the bounded
+  // series, and the O(days²) prefix folds are in-task arithmetic on a
+  // few-hundred-element array. Oracle: DuckDB list_reduce over the same
+  // ordered prefix.
+  val eventsForecastHolt: (QFn, String) = (
+    (s, dir) => events(s, dir)
+      .select(col("event_type"),
+        (tsUs - (tsUs % lit(86400000000L))).as("day_us"),
+        floor(col("value") * 1000000).cast("long").as("ve6"))
+      .groupBy(col("event_type"), col("day_us"))
+      .agg(sum(col("ve6")).as("v_e6"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day_us"), col("v_e6"))))
+        .as("srt"))
+      .select(col("event_type"), explode(expr(
+        "transform(srt, (r, i) -> struct(r.day_us as day_us, " +
+          "r.v_e6 as v_e6, " +
+          "aggregate(slice(srt, 2, i), srt[0].v_e6, " +
+          "(acc, x) -> (acc + x.v_e6) div 2) as s_e6))")).as("r"))
+      .select(col("event_type"), col("r.day_us").as("day_us"),
+        col("r.v_e6").as("v_e6"), col("r.s_e6").as("s_e6")),
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+      |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+      |  FROM events GROUP BY 1, 2),
+      |arr AS (
+      |  SELECT event_type, list(day_us ORDER BY day_us) AS days,
+      |         list(v_e6 ORDER BY day_us) AS vs
+      |  FROM d GROUP BY 1),
+      |idx AS (
+      |  SELECT event_type, days, vs, unnest(generate_series(1, len(vs))) AS t
+      |  FROM arr)
+      |SELECT event_type, days[t] AS day_us, vs[t] AS v_e6,
+      |  CAST(list_reduce(vs[1:t], (acc, x) -> (acc + x) // 2) AS BIGINT) AS s_e6
+      |FROM idx""".stripMargin)
+
   val all: Map[String, (QFn, String)] = Map(
+    "events_forecast_holt" -> eventsForecastHolt,
     "events_ab_lift" -> eventsAbLift,
     "events_attribution_linear" -> eventsAttributionLinear,
     "events_funnel_steps" -> eventsFunnelSteps,
