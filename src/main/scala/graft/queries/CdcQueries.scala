@@ -326,6 +326,51 @@ object CdcQueries {
        |        ORDER BY lsn_num DESC) AS rn FROM changelog)
        |WHERE rn = 1""".stripMargin)
 
+  // Incremental VIEW MAINTENANCE — the CDC→OLAP bridge: a per-resource
+  // aggregate (row count + Σvalue of the CURRENT state) maintained from
+  // the changelog's per-version DELTAS, never from a state rebuild. Each
+  // change contributes (new active? +1/+v) − (previous version active?
+  // −1/−v_prev); the per-key delta series telescopes, so the sum over all
+  // changes IS the aggregate over the final state. The PROOF is the
+  // oracle: DuckDB computes the view the other way (materialize rn=1
+  // state, aggregate it) — hash-equality across structurally different
+  // algorithms is what certifies the maintenance rule. Values in exact e6
+  // integers (a double Σ is fold-order-dependent and can never
+  // hash-match). Scale shape: one shuffle on the state key for lag(),
+  // then a partial-aggregable sum to |resources| rows — the same
+  // partitioning a flatMapGroupsWithState twin would keep per key, i.e.
+  // this plan IS streamable: deltas emit per micro-batch and the
+  // downstream sum is a running aggregate (no rebuild at 100 TB).
+  val cdcIncrementalView: (QFn, String) = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("resource"), col("id"))
+        .orderBy(col("lsn_num"))
+      changelog(s, dir)
+        .select(col("resource"), col("id"), col("lsn_num"),
+          (col("op") =!= "DELETE").as("act"),
+          floor(col("value") * 1000000).cast("long").as("v_e6"))
+        .withColumn("prev_act",
+          coalesce(lag(col("act"), 1).over(w), lit(false)))
+        .withColumn("prev_v",
+          coalesce(lag(col("v_e6"), 1).over(w), lit(0L)))
+        .select(col("resource"),
+          (when(col("act"), 1L).otherwise(0L) -
+            when(col("prev_act"), 1L).otherwise(0L)).as("dn"),
+          (when(col("act"), col("v_e6")).otherwise(0L) -
+            when(col("prev_act"), col("prev_v")).otherwise(0L)).as("dv"))
+        .groupBy(col("resource"))
+        .agg(sum(col("dn")).as("n_rows"), sum(col("dv")).as("total_e6"))
+        .filter(col("n_rows") > 0) // an all-deleted resource has no oracle row
+    },
+    s"""$cte, st AS (
+       |  SELECT resource, CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY resource, id
+       |          ORDER BY lsn_num DESC) AS rn FROM changelog)
+       |  WHERE rn = 1 AND op <> 'DELETE')
+       |SELECT resource, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v_e6) AS BIGINT) AS total_e6
+       |FROM st GROUP BY resource""".stripMargin)
+
   // At-least-once consumer dedup: replay the last 10% of the WAL (redelivery
   // after a crash) and collapse duplicates by the (resource, lsn) identity —
   // consumers dedup on meta.lsn (converter.zig:99-100).
@@ -366,5 +411,6 @@ object CdcQueries {
     "cdc_upsert_state" -> cdcUpsertState,
     "cdc_scd2" -> cdcScd2,
     "cdc_tombstone_compaction" -> cdcTombstoneCompaction,
+    "cdc_incremental_view" -> cdcIncrementalView,
     "cdc_at_least_once_dedup" -> cdcAtLeastOnceDedup)
 }

@@ -560,6 +560,81 @@ object ExtQueries {
        |  CAST(1000000 // coalesce(w.csize, 1) AS BIGINT) AS weight_pm
        |FROM documents d LEFT JOIN w ON d.doc_id = w.node""".stripMargin)
 
+  // INCREMENTAL dedup — admit or reject a NEW batch against the EXISTING
+  // corpus without re-clustering anything: the op a continuously-ingesting
+  // 100 TB pipeline actually runs (the all-pairs tier re-labels the world;
+  // this one prices a day's crawl against it). The corpus splits
+  // deterministically (doc_id % 5 = 0 is the "new batch", ~20%); the new
+  // side's LSH bands probe the base side's bands — in production the base
+  // bands are a WRITTEN-ONCE index the daily job only reads, so per-batch
+  // cost is |batch| signatures + one equality join on uniformly-hashed
+  // (band, h) keys + exact verification on candidates only; nothing
+  // rescales with corpus size except the (bucketed, pre-partitioned) index
+  // probe itself. Every new doc gets a verdict row: admitted = 1 (no base
+  // near-dup at j ≥ 0.5) or 0 with dup_of = its best base match (highest
+  // j_e6, largest doc_id on ties — one rank-1 window over the tiny
+  // candidate frame, both engines agree on the total order). Jaccard in
+  // exact e6 integers, same headroom rule as the rest of the tier.
+  val dedupIncremental: (QFn, String) = (
+    (s, dir) => {
+      val bands = lshBands(s, dir)
+      val cand = bands.filter(col("doc_id") % 5 === 0).as("a")
+        .join(bands.filter(col("doc_id") % 5 =!= 0).as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
+        .distinct()
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+      val jac = cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("new_id"))
+        .join(sh.as("sb"),
+          col("sb.doc_id") === col("base_id") && col("sb.s") === col("sa.s"))
+        .groupBy(col("new_id"), col("base_id"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+        .join(sizes.as("za"), col("za.doc_id") === col("new_id"))
+        .join(sizes.as("zb"), col("zb.doc_id") === col("base_id"))
+        .select(col("new_id"), col("base_id"),
+          expr("n_common * 1000000 div (za.n + zb.n - n_common)").as("j_e6"))
+        .filter(col("j_e6") >= 500000)
+      val best = jac.withColumn("rk", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("j_e6").desc, col("base_id").desc)))
+        .filter(col("rk") === 1)
+        .select(col("new_id").as("bid"), col("base_id").as("dup_of"),
+          col("j_e6"))
+      docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .join(best, col("doc_id") === col("bid"), "left_outer")
+        .select(col("doc_id"),
+          when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L))
+            .as("admitted"),
+          col("dup_of"), col("j_e6"))
+    },
+    s"""$toksCte, $shCte, $sigCte, $bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.h = b.h
+       |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |jac AS (
+       |  SELECT new_id, base_id,
+       |    CAST(n_common * 1000000 // (za.n + zb.n - n_common) AS BIGINT) AS j_e6
+       |  FROM (SELECT c.new_id, c.base_id, CAST(count(*) AS BIGINT) AS n_common
+       |        FROM cand c
+       |        JOIN sh a ON a.doc_id = c.new_id
+       |        JOIN sh b ON b.doc_id = c.base_id AND b.s = a.s
+       |        GROUP BY c.new_id, c.base_id) m
+       |  JOIN sizes za ON za.doc_id = m.new_id
+       |  JOIN sizes zb ON zb.doc_id = m.base_id
+       |  WHERE n_common * 1000000 // (za.n + zb.n - n_common) >= 500000),
+       |best AS (SELECT new_id, base_id AS dup_of, j_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY new_id
+       |    ORDER BY j_e6 DESC, base_id DESC) AS rk FROM jac) WHERE rk = 1)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+       |  dup_of, j_e6
+       |FROM documents d LEFT JOIN best ON d.doc_id = best.new_id
+       |WHERE d.doc_id % 5 = 0""".stripMargin)
+
   // Shingle CONTAINMENT (|A∩B| / |A|) on LSH candidate pairs — the
   // asymmetric near-dup signal Jaccard misses: a short document quoted
   // wholesale inside a long one has low Jaccard (the union is huge) but
@@ -2722,7 +2797,11 @@ object ExtQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct().localCheckpoint() // m, degrees AND e_in read this frame
+      // materialized once: degc, e_in (twice) and n_nodes all consume this
+      // 2-column frame — without the checkpoint each is its own
+      // embeddings scan (ScanAuditSpec caught the 4× pass)
       val lab = emb(s, dir).select(col("vec_id"), col("label"))
+        .localCheckpoint()
       val m1 = broadcast(und.agg(count(lit(1)).as("m")))
       val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
       val degc = bi.join(lab, col("u") === col("vec_id"))
@@ -3517,6 +3596,7 @@ object ExtQueries {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_components" -> dedupComponents,
     "dedup_soft_weights" -> dedupSoftWeights,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_components_doubling" -> dedupComponentsDoubling,
     "dedup_semantic" -> dedupSemantic,

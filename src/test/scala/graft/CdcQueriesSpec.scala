@@ -64,6 +64,27 @@ class CdcQueriesSpec extends AnyFunSuite {
     assert(st.filter(col("last_op") === "DELETE").count() == 0)
   }
 
+  test("incremental view: delta maintenance equals state recomputation") {
+    // the DuckDB oracle proves this cross-engine; this pin proves it
+    // WITHIN Spark so a fixture change that breaks the telescoping rule
+    // fails fast with a readable diff. Recompute the view from the
+    // materialized upsert state and diff against the delta-maintained one.
+    val maintained = CdcQueries.cdcIncrementalView._1(spark, sf)
+    val recomputed = CdcQueries.cdcUpsertState._1(spark, sf)
+      .groupBy(col("resource"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000000).cast("long")).as("total_e6"))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "delta-maintained view diverges from state recomputation")
+    // the view is genuinely incremental state: resources present, counts
+    // positive, and the DELETE mix means n_rows < distinct keys touched
+    val touched = ChangeLog.changelog(spark, sf)
+      .groupBy("resource").agg(countDistinct("id").as("k"))
+    val joined = maintained.join(touched, "resource")
+    assert(joined.filter(col("n_rows") > col("k")).count() == 0)
+  }
+
   test("at-least-once dedup: redelivered tail collapses to one per lsn") {
     val d = CdcQueries.cdcAtLeastOnceDedup._1(spark, sf)
     val total = ChangeLog.changelog(spark, sf).count()

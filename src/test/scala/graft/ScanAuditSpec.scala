@@ -68,6 +68,9 @@ class ScanAuditSpec extends AnyFunSuite {
     "dedup_lsh_recall" -> ("persisted shingles, text overcount (query " +
       "slice + corpus side + candidate frame all read the cached subtree)"),
     "dedup_edit_distance" -> "persisted shingles, text overcount",
+    "dedup_incremental" -> ("persisted shingles/signature subtrees, text " +
+      "overcount (batch probe + base index + verify read cached frames); " +
+      "the verdict join's doc_id-only scan is the one real extra pass"),
     "pipeline_clean_corpus" -> "persisted shingles, text overcount",
     "pipeline_decontaminate" -> "persisted shingles, text overcount",
     "pipeline_bloom_decontaminate" -> "persisted shingles, text overcount")
