@@ -147,6 +147,31 @@ object PgServerHarness {
       "-c wal_level=logical",
       "-c max_wal_senders=8",
       "-c max_replication_slots=8",
+      // Throwaway-server durability/WAL tuning. Beyond speed, this makes the
+      // live-drain bench DETERMINISTIC: with stock settings a checkpoint
+      // landing mid-generation (max_wal_size 1 GB, timeout 5 min — both
+      // plausibly crossed while a ~1M-row backlog builds) re-arms
+      // full-page-image writes for every touched page, and the walsender
+      // then has to read and decode a WAL stream whose VOLUME depends on
+      // checkpoint timing — the r8→r9 live_drain_10x 2× swing's shape
+      // (drain wall-clock is ~90% walsender read-wait, measured by
+      // LiveDrainProfile, so WAL bytes ≈ drain time). No FPIs + no
+      // mid-run checkpoints ⇒ same backlog, same WAL bytes, every run.
+      // synchronous_commit stays ON deliberately: with fsync=off the
+      // commit-time XLogFlush is a cheap buffer write, so the flushed
+      // pointer tracks the write pointer at every commit — if it lagged
+      // (sync commit off), the walsender's decode would stall at the flush
+      // boundary and its WalSndWaitForWal keepalives would carry a walEnd
+      // AHEAD of undelivered committed rows (observed: drains "completing"
+      // with 8%% of the backlog undelivered).
+      "-c fsync=off",
+      "-c full_page_writes=off",
+      "-c max_wal_size=16GB",
+      "-c checkpoint_timeout=1h",
+      "-c shared_buffers=512MB",
+      "-c wal_buffers=64MB",
+      "-c logical_decoding_work_mem=256MB",
+      "-c autovacuum=off",
       s"-c unix_socket_directories=$sock",
       "-c log_min_messages=warning") ++ tlsOpts).mkString(" ")
     if (sh(s"$binDir/pg_ctl -D $dataDir -o '$opts' -l $base/server.log " +
