@@ -67,6 +67,20 @@ object Bench {
     val runSuite = sys.env.getOrElse("GRAFT_BENCH_SUITE", "1") != "0"
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // Per-workload failure REASONS for the artifact: three rounds of bare
+    // -1.0 trials proved stderr alone does not survive the driver's tail
+    // window. Every catch that disqualifies a trial ALSO records
+    // class+message here; the artifact carries them under "errors".
+    val errs = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Buffer[String]]
+    def recMsg(tag: String, msg: String): Unit = {
+      val m = if (msg.length > 240) msg.take(240) + "…" else msg
+      val b = errs.getOrElseUpdate(tag, scala.collection.mutable.Buffer.empty)
+      if (b.size < 8) b += m // bounded: the artifact is tail-window-sized
+    }
+    def recErr(tag: String, e: Throwable): Unit =
+      recMsg(tag, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+
     // -------- live drain: a REAL walsender backlog over the wire ----------
     // Runs FIRST-IN-PROCESS (before the suite warm-up fills the heap): the
     // r7 live numbers swung 167-416k ev/s across rounds with "contention"
@@ -123,6 +137,7 @@ object Bench {
       PgServerHarness.start() match {
         case None =>
           System.err.println("[bench] live_drain skipped: server boot failed")
+          recMsg("live_drain", "server boot failed")
         case Some(h) => try {
           val admin = h.session()
           admin.simpleQuery("CREATE TABLE public.bench_records(" +
@@ -196,6 +211,7 @@ object Bench {
             if (nIns < expect) {
               System.err.println(
                 s"[bench] $tag WARNING: spooled $nIns of $expect inserts")
+              recMsg(tag, s"trial disqualified: spooled $nIns of $expect inserts")
               Double.NaN
             } else secs
           }
@@ -247,10 +263,12 @@ object Bench {
             }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
+            recErr("live_drain_10x", e)
           }
           admin.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
+          recErr("live_drain", e)
         } finally h.stop()
       }
       liveLoadAfter = loadAvg()
@@ -259,62 +277,6 @@ object Bench {
           f"after=$liveLoadAfter%.2f (32 cores; >4 shades the numbers)")
     }
 
-
-    // Warm-up: JIT, codegen, parquet footers — not timed, small SF.
-    if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
-      try runToNoop(fn(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
-    }
-
-    // min of 3 runs per query — the reference's component baseline is
-    // min-of-5 (tests/benchmarks/baseline/components.json). The 3 passes are
-    // INTERLEAVED round-robin across queries (pass 1 over all queries, then
-    // pass 2, then 3): this box's contention windows last minutes, so three
-    // back-to-back trials of one query all land inside the same window and
-    // min() can't absorb it — round-robin spreads a window across every
-    // query equally, keeping round-over-round deltas comparable.
-    spark.catalog.clearCache() // drop warm-up-SF caches before timing
-    // GRAFT_BENCH_ONLY=name1,name2 restricts the suite (iteration aid; the
-    // driver's full run leaves it unset).
-    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val trials = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    val failedQ = scala.collection.mutable.Set.empty[String]
-    // Per-PASS totals + GC time: r9 observed whole-suite run-level drift
-    // (+10-25% across untouched queries between same-code full runs);
-    // recording each round-robin pass's wall-clock sum and its GC delta
-    // makes intra-run drift and GC pressure DATA in the artifact instead
-    // of a post-hoc hypothesis.
-    def gcMs(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
-    val passTotals = scala.collection.mutable.Buffer.empty[Double]
-    val passGcMs = scala.collection.mutable.Buffer.empty[Long]
-    if (runSuite) (1 to 3).foreach { _ =>
-      val p0 = System.nanoTime(); val g0 = gcMs()
-      ordered.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try runToNoop(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          failedQ += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
-      }
-      passTotals += (System.nanoTime() - p0) / 1e9
-      passGcMs += gcMs() - g0
-    }
-    if (runSuite && passTotals.nonEmpty) System.err.println(
-      f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
-        f"gc [${passGcMs.mkString(", ")}] ms")
-    if (runSuite) ordered.foreach { case (name, _) =>
-      // a failed query must not masquerade as a fast success
-      results(name) = if (failedQ(name)) -1.0 else trials(name).min
-    }
 
     // ---------------- CDC drain workloads ----------------
     // The reference's headline: steady-state backlog drain
@@ -328,10 +290,17 @@ object Bench {
     var floorP50 = 0L; var floorP99 = 0L
     var floorSyncP50 = 0L; var floorSyncP99 = 0L
     var floorWireP50 = 0L; var floorWireP99 = 0L
+    val walInsuiteTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     // GRAFT_BENCH_DRAIN=0 skips the drain workloads cleanly (suite-focused
     // iteration); the driver's full run keeps the default.
     val runDrain = sys.env.getOrElse("GRAFT_BENCH_DRAIN", "1") != "0"
-    try if (runDrain) {
+    // insuite=false: the full headline pass, run BEFORE the suite on a fresh
+    // heap (the standalone protocol's conditions). insuite=true: a 3-trial
+    // headline-only re-measurement AFTER the suite, recorded as
+    // wal_drain_insuite so heap-history drift is data in the artifact.
+    def drainWorkloads(insuite: Boolean): Unit = {
+      val hdLabel = if (insuite) "wal_drain_insuite" else "wal_drain"
+      try {
       val scale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
       val ev0 = WalFixture.eventsUs(spark, sfDir)
       // replicate with shifted ids for scale > 1 (same schema, same op mix;
@@ -457,24 +426,26 @@ object Bench {
       // fault isolation: a thrown trial (including a delivered-set
       // disqualification) records -1.0 in the trial list and the next trial
       // still runs.
-      val hdTrials = (1 to 5).map { i =>
+      val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
         try headlineDrain(framesHeadline)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] wal_drain trial $i failed: $e")
+          System.err.println(s"[bench] $hdLabel trial $i failed: $e")
           e.printStackTrace()
+          recErr(hdLabel, e)
           -1.0
         }
       }
-      walTrialsRec ++= hdTrials
+      (if (insuite) walInsuiteTrialsRec else walTrialsRec) ++= hdTrials
       val hdOk = hdTrials.filter(_ > 0)
       val secs = if (hdOk.nonEmpty) hdOk.min else -1.0
-      results("wal_drain") = secs
+      results(hdLabel) = secs
       val (p50, p99) = metrics.batchLatencyMs
-      latencyP50 = p50; latencyP99 = p99
+      if (!insuite) { latencyP50 = p50; latencyP99 = p99 }
       spark.streams.removeListener(listener)
       if (hdOk.nonEmpty) System.err.println(
-        f"[bench] wal_drain: $drainEvents events in $secs%.2f s = " +
+        f"[bench] $hdLabel: $drainEvents events in $secs%.2f s = " +
           f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
+      if (insuite) return // the drift point needs only the headline
       if (framesHeadline) {
         // the pre-r8 parquet-stand-in series, kept for cross-round
         // comparability (min-of-3: it is no longer the headline)
@@ -482,6 +453,7 @@ object Bench {
           try headlineDrain(frames = false)
           catch { case e: Throwable =>
             System.err.println(s"[bench] wal_drain_parquet trial $i failed: $e")
+            recErr("wal_drain_parquet", e)
             -1.0
           }
         }.filter(_ > 0)
@@ -544,6 +516,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $label trial $i failed: $e")
             e.printStackTrace()
+            recErr(label, e)
             -1.0
           }
         }
@@ -574,6 +547,7 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] wal_drain_wire trial $i failed: $e")
               e.printStackTrace()
+              recErr("wal_drain_wire", e)
               -1.0
             }
           }
@@ -611,6 +585,7 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] wal_drain_10x trial $i failed: $e")
               e.printStackTrace()
+              recErr("wal_drain_10x", e)
               -1.0
             }
           }
@@ -627,17 +602,21 @@ object Bench {
         } catch { case e: Throwable => // setup (mkEv/count) failed outright
           System.err.println(s"[bench] wal_drain_10x setup failed: $e")
           e.printStackTrace()
+          recErr("wal_drain_10x", e)
           results("wal_drain_10x") = -1.0
         }
       }
 
-    } catch { case e: Throwable =>
-      // headline failure must reach the ARTIFACT, not just stderr: -1.0
-      // lands it in the `failed` list (the suite's convention)
-      System.err.println(s"[bench] wal_drain failed: $e")
-      e.printStackTrace()
-      if (!results.contains("wal_drain")) results("wal_drain") = -1.0
+      } catch { case e: Throwable =>
+        // headline failure must reach the ARTIFACT, not just stderr: -1.0
+        // lands it in the `failed` list plus its reason under "errors"
+        System.err.println(s"[bench] $hdLabel failed: $e")
+        e.printStackTrace()
+        recErr(hdLabel, e)
+        if (!results.contains(hdLabel)) results(hdLabel) = -1.0
+      }
     }
+    if (runDrain) drainWorkloads(insuite = false)
 
 
     // -------- latency floor: tiny trigger, single-event segments --------
@@ -738,9 +717,81 @@ object Bench {
         } catch { case e: Throwable =>
           // p50=0 in the JSON means "not measured", never "sub-ms floor"
           System.err.println(s"[bench] latency_floor failed: ${e.getMessage}")
+          recErr("latency_floor", e)
         }
       } finally floorBroker.foreach(_.close())
     }
+
+    // ---------------- per-query suite (AFTER the headline drains) ---------
+    // The drain/floor headlines above run in this fresh forked JVM BEFORE
+    // the suite touches the heap — the same conditions as the standalone
+    // protocol (GRAFT_BENCH_SUITE=0), so their bands are comparable to the
+    // README ladder and immune to suite heap history (r9/r10 observed
+    // +10-60% run-level drift and 18.5 s pass-1 GC corrupting in-suite
+    // headline numbers).
+    // Warm-up: JIT, codegen, parquet footers — not timed, small SF.
+    if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
+      try runToNoop(fn(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
+    }
+
+    // min of 3 runs per query — the reference's component baseline is
+    // min-of-5 (tests/benchmarks/baseline/components.json). The 3 passes are
+    // INTERLEAVED round-robin across queries (pass 1 over all queries, then
+    // pass 2, then 3): this box's contention windows last minutes, so three
+    // back-to-back trials of one query all land inside the same window and
+    // min() can't absorb it — round-robin spreads a window across every
+    // query equally, keeping round-over-round deltas comparable.
+    spark.catalog.clearCache() // drop warm-up-SF caches before timing
+    // GRAFT_BENCH_ONLY=name1,name2 restricts the suite (iteration aid; the
+    // driver's full run leaves it unset).
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val trials = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    // Per-PASS totals + GC time: r9 observed whole-suite run-level drift
+    // (+10-25% across untouched queries between same-code full runs);
+    // recording each round-robin pass's wall-clock sum and its GC delta
+    // makes intra-run drift and GC pressure DATA in the artifact instead
+    // of a post-hoc hypothesis.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val passTotals = scala.collection.mutable.Buffer.empty[Double]
+    val passGcMs = scala.collection.mutable.Buffer.empty[Long]
+    if (runSuite) (1 to 3).foreach { _ =>
+      val p0 = System.nanoTime(); val g0 = gcMs()
+      ordered.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try runToNoop(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          failedQ += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          recErr(s"suite:$name", e)
+        }
+        trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
+      }
+      passTotals += (System.nanoTime() - p0) / 1e9
+      passGcMs += gcMs() - g0
+    }
+    if (runSuite && passTotals.nonEmpty) System.err.println(
+      f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
+        f"gc [${passGcMs.mkString(", ")}] ms")
+    if (runSuite) ordered.foreach { case (name, _) =>
+      // a failed query must not masquerade as a fast success
+      results(name) = if (failedQ(name)) -1.0 else trials(name).min
+    }
+
+    // In-suite drift point: 3 more headline-drain trials AFTER the suite
+    // has filled the heap, recorded as wal_drain_insuite — the fresh-vs-
+    // dirty-heap delta becomes DATA in the artifact instead of a post-hoc
+    // hypothesis about why rounds disagree.
+    if (runDrain && runSuite) drainWorkloads(insuite = true)
+
 
     // The driver records only the LAST 2000 characters of stdout (BENCH_r06:
     // "tail" is exactly 2000 chars and sbt's "[success] Total time" epilogue
@@ -752,6 +803,12 @@ object Bench {
     // always survives the tail window whole, no matter how the suite grows.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -761,7 +818,8 @@ object Bench {
     // comparability. They stay as individual query entries. Failed queries
     // (recorded as -1.0) must not be summed either: they'd subtract from the
     // total and corrupt it — list them separately instead.
-    val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain")
+    val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain",
+      "wal_drain_insuite") // a re-measurement, not a new workload
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
       .filterNot { case (k, v) => nonComparable(k) || v < 0 }.values.sum
@@ -770,6 +828,11 @@ object Bench {
       s""""n_queries":${results.size},""" +
       s""""wal_drain_latency_ms":{"p50":$latencyP50,"p99":$latencyP99},""" +
       s""""wal_drain_trials":[${walTrialsRec.map(r3).mkString(",")}],""" +
+      s""""wal_drain_insuite_trials":[${walInsuiteTrialsRec.map(r3).mkString(",")}],""" +
+      s""""headline_isolation":"drains+floor run pre-suite on the fresh forked JVM; wal_drain_insuite re-measures post-suite",""" +
+      s""""errors":${errs.map { case (k, v) =>
+        jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")},""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_events":$liveDrainEvents,""" +

@@ -61,6 +61,48 @@ object Main {
       config.streams.map(s => s"${s.name}(${s.resource}→${s.destination})")
         .mkString(", "))
 
+    // From here on the JDK HttpServer's non-daemon dispatcher thread pins
+    // the JVM: an exception that merely kills the main thread leaves a
+    // zombie child that never exits and never runs its shutdown hooks
+    // (observed in the wild: a bootstrap failure left graft.Main alive for
+    // 6+ hours with only DestroyJavaVM + HTTP-Dispatcher running). Every
+    // exit from main MUST go through sys.exit so hooks fire and the
+    // process terminates with a diagnosable status.
+    try runPipeline(config, spark, metrics, http, walDir, ckptDir, outDir)
+    catch {
+      case e: Throwable =>
+        e.printStackTrace()
+        System.err.println(s"[graft] fatal during startup/run: $e")
+        try http.stop() catch { case _: Throwable => () }
+        sys.exit(1)
+    }
+    sys.exit(0)
+  }
+
+  /** Best-effort post-mortem when a bootstrap statement stalls: what is the
+    * server doing / waiting on? Runs on a throwaway short-timeout session;
+    * any failure is swallowed — diagnosis must never mask the original
+    * error or stall the retry for long. */
+  private def diagnoseServer(
+      ep: graft.source.postgres.SocketCopyBothChannel.Endpoint): Unit =
+    try {
+      val s = graft.source.postgres.PgSession.connect(ep,
+        connectTimeoutMs = 5000, queryTimeoutMs = 5000)
+      try s.simpleQuery(
+          "SELECT pid, state, wait_event_type, wait_event, " +
+            "left(query, 120) AS query FROM pg_stat_activity " +
+            "WHERE state IS NOT NULL").rows
+          .foreach(r => System.err.println(
+            s"[graft] pg_stat_activity: ${r.mkString(" | ")}"))
+      finally s.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft] server diagnosis unavailable: $e")
+    }
+
+  private def runPipeline(config: graft.config.EngineConfig,
+      spark: SparkSession, metrics: GraftMetrics, http: MetricsHttp,
+      walDir: String, ckptDir: String, outDir: String): Unit = {
+
     // live wire: with a postgres block in the config, run the full cold-start
     // bootstrap over ONE session — publication + slot creation (capturing
     // consistent_point), snapshot rows delivered to the sink as READ events
@@ -79,18 +121,42 @@ object Main {
     val spooler = config.postgres.map { pg =>
       val ep = graft.source.postgres.SocketCopyBothChannel.parseUri(
         pg.connectionUri.get) // presence enforced at startup above
-      val session = graft.source.postgres.PgSession.connect(ep,
-        queryTimeoutMs = pg.queryTimeoutMs)
       // chunked delivery: bounded driver memory for any table size; the
       // at-scale alternative is the partitioned JdbcSnapshot batch job
       // under an EXPORT_SNAPSHOT name — same events, many scanners
       val delivery = new graft.streaming.SnapshotDelivery(
         spark, config.streams, producer, outDir)
-      val boot = graft.source.postgres.WireBootstrap.bootstrap(
-        session, pg.slotName, pg.publicationName, config.streams,
-        confirmedLsn = graft.source.wal.WalLog.confirmed(walDir),
-        emit = delivery.emit,
-        flushDelivery = () => delivery.flush())
+      def bootstrapOnce() = {
+        val session = graft.source.postgres.PgSession.connect(ep,
+          queryTimeoutMs = pg.queryTimeoutMs)
+        try {
+          val boot = graft.source.postgres.WireBootstrap.bootstrap(
+            session, pg.slotName, pg.publicationName, config.streams,
+            confirmedLsn = graft.source.wal.WalLog.confirmed(walDir),
+            emit = delivery.emit,
+            flushDelivery = () => delivery.flush())
+          (session, boot)
+        } catch { case e: Throwable =>
+          try session.close() catch { case _: Throwable => () }
+          throw e
+        }
+      }
+      // The bootstrap state machine is crash-safe and idempotent by
+      // construction (marker-before-slot, redo-on-orphan, per-resource
+      // ledger — SnapshotBootstrap), so ONE retry on a FRESH session is
+      // always semantically safe: a transient stall poisons the first
+      // session (stream position unknown ⇒ reconnect is mandatory anyway)
+      // and must not take the process down when redoing the bootstrap
+      // would succeed. At-least-once holds — a retry can redeliver
+      // snapshot READs; consumers dedup on meta.lsn.
+      val (session, boot) =
+        try bootstrapOnce()
+        catch { case e: Throwable =>
+          System.err.println(s"[graft] bootstrap attempt 1 failed ($e); " +
+            "dumping server activity, then retrying once on a fresh session")
+          diagnoseServer(ep)
+          bootstrapOnce()
+        }
       println(s"[graft] bootstrap: ${boot.outcome} — " +
         s"${delivery.deliveredCount} snapshot events delivered; streaming " +
         s"from ${graft.model.ChangeEvent.lsnText(boot.startLsn)}")

@@ -77,6 +77,10 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
     * RowDescription and then goes silent (no rows, no ReadyForQuery) —
     * the scripted "slow huge FETCH" that must poison the client session. */
   @volatile var stallOnQuery: String = null
+  /** Socket read timeout for the pre-CopyBoth query loop — each expiry is
+    * retried (idle clients are legal), it only bounds close() latency.
+    * Tests shrink it to prove idle-tolerance deterministically. */
+  @volatile var queryIdleTimeoutMs: Int = 10000
 
   /** Queue one replication payload (XLogData / keepalive) for CopyData push. */
   def send(payload: Array[Byte]): Unit = outQ.add(('d'.toByte, payload))
@@ -116,7 +120,7 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
   private def serve(): Unit = {
     val accepted = server.accept()
     accepted.setTcpNoDelay(true)
-    accepted.setSoTimeout(10000)
+    accepted.setSoTimeout(queryIdleTimeoutMs)
     val in0 = new DataInputStream(accepted.getInputStream)
     val out0 = new DataOutputStream(accepted.getOutputStream)
 
@@ -301,8 +305,24 @@ final class FakeWalsender(auth: FakeWalsender.Auth,
     val cursors = scala.collection.mutable.Map.empty[String, (String, Int)]
     var inCopyBoth = false
 
+    // A real server waits indefinitely for the next statement; the 10 s
+    // socket timeout here exists only so close() can stop the thread. An
+    // idle client between two queries (observed: the cold-start first Spark
+    // parquet write of the snapshot flush barrier runs BETWEEN COMMIT and
+    // the snapdone-ledger CREATE PUBLICATION, and takes >10 s under full-
+    // suite contention) must NOT kill the query loop — that was the
+    // MainE2ESpec flake: server thread dead, client's next query waits 30 s
+    // for a response that never comes, session poisoned, child wedged.
+    def readFrontendPatient(): PgWire.Backend = {
+      while (true) {
+        try return readFrontend()
+        catch { case _: SocketTimeoutException => if (!running) throw new EOFException("closed") }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     while (!inCopyBoth && running) {
-      val q = readFrontend()
+      val q = readFrontendPatient()
       if (q.tag == 'X'.toByte) { sock.close(); return }
       require(q.tag == 'Q'.toByte, s"expected Query, got '${q.tag.toChar}'")
       val sql = new String(q.body, 0, q.body.length - 1, UTF_8)

@@ -14,6 +14,18 @@ import java.nio.file.{Files, Paths}
   * walsender and hands the child its URI through the config's
   * connection_env, exactly how a deployment injects credentials.
   */
+object MainE2ESpec {
+  /** Every child JVM ever spawned — killed from a shutdown hook so that even
+    * an sbt JVM torn down mid-test (SIGTERM from a CI timeout) cannot leak a
+    * graft.Main subprocess. The 6-hour zombie observed in the wild leaked
+    * exactly this way: the test harness died between spawn and the spec's
+    * own destroyForcibly. */
+  private val children = new java.util.concurrent.ConcurrentLinkedQueue[Process]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    children.forEach(p => if (p.isAlive) p.destroyForcibly()), "e2e-child-reaper"))
+  private[graft] def register(p: Process): Unit = children.add(p)
+}
+
 class MainE2ESpec extends AnyFunSuite {
   import FakeWalsender._
 
@@ -36,6 +48,7 @@ class MainE2ESpec extends AnyFunSuite {
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
+    MainE2ESpec.register(proc)
     val out = new StringBuilder
     val reader = new Thread(() => {
       val src = scala.io.Source.fromInputStream(proc.getInputStream)

@@ -128,6 +128,34 @@ class WireBootstrapSpec extends AnyFunSuite {
     } finally { ch.close(); srv2.close() }
   }
 
+  test("slow flush barrier between COMMIT and the snapdone ledger write does " +
+      "not kill the server's query loop (the MainE2ESpec cold-start flake)") {
+    // the flake in the wild: the snapshot flush barrier runs the child's
+    // FIRST Spark parquet job between two bootstrap statements; under
+    // full-suite contention that cold start exceeded the scripted server's
+    // 10 s read timeout, its query loop died, and the next statement
+    // (CREATE PUBLICATION graft_snapdone_…) waited 30 s for a response that
+    // never came — poisoning the session and wedging the child. An idle
+    // client between statements is legal; the server must wait.
+    val srv = new FakeWalsender(Trust)
+    srv.strictSlots = true
+    srv.queryIdleTimeoutMs = 200 // make inter-query idle exceed it cheaply
+    srv.tables.put("public.orders", (ordersCols, ordersRows))
+    val s = PgSession.connect(ep(srv))
+    try {
+      val events = ArrayBuffer.empty[ChangeEvent]
+      val boot = WireBootstrap.bootstrap(s, "graft_slot", "graft_pub", streams,
+        confirmedLsn = 0L, emit = events += _,
+        flushDelivery = () => Thread.sleep(800)) // cold-Spark-job stand-in
+      assert(boot.outcome.isInstanceOf[SnapshotBootstrap.Snapshotted])
+      assert(events.size == 3)
+      // the statements AFTER the idle gap were answered: ledger written
+      assert(WireBootstrap.publicationExists(s,
+        Replication.snapshotDoneName("public.orders")))
+      assert(srv.failure == null, s"server thread died: ${srv.failure}")
+    } finally { s.close(); srv.close() }
+  }
+
   test("existing publication is reconciled to the configured streams " +
       "(a config-added table must not be silently unfiltered)") {
     val srv = new FakeWalsender(Trust)
