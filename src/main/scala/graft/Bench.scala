@@ -874,6 +874,7 @@ object Bench {
     // compact LAST — a tail-window scanner finds the compact line intact.
     println(fullJson)
     println(compactJson)
+    graft.queries.ExtQueries.invalidateKnnEdges(spark) // release checkpoint blocks
     spark.stop()
   }
 }

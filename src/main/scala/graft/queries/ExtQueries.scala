@@ -2453,23 +2453,91 @@ object ExtQueries {
     * stand-in for that materialization (block-manager-backed, truncated
     * lineage). The key carries the block/cell system-property knobs so a
     * test that forces a different quantizer resolution never reads a stale
-    * frame; sessions are weakly keyed so a stopped session's blocks remain
-    * collectable. [[simKnnGraph]] itself stays on the raw build path — the
-    * bench keeps pricing the build honestly while the tier reuses it. */
+    * frame. [[simKnnGraph]] itself stays on the raw build path — the
+    * bench keeps pricing the build honestly while the tier reuses it.
+    *
+    * Lifecycle (r10 VERDICT #3): keyed by the session's UUID — a String —
+    * so the cache never pins a [[SparkSession]] (the previous WeakHashMap's
+    * DataFrame values strongly reached their own weak key, making entries
+    * uncollectable and the checkpoint blocks a JVM-lifetime leak). Hosts
+    * running many sessions release a retiring session's blocks with
+    * [[invalidateKnnEdges]]; any call here also sweeps entries whose
+    * context has stopped. The key additionally carries a fingerprint of
+    * the embeddings parquet under `dir` (file names + sizes + mtimes), so
+    * regenerating the fixture in place within one JVM can never serve
+    * stale edges. The expensive build runs under ConcurrentHashMap's
+    * per-key compute — concurrent callers for DIFFERENT keys (other
+    * sessions, other dirs) are not serialized behind one build. */
   private val knnEdgeCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-  private def knnEdges(s: SparkSession, dir: String): DataFrame =
-    knnEdgeCache.synchronized {
-      var per = knnEdgeCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map.empty[String, DataFrame]
-        knnEdgeCache.put(s, per)
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private def sessionKey(s: SparkSession): String = ColumnBridge.sessionUuid(s)
+
+  private def embFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      val acc = walk.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted.mkString("|")
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(acc))
+    } finally walk.close()
+  }
+
+  /** The localCheckpoint RDD ids inside a cached frame (the blocks
+    * [[invalidateKnnEdges]] must release). */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.toSeq
+
+  private[graft] def knnCachedRddIds(s: SparkSession): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = sessionKey(s) + "|"
+    knnEdgeCache.asScala.collect {
+      case (k, df) if k.startsWith(prefix) => checkpointRdds(df).map(_.id)
+    }.flatten.toSeq
+  }
+
+  /** Release every edge frame cached for `s`: unpersist the checkpoint
+    * blocks and drop the entries. Correctness needs nothing from this — a
+    * dropped entry is simply rebuilt — so single-session processes may
+    * never call it; hosts that run many sessions per JVM call it when a
+    * session retires. Returns the number of entries released. */
+  def invalidateKnnEdges(s: SparkSession): Int = {
+    val prefix = sessionKey(s) + "|"
+    var released = 0
+    val it = knnEdgeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        try checkpointRdds(e.getValue).foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+        it.remove()
+        released += 1
       }
-      val key = dir + "|" + sys.props.getOrElse("graft.knn.block", "") +
-        "|" + sys.props.getOrElse("graft.knn.cell", "")
-      per.getOrElseUpdate(key, simKnnGraph._1(s, dir).localCheckpoint())
     }
+    released
+  }
+
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    // lazy sweep: entries of stopped sessions are unreachable through any
+    // key (their UUID never recurs) — drop them so their blocks release
+    val it = knnEdgeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val key = sessionKey(s) + "|" + dir + "|" +
+      sys.props.getOrElse("graft.knn.block", "") + "|" +
+      sys.props.getOrElse("graft.knn.cell", "") + "|" + embFingerprint(dir)
+    knnEdgeCache.computeIfAbsent(key,
+      _ => simKnnGraph._1(s, dir).localCheckpoint())
+  }
 
   // Semantic dedup clusters (SemDeDup shape): k-NN edges above a cosine
   // threshold → connected components → one cluster id per vector. Pure

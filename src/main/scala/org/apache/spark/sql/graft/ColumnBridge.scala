@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]` in
+    * Spark 4) — cache keys that must not strongly reference the session
+    * (graft's knn edge cache) key on this string instead. */
+  def sessionUuid(s: org.apache.spark.sql.SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => "id-" + System.identityHashCode(other).toHexString
+  }
 }
