@@ -58,6 +58,10 @@ final case class CodecShape(
 final case class VideoFrame(
     doc_id: Long, frame_idx: Long, width: Long, height: Long, out_bytes: Long)
 
+final case class VideoFrameStats(
+    doc_id: Long, frame_idx: Long, width: Long, height: Long,
+    mean_r_e4: Long, mean_g_e4: Long, mean_b_e4: Long, ahash: Long)
+
 object Multimodal {
 
   def md5hex(b: Array[Byte]): String =
@@ -474,31 +478,39 @@ object Multimodal {
     * Through PNG this is oracle-exact END TO END — encode, the codec's
     * actual bit format, decode, and the kernels all have to agree with
     * DuckDB's reconstruction from the raw pattern for the hash to match. */
+  /** Per-raster exact-integer statistics shared by the still-image and
+    * video-frame kernels: per-channel e4 means and the 63-bit aHash (bit p
+    * set iff lum·n > Σlum over the first min(n, 63) raster-order pixels). */
+  private def rasterStats(w: Int, h: Int,
+      rgb: Array[Int]): (Long, Long, Long, Long) = {
+    val n = w.toLong * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < rgb.length) {
+      val v = rgb(p)
+      sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+      p += 1
+    }
+    val tot = sr + sg + sb
+    var hash = 0L
+    val bits = math.min(n, 63L).toInt
+    p = 0
+    while (p < bits) {
+      val v = rgb(p)
+      val lum = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      if (lum * n > tot) hash |= 1L << p
+      p += 1
+    }
+    (sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, hash)
+  }
+
   def decodeCompressedMeta(ds: Dataset[MediaRecord]): Dataset[CodecDecoded] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
         decodeCompressed(r.media).map { case (w, h, rgb) =>
-          val n = w.toLong * h
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var p = 0
-          while (p < rgb.length) {
-            val v = rgb(p)
-            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
-            p += 1
-          }
-          val tot = sr + sg + sb
-          var hash = 0L
-          val bits = math.min(n, 63L).toInt
-          p = 0
-          while (p < bits) {
-            val v = rgb(p)
-            val lum = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
-            if (lum * n > tot) hash |= 1L << p
-            p += 1
-          }
-          CodecDecoded(r.doc_id, w.toLong, h.toLong,
-            sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, hash)
+          val (mr, mg, mb, hash) = rasterStats(w, h, rgb)
+          CodecDecoded(r.doc_id, w.toLong, h.toLong, mr, mg, mb, hash)
         }
       }
     }
@@ -562,6 +574,80 @@ object Multimodal {
             decodeCompressed(frames(f)).map { case (w, h, _) =>
               VideoFrame(rec.doc_id, f.toLong, w.toLong, h.toLong,
                 w.toLong * h * 3)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video-stream demux — LOSSLESS twin (PNG). A concatenated-PNG
+  // stream demuxes by CHUNK STRUCTURE, not by marker scan: after the 8-byte
+  // signature, a PNG is a strict sequence of length-prefixed chunks ending
+  // at IEND, so walking the chunk lengths finds each frame boundary exactly
+  // (compressed IDAT data can never be misread as a boundary — lengths are
+  // authoritative). Because PNG is lossless, per-frame PIXEL statistics —
+  // not just geometry — are oracle-exact end to end: demux → real ImageIO
+  // decode → kernels must all agree with DuckDB's reconstruction from the
+  // raw pattern for the hash to match (the mm_decode_png contract, now
+  // through the full video chain).
+  // ---------------------------------------------------------------------
+
+  /** Split a concatenated-PNG stream into frames by walking chunk lengths.
+    * A stream not starting at the PNG signature, a truncated chunk, or
+    * trailing garbage after the last IEND is quarantined (None). */
+  def demuxPngStream(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val Sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes == null || bytes.length < Sig.length) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (pos + Sig.length > bytes.length) return None
+      var k = 0
+      while (k < Sig.length) {
+        if ((bytes(pos + k) & 0xFF) != Sig(k)) return None
+        k += 1
+      }
+      var i = pos + Sig.length
+      var ended = false
+      while (!ended) {
+        if (i + 8 > bytes.length) return None
+        val len = ((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
+          ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+        val isEnd = bytes(i + 4) == 'I' && bytes(i + 5) == 'E' &&
+          bytes(i + 6) == 'N' && bytes(i + 7) == 'D'
+        val next = i + 8 + len + 4 // length word + type + data + CRC
+        if (len < 0 || next > bytes.length) return None
+        if (isEnd) {
+          frames += java.util.Arrays.copyOfRange(bytes, pos, next)
+          ended = true
+        }
+        i = next
+      }
+      pos = i
+    }
+    Some(frames.result())
+  }
+
+  /** Strided frame sampling + REAL per-frame decode + PIXEL kernels over a
+    * concatenated-PNG video column: demux by chunk structure, take frames
+    * 0, stride, 2·stride…, decode each with the real codec, emit the full
+    * per-frame pixel statistics (lossless ⇒ oracle-exact). Same 100 TB
+    * shape as [[sampleMjpegFrames]]: decode only what you sample, all work
+    * pre-shuffle, full streams never cross an exchange. */
+  def samplePngFrames(ds: Dataset[MediaRecord],
+      stride: Int): Dataset[VideoFrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        demuxPngStream(rec.media).toSeq.flatMap { frames =>
+          Iterator.range(0, frames.size, stride).flatMap { f =>
+            decodeCompressed(frames(f)).map { case (w, h, rgb) =>
+              val (mr, mg, mb, hash) = rasterStats(w, h, rgb)
+              VideoFrameStats(rec.doc_id, f.toLong, w.toLong, h.toLong,
+                mr, mg, mb, hash)
             }
           }
         }

