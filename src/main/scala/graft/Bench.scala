@@ -197,10 +197,17 @@ object Bench {
             val sp = new ReplicationSpooler(ch, walDir)
             val t0 = System.nanoTime()
             val deadline = t0 + 300L * 1000000000L
-            // pumpOnce, not pump(): the end-LSN check must run per message,
+            // pumpOnce, not pump(): the end condition must run per message,
             // or the drain "ends" only after a full read-timeout of silence
-            // and the timing absorbs that idle tail
-            while (sp.lastReceivedLsn < endAt && System.nanoTime() < deadline)
+            // and the timing absorbs that idle tail. DELIVERY gate: a
+            // logical walsender's keepalive walEnd can run ahead of the
+            // data it has actually sent (see ReplicationWire.lastReceivedLsn
+            // caveat), so the timed drain gates on insertFrames — every
+            // expected insert on the wire — with the LSN only as a
+            // fast-path co-condition; the post-hoc spool count below stays
+            // as the off-path double check.
+            while ((sp.insertFrames < expect ||
+                sp.lastReceivedLsn < endAt) && System.nanoTime() < deadline)
               sp.pumpOnce()
             val secs = (System.nanoTime() - t0) / 1e9
             sp.flush()

@@ -71,7 +71,13 @@ object ScaleSmoke {
       "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
       // dims replicate by reference only — copied once, unshifted
       "region" -> Seq.empty, "nation" -> Seq.empty)
-    shifted.foreach { case (name, keys) =>
+    // GRAFT_SMOKE_TABLES=documents,embeddings restricts the replica set —
+    // the sf~30+ rungs probe the vector tier only, and writing a 180 M-row
+    // lineitem nobody reads would triple the rung's build cost for nothing.
+    val tableFilter = sys.env.get("GRAFT_SMOKE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    shifted.filter { case (name, _) => tableFilter.forall(_.contains(name)) }
+      .foreach { case (name, keys) =>
       val base = tbl(name)
       val big =
         if (keys.isEmpty) base
@@ -123,10 +129,14 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jitter = sys.env.getOrElse("GRAFT_SMOKE_JITTER", "0") == "1"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$out/lineitem.parquet")))
+    // completion marker, not a table probe: with GRAFT_SMOKE_TABLES the
+    // replica set may not include lineitem, and a partial (crashed) build
+    // must rebuild rather than silently serve half a fixture dir
+    val doneMarker = java.nio.file.Paths.get(s"$out/_SMOKE_DONE")
+    if (!java.nio.file.Files.exists(doneMarker)) {
       replicate(spark, src, out, copies, jitter)
-    else System.err.println(s"[smoke] reusing replicated dir $out")
+      java.nio.file.Files.createFile(doneMarker)
+    } else System.err.println(s"[smoke] reusing replicated dir $out")
 
     val names = sys.env.get("GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
