@@ -2685,17 +2685,32 @@ object ExtQueries {
 
   /** DuckDB CTE chain reproducing [[simKnnGraph]]'s edge list (`knn(src,
     * dst, cos)`, rank ≤ 3 per src) — the shared basis for the graph-analytics
-    * oracles below. Keep in lockstep with simKnnGraph's own oracle. */
+    * oracles below. Keep in lockstep with simKnnGraph's own oracle — in
+    * particular the corpus-proportional sign-word cell quantizer: at gate
+    * scale every label cell fits the 1024 target so ncells = 1 and this
+    * degenerates to exact within-label knn (byte-identical results to the
+    * pre-quantizer form), but at sf~10+ the Spark side's shared
+    * [[knnEdges]] frame runs with ncells > 1 and a label-only oracle would
+    * silently diverge — the r11 sf~10 graph legs need this lockstep. */
   private val knnEdgesCtes =
-    """WITH e AS (
+    """WITH e0 AS (
       |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |    coalesce(list_sum(list_transform(generate_series(1, 16),
+      |      j -> CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)), 0) AS b16
       |  FROM embeddings),
+      |lc AS (SELECT label, count(*) AS cnt FROM e0 GROUP BY label),
+      |nb AS (SELECT label, (1::BIGINT << coalesce(list_filter(generate_series(0, 16),
+      |         b -> cnt <= 1024 * (1::BIGINT << b))[1], 16)) AS ncells FROM lc),
+      |e AS (SELECT e0.vec_id, e0.label, e0.embedding, e0.nrm,
+      |        e0.b16 % nb.ncells AS cell
+      |      FROM e0 JOIN nb ON e0.label = nb.label),
       |scored AS (
       |  SELECT q.vec_id AS src, c.vec_id AS dst,
       |    round(list_sum(list_transform(generate_series(1, 64),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
-      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+      |  FROM e q JOIN e c ON q.label = c.label AND q.cell = c.cell
+      |    AND q.vec_id <> c.vec_id),
       |knn AS (
       |  SELECT src, dst, cos FROM (
       |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
