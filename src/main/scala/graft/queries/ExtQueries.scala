@@ -2691,7 +2691,15 @@ object ExtQueries {
     * degenerates to exact within-label knn (byte-identical results to the
     * pre-quantizer form), but at sf~10+ the Spark side's shared
     * [[knnEdges]] frame runs with ncells > 1 and a label-only oracle would
-    * silently diverge — the r11 sf~10 graph legs need this lockstep. */
+    * silently diverge — the r11 sf~10 graph legs need this lockstep.
+    *
+    * `e`/`knn` are MATERIALIZED: DuckDB 1.0 inlines CTEs, so a consumer
+    * that references the edge list k times (bfs walks `bi` five times,
+    * triangles' wedge join reads `und` three times) would re-run the
+    * within-cell scoring join — ~n·1024 pairs plus a per-src window —
+    * k times over, and at sf~10 the accumulated window spill exhausted
+    * this box's 78 GB of temp disk. Materialized, the quadratic work runs
+    * once and every re-reference walks the ~3n-row edge list. */
   private val knnEdgesCtes =
     """WITH e0 AS (
       |  SELECT vec_id, label, embedding,
@@ -2702,7 +2710,7 @@ object ExtQueries {
       |lc AS (SELECT label, count(*) AS cnt FROM e0 GROUP BY label),
       |nb AS (SELECT label, (1::BIGINT << coalesce(list_filter(generate_series(0, 16),
       |         b -> cnt <= 1024 * (1::BIGINT << b))[1], 16)) AS ncells FROM lc),
-      |e AS (SELECT e0.vec_id, e0.label, e0.embedding, e0.nrm,
+      |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.embedding, e0.nrm,
       |        e0.b16 % nb.ncells AS cell
       |      FROM e0 JOIN nb ON e0.label = nb.label),
       |scored AS (
@@ -2711,7 +2719,7 @@ object ExtQueries {
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
       |  FROM e q JOIN e c ON q.label = c.label AND q.cell = c.cell
       |    AND q.vec_id <> c.vec_id),
-      |knn AS (
+      |knn AS MATERIALIZED (
       |  SELECT src, dst, cos FROM (
       |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
       |    FROM scored)

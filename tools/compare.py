@@ -20,6 +20,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Contain a runaway oracle: an inlined-CTE re-evaluation once spilled
+    # past this box's 78 GB of free disk (r11, graph_bfs_levels at sf~10)
+    # and the full root filesystem took every concurrent process down with
+    # it. A capped temp dir fails THAT query; an uncapped one fails the box.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_cmp_tmp'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleSmoke output)
