@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *   GRAFT_SMOKE_ONLY  comma list of queries (default: the top-10 list)
   *   GRAFT_SMOKE_JITTER=1 perturb replica documents (near-dup regime
   *                     instead of exact-dup worst case; see replicate())
+  *   GRAFT_SMOKE_EMB_JITTER=1 perturb replica embeddings ±1e-3 (near-dup
+  *                     vector regime — de-degenerates the knn/graph tier
+  *                     at exact-replication rungs; see replicate())
+  *   GRAFT_SMOKE_TABLES=documents,embeddings restrict the replica set
   */
 object ScaleSmoke {
 
@@ -32,6 +36,15 @@ object ScaleSmoke {
     "olap_waiting_suppliers", "text_repetition", "dedup_soft_weights",
     "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share",
     "graph_jaccard_suggest", "text_collocations", "events_attribution_linear")
+
+  /** Deterministic ±1e-3 per-(vector, dim) embedding perturbation — the
+    * near-dup vector regime (`GRAFT_SMOKE_EMB_JITTER=1`). Derived from the
+    * SHIFTED vec_id so every replica copy perturbs differently; shared
+    * with KnnCellSpec's near-dup recall contract so the spec pins exactly
+    * what the replicator ships. */
+  private[graft] def embJitterExpr: org.apache.spark.sql.Column = expr(
+    "transform(embedding, (x, j) -> cast(x + " +
+      "(pmod(hash(vec_id, j), 2001) - 1000) / 1e6 as float))")
 
   /** key columns to shift per table: (table, cols, span source table+col).
     *
@@ -97,6 +110,21 @@ object ScaleSmoke {
                     .otherwise(concat(col("text"), lit(" jtr"), col("__k"),
                       lit("_"), pmod(col("doc_id"), lit(97)))))
                 .withColumn("n_chars", length(col("text")).cast("long"))
+            // GRAFT_SMOKE_EMB_JITTER=1: replica embeddings get a
+            // deterministic per-(copy, dim) perturbation of ±1e-3 —
+            // copies become NEAR-dups (cos ≈ 0.9999) instead of exact
+            // dups, so the knn tier's exact-replication degeneracies
+            // (every copy group collapsing onto its three lowest ids,
+            // graph_kcore peeling to empty) give way to structurally
+            // rich graphs. Value-exactness is untouched: jitter changes
+            // the DATA both engines read, not the comparison. A separate
+            // knob from GRAFT_SMOKE_JITTER so the r9 jittered-dedup rung
+            // protocol keeps its recorded meaning.
+            else if (name == "embeddings" &&
+                sys.env.getOrElse("GRAFT_SMOKE_EMB_JITTER", "0") == "1")
+              shiftedDf.withColumn("embedding",
+                when(col("__k") === 0, col("embedding"))
+                  .otherwise(embJitterExpr))
             else shiftedDf
           jittered.drop("__k")
         }

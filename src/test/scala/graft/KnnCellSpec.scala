@@ -78,6 +78,43 @@ class KnnCellSpec extends AnyFunSuite {
     }
   }
 
+  test("jittered near-dup replicas survive a forced split (EMB_JITTER regime)") {
+    // ScaleSmoke's GRAFT_SMOKE_EMB_JITTER=1 ships ±1e-3 perturbed replica
+    // copies — near-dups at cos ≈ 0.9999, NOT exact dups. A perturbation
+    // can flip a sign bit only on a dimension within 1e-3 of zero, so the
+    // dup-regime guarantee weakens from "recall 1.0 by construction" to
+    // "recall ≈ 1 − P(a cell-selecting low bit sits within jitter of 0)".
+    // Measure it with the replicator's own expression and floor it — this
+    // is the contract the jittered sf~10 graph-tier oracle legs stand on.
+    val e = spark.read.parquet(s"${SparkTestBase.sf}/embeddings.parquet")
+    val span = e.agg(max("vec_id")).head().getLong(0) + 1L
+    val rep = (0 until 3).map { k =>
+      val shifted = e.withColumn("vec_id", col("vec_id") + lit(k * span))
+      if (k == 0) shifted
+      else shifted.withColumn("embedding", ScaleSmoke.embJitterExpr)
+    }.reduce(_ unionByName _)
+    val dir = Files.createTempDirectory("graft-knnjit").toString
+    rep.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = withCellTarget(Some("24")) {
+      SparkEntry.queries("sim_knn_graph")(spark, dir)
+        .select(col("src"), col("dst"), col("cos"), col("rank")).collect()
+    }
+    val n = rep.count()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.size == n, s"expected $n sources, got ${bySrc.size}")
+    val hits = bySrc.count { case (src, rs) =>
+      val siblings = (0 until 3).map(k => (src % span) + k * span)
+        .filterNot(_ == src).toSet
+      val top2 = rs.filter(_.getLong(3) <= 2)
+      top2.map(_.getLong(1)).toSet == siblings &&
+        top2.forall(_.getDouble(2) >= 0.999)
+    }
+    val recall = hits.toDouble / n
+    info(f"jittered-replica top-2 recall under forced split: $recall%.4f " +
+      f"($hits of $n)")
+    assert(recall > 0.9, s"near-dup recall $recall under forced split")
+  }
+
   test("near-orthogonal edge recall under forced split is measured, not assumed") {
     // the fixture is the adversarial case for ANY ANN cell scheme: vectors
     // are near-orthogonal, so a sign bit splits even true-threshold pairs
