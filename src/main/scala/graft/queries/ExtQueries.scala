@@ -3266,6 +3266,59 @@ object ExtQueries {
        |       GROUP BY 1 HAVING count(*) >= 4)
        |SELECT u AS vec_id, deg FROM a2""".stripMargin)
 
+  // Synchronous label propagation (2 rounds) over the undirected k-NN
+  // graph — the standard community-assignment primitive a near-dup
+  // pipeline uses to NAME clusters without computing full connected
+  // components (LPA converges locally; components needs global
+  // transitivity). Fixed-round semantics like graphKcore: a fixed R is
+  // reproducible at any scale where run-to-fixpoint is data-dependent.
+  // Each node starts as its own label; per round every node adopts its
+  // neighborhood's PLURALITY label with the deterministic tie-break
+  // (highest count, then smallest label) — min(struct(-cnt, label)) here,
+  // ORDER BY cnt DESC, label in the oracle: the same total order, so
+  // results hash-match. Scale shape: per round ONE hash join against the
+  // checkpointed bidirectional edge frame + two partial-aggregable
+  // aggregates ((node, label) count, then per-node argmax via
+  // min(struct)); state is one (node, label) row per node — the Pregel
+  // LPA superstep as a dataframe, no driver-side structure. knn forces
+  // out-degree k on every node, so every node has neighbors and the
+  // update is total.
+  val graphLabelProp: (QFn, String) = (
+    (s, dir) => {
+      val e0 = knnEdges(s, dir).select(col("src"), col("dst"))
+      val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      var lab = emb(s, dir)
+        .select(col("vec_id").as("node"), col("vec_id").as("label"))
+      (1 to 2).foreach { _ =>
+        lab = bi.join(lab, col("dst") === col("node"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("src").as("node"), col("m.l").as("label"))
+          .localCheckpoint()
+      }
+      lab.select(col("node").as("vec_id"), col("label").as("community"))
+    },
+    s"""$knnEdgesCtes,
+       |ed AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+       |l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+       |c1 AS (SELECT ed.src, l.label, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM ed JOIN l0 l ON ed.dst = l.node GROUP BY 1, 2),
+       |l1 AS (SELECT src AS node, label FROM (
+       |  SELECT src, label, row_number() OVER
+       |    (PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c1)
+       |  WHERE rn = 1),
+       |c2 AS (SELECT ed.src, l.label, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM ed JOIN l1 l ON ed.dst = l.node GROUP BY 1, 2),
+       |l2 AS (SELECT src AS node, label FROM (
+       |  SELECT src, label, row_number() OVER
+       |    (PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c2)
+       |  WHERE rn = 1)
+       |SELECT node AS vec_id, CAST(label AS BIGINT) AS community
+       |FROM l2""".stripMargin)
+
   // Top-3 characteristic terms per document by df-damped term frequency
   // (score = tf·1e6 div df — the integer-exact relevance ordering; a float
   // idf log would rank near-identically but cannot hash-match across
@@ -3745,6 +3798,7 @@ object ExtQueries {
     "graph_triangles" -> graphTriangles,
     "graph_bfs_levels" -> graphBfsLevels,
     "graph_kcore" -> graphKcore,
+    "graph_label_propagation" -> graphLabelProp,
     "graph_jaccard_suggest" -> graphJaccardSuggest,
     "pipeline_epoch_order" -> pipelineEpochOrder,
     "mm_scene_cuts" -> mmSceneCuts,
