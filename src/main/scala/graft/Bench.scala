@@ -46,6 +46,24 @@ import java.nio.file.{Files, Paths}
   *    guard recorded in the artifact. GRAFT_BENCH_LIVE=0 skips it.
   */
 object Bench {
+  /** Best-effort recursive delete of a per-trial temp dir (children before
+    * parents; failures ignored — cleanup must never fail a trial). */
+  private def rmRf(dir: String): Unit =
+    try {
+      val root = Paths.get(dir)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach { p =>
+              try Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () }
+            }
+        } finally walk.close()
+      }
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -375,6 +393,7 @@ object Bench {
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
+        try {
         renderRange(src, walDir, lo, cut, 0, 1)
         wire.foreach(_.deliveredLsn.clear())
         // sliceEvents splits the batch into ~32 parallel decode partitions
@@ -422,6 +441,10 @@ object Bench {
           case None => deliveredByBacklog((lo, hi)) = delivered
         }
         secs
+        // per-trial fixture/sink dirs are transient — at GRAFT_BENCH_SCALE=
+        // 100 each rendered WAL dir is ~1.4 GB and a full drain pass leaks
+        // ~34 GB without this (observed r11); deletion is off the timed path
+        } finally Seq(walDir, outDir, ckptDir).foreach(rmRf)
       }
       val framesHeadline =
         sys.env.getOrElse("GRAFT_BENCH_SINK", "frames") == "frames"
@@ -484,6 +507,8 @@ object Bench {
       def nSlotDrain(n: Int): Double = {
         val outDir = Files.createTempDirectory("graft-bench-outn").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckptn").toString
+        val cleanup = scala.collection.mutable.Buffer(outDir, ckptDir)
+        try {
         val span = maxId - minId + 1
         val ranges = (0 until n).map { i =>
           val lo = minId + i * span / n
@@ -492,6 +517,7 @@ object Bench {
         }
         val wals = ranges.indices.map(i =>
           Files.createTempDirectory(s"graft-bench-wal$n-$i").toString)
+        cleanup ++= wals
         ranges.zip(wals).foreach { case ((lo, _), w) =>
           renderRange(ev, w, lo, lo + 999, 0, 1) }
         val handles = MultiSlot.start(spark,
@@ -515,6 +541,7 @@ object Bench {
         case _ => () }
         MultiSlot.stopAll(handles)
         secs
+        } finally cleanup.foreach(rmRf)
       }
       Seq(2, 4).foreach { n =>
         val label = s"wal_drain_${n}slot"
