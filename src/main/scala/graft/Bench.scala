@@ -118,6 +118,7 @@ object Bench {
     var liveDrainEvents = 0L
     val liveTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val live10TrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    val live2dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     def loadAvg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -289,6 +290,125 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
             recErr("live_drain_10x", e)
+          }
+          // ---- database-sharded live point: the scale answer to the ----
+          // ---- measured single-walsender decode bottleneck          ----
+          // LiveDrainProfile shows the live drain is ~90% blocked in
+          // channel.read(): server-side logical decode is single-threaded
+          // per walsender. Slots of the SAME database cannot split that
+          // work — every slot decodes the whole WAL and publications only
+          // filter the OUTPUT — but WAL records of ANOTHER database are
+          // skipped BEFORE tuple decode, so sharding ingest by database
+          // hands each walsender a stream that is mostly fast-skips.
+          // Here: the 10x backlog split across two databases (549k rows
+          // each, same cluster WAL), drained CONCURRENTLY by two
+          // independent wire sessions; wall time ≈ max of two ~half
+          // decodes, and aggregate ev/s ≈ 2x the single-sender ceiling.
+          // This is the deployment shape for >200k ev/s per cluster: shard
+          // by database, one slot each — graft's per-slot checkpoint
+          // isolation (wal_drain_4slot, MultiSlotSpec) already carries it
+          // client-side.
+          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_2DB", "1") != "0") try {
+            val nDb = 549000 // per shard; 2 shards = the 10x total (1.098M)
+            val shards = Seq("graft_shard_a", "graft_shard_b").zipWithIndex
+              .map { case (db, i) =>
+                admin.simpleQuery(s"CREATE DATABASE $db")
+                val adm = h.session(db)
+                adm.simpleQuery("CREATE TABLE public.bench_records(" +
+                  "id bigint PRIMARY KEY, account_id bigint, " +
+                  "amount double precision, status text, payload text, " +
+                  "created_at timestamptz)")
+                adm.simpleQuery(
+                  "ALTER TABLE public.bench_records REPLICA IDENTITY FULL")
+                val bsess = h.session(db)
+                val boot = WireBootstrap.bootstrap(bsess, s"graft_shard_slot_$i",
+                  s"graft_shard_pub_$i",
+                  Seq(StreamDef("bench_records", "public.bench_records",
+                    Seq("insert"), "cdc.bench")),
+                  confirmedLsn = 0L, emit = _ => (), flushDelivery = () => ())
+                (0 until nDb by 111000).foreach { lo =>
+                  adm.simpleQuery("INSERT INTO public.bench_records " +
+                    s"SELECT i, i % 1000, (i % 100000) / 100.0, 'active', " +
+                    s"repeat('x', 100), now() FROM generate_series(" +
+                    s"${lo + 1}, ${math.min(lo + 111000, nDb)}) AS g(i)")
+                }
+                bsess.close(); adm.close()
+                (db, s"graft_shard_slot_$i", s"graft_shard_pub_$i",
+                  boot.startLsn)
+              }
+            // LSNs are cluster-wide: one end pointer gates both senders
+            val endAll = ChangeEvent.lsnValue(admin.simpleQuery(
+              "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+            def openShard(db: String, slot: String, pub: String,
+                startLsn: Long, attempt: Int = 0)
+                : graft.source.postgres.SocketCopyBothChannel = {
+              val sess = h.session(db)
+              try sess.startReplication(slot, pub,
+                ChangeEvent.lsnText(startLsn), readTimeoutMs = 1000)
+              catch {
+                case e: Exception if attempt < 50 && e.getMessage != null &&
+                    e.getMessage.contains("is active for") =>
+                  try sess.close() catch { case _: Throwable => () }
+                  Thread.sleep(100)
+                  openShard(db, slot, pub, startLsn, attempt + 1)
+                case e: Throwable =>
+                  try sess.close() catch { case _: Throwable => () }
+                  throw e
+              }
+            }
+            def twoDbTrial(): Double = {
+              // channels open BEFORE the clock: the trial times the drain,
+              // not slot-handoff retries
+              val pumps = shards.map { case (db, slot, pub, startLsn) =>
+                val walDir =
+                  Files.createTempDirectory("graft-bench-live2db").toString
+                (new ReplicationSpooler(
+                  openShard(db, slot, pub, startLsn), walDir), walDir)
+              }
+              val t0 = System.nanoTime()
+              val deadline = t0 + 300L * 1000000000L
+              val threads = pumps.map { case (sp, _) =>
+                val t = new Thread(() => {
+                  while ((sp.insertFrames < nDb ||
+                      sp.lastReceivedLsn < endAll) &&
+                      System.nanoTime() < deadline)
+                    sp.pumpOnce()
+                }, "live2db-pump")
+                t.start(); t
+              }
+              threads.foreach(_.join())
+              val secs = (System.nanoTime() - t0) / 1e9
+              // honesty check off the timed path: each shard fully spooled
+              val short = pumps.exists { case (sp, walDir) =>
+                sp.flush()
+                val nIns = WalLog.read(walDir, 0L, Long.MaxValue)
+                  .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
+                sp.close()
+                rmRf(walDir)
+                if (nIns < nDb) {
+                  recMsg("live_drain_2db",
+                    s"trial disqualified: shard spooled $nIns of $nDb")
+                  true
+                } else false
+              }
+              if (short) Double.NaN else secs
+            }
+            val t2 = Seq.fill(5)(twoDbTrial()).filterNot(_.isNaN)
+            if (t2.nonEmpty) {
+              live2dbTrialsRec ++= t2
+              val secs2 = t2.min
+              val med2 = t2.sorted.apply(t2.size / 2)
+              results("live_drain_2db") = secs2
+              System.err.println(
+                f"[bench] live_drain_2db: ${2 * nDb} events over TWO " +
+                  f"db-sharded walsenders in $secs2%.2f s min / $med2%.2f s " +
+                  f"median = ${2 * nDb / secs2}%.0f ev/s aggregate, min of " +
+                  f"${t2.size} trials " +
+                  f"[${t2.map(t => f"$t%.3f").mkString(", ")}]")
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] live_drain_2db failed: ${e.getMessage}")
+            recErr("live_drain_2db", e)
           }
           admin.close()
         } catch { case e: Throwable =>
@@ -853,6 +973,7 @@ object Bench {
     // (recorded as -1.0) must not be summed either: they'd subtract from the
     // total and corrupt it — list them separately instead.
     val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain",
+      "live_drain_2db",
       "wal_drain_insuite") // a re-measurement, not a new workload
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
@@ -872,6 +993,7 @@ object Bench {
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_2db_trials":[${live2dbTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
       s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
@@ -886,7 +1008,8 @@ object Bench {
     // Compact map: the drain/latency headline points plus the 12 slowest
     // suite queries (the ones worth comparing round-over-round by eye).
     val headline = Seq("wal_drain", "wal_drain_wire", "wal_drain_2slot",
-      "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x")
+      "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x",
+      "live_drain_2db")
       .flatMap(k => results.get(k).map(k -> _))
     val slowest = results.toSeq
       .filterNot { case (k, v) => nonComparable(k) ||

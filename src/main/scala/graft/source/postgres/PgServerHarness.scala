@@ -31,8 +31,19 @@ final class PgServerHarness private (
   def endpoint(user: String, password: Option[String]): SocketCopyBothChannel.Endpoint =
     SocketCopyBothChannel.Endpoint(host, port, user, "postgres", password)
 
+  /** Endpoint into a specific database — logical decoding is per-database
+    * (a slot belongs to the db it was created in), so database-sharded
+    * drains need per-db sessions. */
+  def endpoint(user: String, password: Option[String],
+      database: String): SocketCopyBothChannel.Endpoint =
+    SocketCopyBothChannel.Endpoint(host, port, user, database, password)
+
   /** A fresh superuser session over the engine's own wire stack. */
   def session(): PgSession = PgSession.connect(endpoint(superUser, None))
+
+  /** A fresh superuser session into `database`. */
+  def session(database: String): PgSession =
+    PgSession.connect(endpoint(superUser, None, database))
 
   @volatile private var stopped = false
   def stop(): Unit = if (!stopped) {
