@@ -1598,6 +1598,54 @@ object ExtQueries {
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin)
 
+  // The APPLY side of dedupChunk — boilerplate-purge retention accounting.
+  // dedup_chunk FINDS cross-doc repeated 20-token chunks; this reports, per
+  // document, how much of it survives dropping them: n_chunks, n_kept
+  // (chunks whose hash occurs in exactly one document — within-doc repeats
+  // are NOT boilerplate by this contract; text_repetition covers those)
+  // and the retention ratio in exact per-mille integers (non-negative
+  // integer div — engine-identical). This is the number a pretraining
+  // cleanup stage actually publishes per shard ("purging template chunks
+  // kept X% of tokens"). Scale shape: ONE corpus scan explodes chunks into
+  // the checkpointed (doc, hash) frame — both sides' basis, like
+  // textTopTerms' tf matrix — then a partial-aggregable distinct-doc count
+  // by hash, one hash equi-join back, one partial-aggregable per-doc
+  // rollup: two shuffle keys (hash, doc) total, linear in corpus tokens,
+  // and the chunk-df frame is exactly the bloom/decontaminate shape if the
+  // join ever needs to become a filter at 100 TB.
+  val pipelinePurgeBoilerplate: (QFn, String) = (
+    (s, dir) => {
+      val ch = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+            "c -> concat_ws(' ', slice(t, c * 20 + 1, 20)))")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .localCheckpoint() // both the df aggregate's and the join's basis
+      val dfx = ch.groupBy(col("h").as("dh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      ch.join(dfx, col("h") === col("dh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          expr("n_kept * 1000 div n_chunks").as("kept_per_mille"))
+    },
+    s"""$toksCte,
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, (len(t) + 19) // 20)) AS c
+       |        FROM toks WHERE len(t) >= 1),
+       |ch AS (SELECT doc_id,
+       |         md5(array_to_string(t[(c-1)*20+1:(c-1)*20+20], ' ')) AS h
+       |       FROM idx),
+       |dfx AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
+       |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN dfx.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN dfx.ndocs = 1 THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS kept_per_mille
+       |FROM ch JOIN dfx USING (h)
+       |GROUP BY ch.doc_id""".stripMargin)
+
   // Deterministic k-per-stratum sample (few-shot example / eval-subset
   // selection): the 3 docs with the smallest md5-prefix per (lang, source).
   // Hash-order sampling is retry-stable and seedless-reproducible (rand()
@@ -3811,6 +3859,7 @@ object ExtQueries {
     "cluster_assign" -> clusterAssign,
     "cluster_inertia" -> clusterInertia,
     "pipeline_mix_rebalance" -> pipelineMixRebalance,
+    "pipeline_purge_boilerplate" -> pipelinePurgeBoilerplate,
     "pipeline_drift_chi2" -> pipelineDriftChi2,
     "cluster_train_2iter" -> clusterTrain2Iter,
     "emb_quantize" -> embQuantize,
