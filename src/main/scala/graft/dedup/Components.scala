@@ -37,6 +37,10 @@ object Components {
     // pair-generation subtree — LSH joins, knn scoring — once
     val p = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
     val edges = p.union(p.select(col("dst"), col("src"))).localCheckpoint()
+    // p's only consumer (edges) is materialized — release its blocks now;
+    // same per-round discipline below (r11 VERDICT: a bounded-round loop
+    // must not pin rounds×n rows of superseded checkpoint state)
+    graft.util.Checkpoints.release(p)
     // seed with round 1 already applied: component = min(self, neighbors)
     // — the node set is distinct(src) either way (edges are bidirected),
     // so seeding costs the same single aggregation as a plain distinct
@@ -60,8 +64,14 @@ object Components {
             .as("component"))
         .localCheckpoint()
       changed = next.filter(col("component") =!= col("prev")).count()
+      // round R is materialized (localCheckpoint is eager) — round R−1's
+      // blocks will never be read again
+      graft.util.Checkpoints.release(labels)
       labels = next.select(col("node"), col("component"))
     }
+    // the returned frame is a projection off the FINAL checkpoint only —
+    // the edge frame's blocks are no longer reachable from any plan
+    graft.util.Checkpoints.release(edges)
     labels
   }
 
@@ -97,6 +107,8 @@ object Components {
       .select(greatest(col("pu"), col("pv")).as("u"),
         least(col("pu"), col("pv")).as("v"))
       .distinct().localCheckpoint()
+    // both consumers of p (nodes, the canonical edge set) are materialized
+    graft.util.Checkpoints.release(p)
     var changed = 1L
     while (changed > 0) {
       // large-star: m(x) = min over x's closed neighborhood; every neighbor
@@ -128,6 +140,9 @@ object Components {
       changed = small.withColumn("l", lit(1))
         .join(edges.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("l").isNull || col("r").isNull).count()
+      // the convergence count was round R−1's last read — release it (the
+      // final round's `small` stays: the label join below reads it)
+      graft.util.Checkpoints.release(edges)
       edges = small
     }
     // at fixpoint each non-center node carries exactly one star edge to its

@@ -2516,7 +2516,10 @@ object ExtQueries {
     * stale edges. The expensive build runs under ConcurrentHashMap's
     * per-key compute — concurrent callers for DIFFERENT keys (other
     * sessions, other dirs) are not serialized behind one build. */
-  private val knnEdgeCache =
+  // private[graft] (not private): KnnCacheLifecycleSpec inspects entries
+  // directly — the introspection helper lives in the SPEC, not here, so the
+  // main jar carries no test-only surface (r11 VERDICT #7)
+  private[graft] val knnEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   private def sessionKey(s: SparkSession): String = ColumnBridge.sessionUuid(s)
@@ -2536,21 +2539,6 @@ object ExtQueries {
     } finally walk.close()
   }
 
-  /** The localCheckpoint RDD ids inside a cached frame (the blocks
-    * [[invalidateKnnEdges]] must release). */
-  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.toSeq
-
-  private[graft] def knnCachedRddIds(s: SparkSession): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
-    val prefix = sessionKey(s) + "|"
-    knnEdgeCache.asScala.collect {
-      case (k, df) if k.startsWith(prefix) => checkpointRdds(df).map(_.id)
-    }.flatten.toSeq
-  }
-
   /** Release every edge frame cached for `s`: unpersist the checkpoint
     * blocks and drop the entries. Correctness needs nothing from this — a
     * dropped entry is simply rebuilt — so single-session processes may
@@ -2563,8 +2551,7 @@ object ExtQueries {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
-        try checkpointRdds(e.getValue).foreach(_.unpersist(blocking = false))
-        catch { case _: Throwable => () }
+        graft.util.Checkpoints.release(e.getValue)
         it.remove()
         released += 1
       }
@@ -2574,7 +2561,12 @@ object ExtQueries {
 
   private def knnEdges(s: SparkSession, dir: String): DataFrame = {
     // lazy sweep: entries of stopped sessions are unreachable through any
-    // key (their UUID never recurs) — drop them so their blocks release
+    // key (their UUID never recurs) — drop them so their blocks release.
+    // No explicit unpersist here ON PURPOSE: a stopped context's block
+    // manager is already gone, so there is nothing to release — but if a
+    // refactor ever shares one SparkContext across sessions, a stopped
+    // SESSION's context may still be live and this sweep must switch to
+    // Checkpoints.release(e.getValue) before removal (r11 VERDICT #3 note).
     val it = knnEdgeCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -3240,10 +3232,16 @@ object ExtQueries {
         val frontier = reached.filter(col("level") === (lvl - 1))
         val nxt = frontier.join(bi, col("node") === col("src"))
           .select(col("dst").as("node"), lit(lvl.toLong).as("level"))
+        val prev = reached
         reached = reached.union(nxt)
           .groupBy(col("node")).agg(min(col("level")).as("level"))
           .localCheckpoint()
+        // level L is materialized (eager checkpoint) — release L−1's
+        // blocks instead of pinning rounds×n superseded state (r11 #2)
+        graft.util.Checkpoints.release(prev)
       }
+      // the result reads only the final checkpointed level frame
+      graft.util.Checkpoints.release(bi)
       reached.select(col("node").as("vec_id"), col("level"))
     },
     s"""$knnEdgesCtes,
@@ -3293,14 +3291,20 @@ object ExtQueries {
       var alive = emb(s, dir).select(col("vec_id").as("node"))
       var deg: org.apache.spark.sql.DataFrame = null
       (1 to 2).foreach { _ =>
+        val prev = deg
         deg = bi
           .join(alive.select(col("node").as("au")), col("u") === col("au"))
           .join(alive.select(col("node").as("av")), col("v") === col("av"))
           .groupBy(col("u")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 4)
           .localCheckpoint()
+        // round R's survivors are materialized — round R−1's checkpoint
+        // (its input) is superseded; release instead of pinning (r11 #2)
+        if (prev != null) graft.util.Checkpoints.release(prev)
         alive = deg.select(col("u").as("node"))
       }
+      // the result is a projection off the final round's checkpoint only
+      graft.util.Checkpoints.release(bi)
       deg.select(col("u").as("vec_id"), col("deg"))
     },
     s"""$knnEdgesCtes,
@@ -3338,14 +3342,20 @@ object ExtQueries {
         .distinct().localCheckpoint()
       var lab = emb(s, dir)
         .select(col("vec_id").as("node"), col("vec_id").as("label"))
-      (1 to 2).foreach { _ =>
+      (1 to 2).zipWithIndex.foreach { case (_, i) =>
+        val prev = lab
         lab = bi.join(lab, col("dst") === col("node"))
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("src"))
           .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
           .select(col("src").as("node"), col("m.l").as("label"))
           .localCheckpoint()
+        // superstep R is materialized — release R−1's checkpoint (round 0
+        // is a plain projection over the parquet scan: nothing to release)
+        if (i > 0) graft.util.Checkpoints.release(prev)
       }
+      // the result reads only the final superstep's checkpoint
+      graft.util.Checkpoints.release(bi)
       lab.select(col("node").as("vec_id"), col("label").as("community"))
     },
     s"""$knnEdgesCtes,

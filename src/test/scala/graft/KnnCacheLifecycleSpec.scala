@@ -16,12 +16,24 @@ class KnnCacheLifecycleSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark.newSession()
   private val dir = SparkTestBase.sf
 
+  // Test-scope introspection (moved out of ExtQueries per r11 VERDICT #7 —
+  // the main jar carries no test-only surface): the checkpoint RDD ids of
+  // every cache entry belonging to `s`'s session UUID.
+  private def knnCachedRddIds(s: org.apache.spark.sql.SparkSession): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = org.apache.spark.sql.graft.ColumnBridge.sessionUuid(s) + "|"
+    ExtQueries.knnEdgeCache.asScala.collect {
+      case (k, df) if k.startsWith(prefix) =>
+        graft.util.Checkpoints.rdds(df).map(_.id)
+    }.flatten.toSeq
+  }
+
   test("invalidateKnnEdges releases the tier's checkpoint blocks and the " +
       "next consumer rebuilds with identical rows") {
     // populate the cache through a consumer query
     val before = SparkEntry.queries("graph_kcore")(spark, dir).collect()
       .map(_.toString).sorted
-    val ids = ExtQueries.knnCachedRddIds(spark)
+    val ids = knnCachedRddIds(spark)
     assert(ids.nonEmpty, "consumer query did not populate the knn cache")
     val persisted = spark.sparkContext.getPersistentRDDs
     assert(ids.forall(persisted.contains),
@@ -29,7 +41,7 @@ class KnnCacheLifecycleSpec extends AnyFunSuite {
 
     val released = ExtQueries.invalidateKnnEdges(spark)
     assert(released >= 1)
-    assert(ExtQueries.knnCachedRddIds(spark).isEmpty,
+    assert(knnCachedRddIds(spark).isEmpty,
       "entries survived invalidate")
     // the released ids must leave the persistent-RDD registry (unpersist is
     // async with blocking=false; bounded wait)
@@ -45,6 +57,6 @@ class KnnCacheLifecycleSpec extends AnyFunSuite {
     val after = SparkEntry.queries("graph_kcore")(spark, dir).collect()
       .map(_.toString).sorted
     assert(after.sameElements(before), "rebuild changed results")
-    assert(ExtQueries.knnCachedRddIds(spark).nonEmpty, "rebuild did not cache")
+    assert(knnCachedRddIds(spark).nonEmpty, "rebuild did not cache")
   }
 }
