@@ -515,15 +515,37 @@ object AnalyticsQueries {
   // HyperLogLog distinct — the at-scale answer: sketches merge in the
   // partial phase, so one pass and constant state per group replace the
   // expand shuffle. Spark's HLL++ and DuckDB's approx_distinct are
-  // DIFFERENT sketches (estimates legitimately differ), so this query has
-  // no SQL oracle — the driver records the weaker rows-only check; the
-  // exact twin above is the value gate.
+  // DIFFERENT sketches (estimates legitimately differ), so the raw
+  // estimates cannot hash-match — instead the accuracy contract itself is
+  // the oracle-compared value (r11 VERDICT #4): each engine computes its
+  // OWN sketch and its OWN exact count and emits the exact count plus an
+  // in-band |approx − exact| ≤ 10 % verdict. Both sketches sit ~2 % off
+  // exact here (HLL++ rsd 0.02; DuckDB HLL ~1.6 %), so the flag is a real
+  // gate with 5× margin, and the exact columns hash-pin the quantity the
+  // sketch estimates. The exact twin costs a distinct rewrite the pure
+  // sketch query never pays in production — it exists to make the sketch
+  // TESTABLE; the sketch subtree keeps its expand-free one-pass shape
+  // (PlanShapeSpec gates that the plan carries at most the exact side's
+  // single distinct rewrite).
   val eventsApproxDistinct: (QFn, String) = (
-    (s, dir) => events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
-        count(lit(1)).as("n_events")),
-    "") // no oracle: cross-engine sketches differ by construction
+    (s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+          count(lit(1)).as("n_events"))
+      val ex = ev.groupBy(col("event_type").as("et"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      sk.join(ex, col("event_type") === col("et"))
+        .select(col("event_type"), col("n_users_exact"), col("n_events"),
+          (abs(col("approx") - col("n_users_exact")) * 10
+            <= col("n_users_exact")).cast("long").as("within_10pct"))
+    },
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 10
+      |    <= count(DISTINCT user_id) AS BIGINT) AS within_10pct
+      |FROM events GROUP BY event_type""".stripMargin)
 
   // Inter-event gap distribution — the lead/lag window-function shape: one
   // shuffle on user_id, an in-partition sort, lag(1), then a plain
@@ -614,17 +636,68 @@ object AnalyticsQueries {
   // approx_percentile partials merge map-side, so one pass and bounded state
   // per group replace the per-group sort. The sketch picks actual data
   // values rather than interpolating, and no other engine implements the
-  // identical sketch → rows-only check by construction.
+  // identical sketch (Spark GK vs DuckDB t-digest) — so, as with the HLL
+  // query above, the ACCURACY CONTRACT is the oracle-compared value (r11
+  // VERDICT #4). A quantile sketch's guarantee is on RANK, not value — at a
+  // heavy-tailed group's p99 two adjacent order statistics can sit far
+  // apart, so a value-relative band is meaningless (it fails on correct
+  // sketches at small n). The in-band verdict is therefore the rank audit:
+  // each engine counts how many of the group's values lie ≤ its own sketch
+  // estimate and asserts |rank − q| ≤ 2 % in pure integer arithmetic
+  // (|100·cnt − q₁₀₀·n| ≤ 2·n — no float boundary), next to the exact
+  // interpolated percentiles that are bit-identical cross-engine
+  // (events_quantiles). Measured rank error is ≤ 0.25 % on both engines at
+  // every SF — an 8× margin. The rank audit joins the 5-row sketch frame
+  // back to the events (broadcast) — a test-harness cost the pure
+  // production sketch pass doesn't pay.
   val eventsApproxQuantiles: (QFn, String) = (
-    (s, dir) => events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)")
-        .as("pcts"), count(lit(1)).as("n"))
-      .select(col("event_type"),
-        round(element_at(col("pcts"), 1), 4).as("p50_approx"),
-        round(element_at(col("pcts"), 2), 4).as("p95_approx"),
-        round(element_at(col("pcts"), 3), 4).as("p99_approx"), col("n")),
-    "") // no oracle: sketch-specific value selection
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val sk = ev.groupBy(col("event_type").as("et"))
+        .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)")
+          .as("pcts"),
+          expr("percentile(value, array(0.5d, 0.95d, 0.99d))").as("ex"),
+          count(lit(1)).as("n"))
+      val q100 = Seq(1 -> 50L, 2 -> 95L, 3 -> 99L)
+      val aggs = Seq(
+        first(round(element_at(col("ex"), 1), 4)).as("p50_exact"),
+        first(round(element_at(col("ex"), 2), 4)).as("p95_exact"),
+        first(round(element_at(col("ex"), 3), 4)).as("p99_exact"),
+        first(col("n")).as("n")) ++
+        q100.map { case (i, _) =>
+          sum(when(col("value") <= element_at(col("pcts"), i), 1L)
+            .otherwise(0L)).as(s"c$i")
+        }
+      ev.join(broadcast(sk), col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(Seq(col("event_type"), col("p50_exact"), col("p95_exact"),
+          col("p99_exact"), col("n")) ++
+          q100.zip(Seq("p50", "p95", "p99")).map { case ((i, q), t) =>
+            (abs(col(s"c$i") * 100 - lit(q) * col("n")) <= col("n") * 2)
+              .cast("long").as(s"${t}_rank_ok")
+          }: _*)
+    },
+    """WITH sk AS (
+      |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+      |    approx_quantile(value, 0.5) AS a50,
+      |    approx_quantile(value, 0.95) AS a95,
+      |    approx_quantile(value, 0.99) AS a99,
+      |    round(quantile_cont(value, 0.5), 4) AS p50x,
+      |    round(quantile_cont(value, 0.95), 4) AS p95x,
+      |    round(quantile_cont(value, 0.99), 4) AS p99x
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type,
+      |  max(p50x) AS p50_exact, max(p95x) AS p95_exact, max(p99x) AS p99_exact,
+      |  max(sk.n) AS n,
+      |  CAST(abs(100 * sum(CASE WHEN e.value <= a50 THEN 1 ELSE 0 END)
+      |    - 50 * max(sk.n)) <= 2 * max(sk.n) AS BIGINT) AS p50_rank_ok,
+      |  CAST(abs(100 * sum(CASE WHEN e.value <= a95 THEN 1 ELSE 0 END)
+      |    - 95 * max(sk.n)) <= 2 * max(sk.n) AS BIGINT) AS p95_rank_ok,
+      |  CAST(abs(100 * sum(CASE WHEN e.value <= a99 THEN 1 ELSE 0 END)
+      |    - 99 * max(sk.n)) <= 2 * max(sk.n) AS BIGINT) AS p99_rank_ok
+      |FROM events e JOIN sk ON e.event_type = sk.et
+      |GROUP BY 1""".stripMargin)
 
   // Semi-structured JSON column via Spark 4's VARIANT: parse once into the
   // binary variant encoding, then typed path extraction — the dynamic-schema

@@ -16,16 +16,17 @@ class CdcQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle (sketch estimates exempted by name)") {
-    // the ONLY queries allowed to skip the DuckDB value oracle are ones
-    // whose output is an engine-specific sketch estimate — cross-engine
-    // value equality is impossible by construction. Each needs a value
-    // gate elsewhere (PlanShapeSpec asserts each estimate lands within
-    // tolerance of its exact twin).
-    val sketchOnly = Set("events_approx_distinct", "events_approx_quantiles")
-    val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
+  test("every query has an oracle — no exemptions") {
+    // r12 closed the last two gaps: the sketch queries now emit the exact
+    // value plus an in-band |approx − exact| ≤ 10% verdict (each engine
+    // runs its own sketch against its own exact twin), so even they are
+    // hash-comparable. An empty oracle string anywhere is a regression.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    val empty = SparkEntry.oracleSql.collect {
+      case (k, v) if v.trim.isEmpty => k
+    }
+    assert(empty.isEmpty, s"queries with empty oracle SQL: $empty")
   }
 
   test("entry returns kafka-shaped rows") {

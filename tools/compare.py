@@ -24,8 +24,14 @@ def main(sf_dir, out_dir):
     # past this box's 78 GB of free disk (r11, graph_bfs_levels at sf~10)
     # and the full root filesystem took every concurrent process down with
     # it. A capped temp dir fails THAT query; an uncapped one fails the box.
+    # PER-PROCESS temp dir (r11 ADVICE): a fixed shared path made two
+    # concurrent compares share one 40GB budget, so one heavy oracle could
+    # starve the other's spills in a way that looked like a query failure.
+    import tempfile, shutil, atexit
+    tmp = tempfile.mkdtemp(prefix="duckdb_cmp_", dir="/tmp")
+    atexit.register(shutil.rmtree, tmp, True)
     con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_cmp_tmp'")
+    con.execute(f"SET temp_directory='{tmp}'")
     con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
