@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video payloads as opaque `binary` columns
   * with typed metadata, decoded partition-wise.
   *
-  * Codec status (r9): JPEG and PNG decode are REAL — the JDK's own ImageIO
-  * (java.desktop, present headless) in [[Multimodal.decodeCompressed]] —
-  * alongside the pure-JVM binary-PPM parser and the PCM8 audio kernel. The
-  * remaining CLEARLY-MARKED stub is [[Multimodal.fakeDecode]]/
-  * [[Multimodal.featureStub]]'s vision-ENCODER stand-in (model inference
-  * needs a runtime the container doesn't ship) — kept because its queries
-  * pin the partition-wise batching shape (one decoder/model handle per
-  * partition, rows streamed through, schema'd output) that a JNI codec or
-  * ONNX session slots into with nothing else changing.
+  * Codec status (r12): EVERY kernel here is real — JPEG and PNG decode via
+  * the JDK's own ImageIO (java.desktop, present headless) in
+  * [[Multimodal.decodeCompressed]], the pure-JVM binary-PPM parser, the
+  * PCM8/WAV audio kernels, the MJPEG/PNG-stream demuxers, and (r12, the
+  * last stub retired) a FIXED-BASIS feature encoder: the exact-integer 2D
+  * DCT low-band descriptor in [[Multimodal.dctFeatures]] — the classical
+  * pHash-core feature vector. A NEURAL encoder still needs a model runtime
+  * this container doesn't ship; the DCT extractor occupies the identical
+  * partition-wise batch slot (one handle per partition, rows streamed
+  * through, fixed-width numeric output), so an ONNX session swaps in with
+  * nothing else changing.
   */
 final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
@@ -26,8 +28,7 @@ final case class MediaResize(
     doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
     scale_pm: Long, out_bytes: Long)
 
-final case class MediaFeatures(
-    doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long)
+final case class DctFeature(doc_id: Long, fu: Long, fv: Long, coef: Long)
 
 final case class PpmDecoded(
     doc_id: Long, width: Long, height: Long, maxval: Long,
@@ -68,65 +69,164 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
-  /** STUB — stands in for an image codec (???-grade): derives deterministic
-    * fake dimensions from the first two payload bytes. A real build links a
-    * codec here; everything around it (schema, batching, partitioning) is
-    * production-shaped. */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val b0 = if (bytes.nonEmpty) bytes(0) & 0xFF else 0
-    val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
-    (16 * (1 + b0 % 8), 16 * (1 + b1 % 8), 3)
+  /** PNG dimensions from the IHDR header alone — 24 bytes read, NO raster
+    * decode. The at-scale planning primitive: a 100 TB media pass sizes its
+    * partitions and output budgets from header sniffs long before it spends
+    * codec time on pixels (the PNG spec fixes IHDR as the first chunk, so
+    * width/height are big-endian words at offsets 16/20). Non-PNG or
+    * truncated payloads → None, the tier's quarantine policy. */
+  def sniffPngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 24) return None
+    val sig = (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val ihdr = bytes(12) == 'I' && bytes(13) == 'H' &&
+      bytes(14) == 'D' && bytes(15) == 'R'
+    if (!sig || !ihdr) None
+    else {
+      def be32(i: Int): Int = ((bytes(i) & 0xFF) << 24) |
+        ((bytes(i + 1) & 0xFF) << 16) | ((bytes(i + 2) & 0xFF) << 8) |
+        (bytes(i + 3) & 0xFF)
+      val w = be32(16); val h = be32(20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    }
   }
 
-  /** Partition-wise decode: binary payloads → typed metadata. At 100 TB this
-    * runs embarrassingly parallel, one codec per partition, no shuffle. */
-  def decodeMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+  /** Partition-wise REAL decode → typed metadata over compressed payloads:
+    * dimensions, the decoded byte budget, and the md5 of the raster's RGB
+    * bytes — through lossless PNG the raster fingerprint is oracle-exact
+    * against the raw pattern, so a single flipped pixel anywhere in the
+    * encode→decode chain is a hash diff. At 100 TB this runs embarrassingly
+    * parallel, one codec per partition, no shuffle. */
+  def decodeRasterMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition decoder init would go here (JNI codec handle)
-      it.map { r =>
-        val (w, h, c) = fakeDecode(r.media)
-        MediaMeta(r.doc_id, r.media.length.toLong, w, h, c, md5hex(r.media))
+      it.flatMap { r =>
+        decodeCompressed(r.media).map { case (w, h, rgb) =>
+          val bytes = new Array[Byte](rgb.length * 3)
+          var p = 0
+          while (p < rgb.length) {
+            bytes(p * 3) = ((rgb(p) >> 16) & 0xFF).toByte
+            bytes(p * 3 + 1) = ((rgb(p) >> 8) & 0xFF).toByte
+            bytes(p * 3 + 2) = (rgb(p) & 0xFF).toByte
+            p += 1
+          }
+          MediaMeta(r.doc_id, w.toLong * h * 3, w, h, 3, md5hex(bytes))
+        }
       }
     }
   }
 
-  /** Resize plan (fit into a square box, aspect preserved): decode dims, then
-    * pure integer scale math — `scale_pm` is the per-million scale factor, so
-    * the result is engine-exact with no float rounding. The actual pixel
-    * resample is the codec's job (same stub boundary as [[fakeDecode]]); what
-    * this operator owns is the shuffle-free partition-wise plan: decode →
-    * target geometry → output byte budget, the numbers a 100 TB media job
-    * needs for partition sizing BEFORE it touches pixels. */
-  def resizeMeta(ds: Dataset[MediaRecord], box: Int = 224): Dataset[MediaResize] = {
+  /** Resize plan (fit into a square box, aspect preserved) from the PNG
+    * HEADER alone: [[sniffPngDims]] + pure integer scale math — `scale_pm`
+    * is the per-million scale factor, so the geometry is engine-exact with
+    * no float rounding. This is the r12 graduation of the old stub-decode
+    * plan: the dims now come out of real PNG bytes, and the whole pass
+    * reads 24 bytes per asset — the numbers a 100 TB media job needs for
+    * partition sizing BEFORE it touches pixels (the actual resample is
+    * [[resizePpm]]'s job). */
+  def resizePlanPng(ds: Dataset[MediaRecord], box: Int = 224): Dataset[MediaResize] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition codec/resampler handle would init here
-      it.map { r =>
-        val (w, h, c) = fakeDecode(r.media)
-        val scalePm = box.toLong * 1000000L / math.max(w, h)
-        val ow = (w * scalePm / 1000000L).toInt
-        val oh = (h * scalePm / 1000000L).toInt
-        MediaResize(r.doc_id, w, h, ow, oh, scalePm, ow.toLong * oh * c)
+      it.flatMap { r =>
+        sniffPngDims(r.media).map { case (w, h) =>
+          val scalePm = box.toLong * 1000000L / math.max(w, h)
+          val ow = (w * scalePm / 1000000L).toInt
+          val oh = (h * scalePm / 1000000L).toInt
+          MediaResize(r.doc_id, w, h, ow, oh, scalePm, ow.toLong * oh * 3)
+        }
       }
     }
   }
 
-  /** Feature-extraction STUB: 4 deterministic byte probes at quarter-stride
-    * positions stand in for a vision encoder's embedding. The real encoder
-    * replaces the probe loop; the partition-wise batch shape (one model
-    * handle per partition, rows streamed through it, fixed-width numeric
-    * output) is the production plan. */
-  def featureStub(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  // ---------------------------------------------------------------------
+  // REAL fixed-basis feature ENCODER — exact-integer 2D DCT low band (r12:
+  // the codebase's last stub retired). The descriptor is the classical
+  // pHash core: pool the luminance raster onto a coarse grid, take the 2D
+  // DCT, keep the low-frequency band. Everything is exact integer
+  // arithmetic — the DCT basis is a FIXED-POINT cosine table (1e5 scale,
+  // nearest-integer, hardcoded identically in the DuckDB oracle so there
+  // is no cross-engine libm dependence), the pooled cells are integer
+  // luminance SUMS (no division anywhere), and each coefficient is a plain
+  // Σ pool·c8·c6 in Long — order-free and engine-exact. A neural encoder
+  // would replace the basis with learned weights; the batch shape, the
+  // fixed-width numeric output, and the at-scale plan (partition-wise, all
+  // work pre-shuffle) are identical.
+  // ---------------------------------------------------------------------
+
+  /** 8-point DCT-II basis rows u = 0..3: round(cos((2x+1)uπ/16)·1e5). */
+  private val Dct8: Array[Array[Long]] = Array(
+    Array(100000L, 100000L, 100000L, 100000L, 100000L, 100000L, 100000L, 100000L),
+    Array(98079L, 83147L, 55557L, 19509L, -19509L, -55557L, -83147L, -98079L),
+    Array(92388L, 38268L, -38268L, -92388L, -92388L, -38268L, 38268L, 92388L),
+    Array(83147L, -19509L, -98079L, -55557L, 55557L, 98079L, 19509L, -83147L))
+
+  /** 6-point DCT-II basis rows v = 0..2: round(cos((2y+1)vπ/12)·1e5). */
+  private val Dct6: Array[Array[Long]] = Array(
+    Array(100000L, 100000L, 100000L, 100000L, 100000L, 100000L),
+    Array(96593L, 70711L, 25882L, -25882L, -70711L, -96593L),
+    Array(86603L, 0L, -86603L, -86603L, 0L, 86603L))
+
+  /** REAL feature extraction over compressed images: decode (real codec) →
+    * integer luminance (r+g+b) → pool onto the 8×6 grid as FLOOR-AVERAGED
+    * full blocks (sum÷area, one floor division per cell — exact integers;
+    * the fixture's dims are multiples of 8 and 6, rasters that don't tile
+    * are quarantined like every malformed payload here) → separable
+    * exact-integer 2D DCT, low band u∈0..3 × v∈0..2 — 12 coefficients per
+    * image, one row each. Overflow headroom is IMAGE-SIZE-INDEPENDENT
+    * because pooling averages: a cell ≤ 765, |basis| ≤ 1e5, so
+    * |coefficient| ≤ 48·765·10¹⁰ < 2⁵⁹ for any raster. Per-image work is
+    * linear in pixels plus a constant 48·12 basis fold; partition-wise,
+    * nothing crosses an exchange. */
+  /** The pure DCT kernel: raster → 12 low-band coefficients indexed
+    * (u ∈ 0..3, v ∈ 0..2), or None for rasters that don't tile the 8×6
+    * pooling grid (quarantine, like every malformed payload here). */
+  def dctLowBand(w: Int, h: Int, rgb: Array[Int]): Option[Seq[(Int, Int, Long)]] = {
+    if (w % 8 != 0 || h % 6 != 0) None
+    else {
+      val bw = w / 8; val bh = h / 6
+      val area = bw.toLong * bh
+      val pool = Array.ofDim[Long](6, 8)
+      var p = 0
+      while (p < rgb.length) {
+        val v = rgb(p)
+        val lum = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+        pool((p / w) / bh)((p % w) / bw) += lum
+        p += 1
+      }
+      var gy = 0
+      while (gy < 6) {
+        var gx = 0
+        while (gx < 8) {
+          pool(gy)(gx) /= area
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(for (u <- 0 until 4; v <- 0 until 3) yield {
+        var coef = 0L
+        var yy = 0
+        while (yy < 6) {
+          var xx = 0
+          while (xx < 8) {
+            coef += pool(yy)(xx) * Dct8(u)(xx) * Dct6(v)(yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        (u, v, coef)
+      })
+    }
+  }
+
+  def dctFeatures(ds: Dataset[MediaRecord]): Dataset[DctFeature] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition encoder session would init here
-      it.map { r =>
-        val n = r.media.length
-        val stride = math.max(n / 4, 1)
-        def f(i: Int): Long =
-          if (i.toLong * stride < n) (r.media(i * stride) & 0xFF).toLong else 0L
-        MediaFeatures(r.doc_id, f(0), f(1), f(2), f(3))
+      it.flatMap { r =>
+        decodeCompressed(r.media).toSeq.flatMap { case (w, h, rgb) =>
+          dctLowBand(w, h, rgb).toSeq.flatten.map { case (u, v, coef) =>
+            DctFeature(r.doc_id, u.toLong, v.toLong, coef)
+          }
+        }
       }
     }
   }

@@ -1129,18 +1129,28 @@ object ExtQueries {
       |  md5(substring(text, 257, 64)) AS f3
       |FROM documents""".stripMargin)
 
-  // Decode path: typed Dataset → mapPartitions (stub codec, real plumbing).
-  // The stub is deterministic from the payload bytes, so even this is
-  // oracle-checkable.
-  val mmDecodeStub: (QFn, String) = (
-    (s, dir) => Multimodal.decodeMeta(Multimodal.mediaTable(docs(s, dir))).toDF(),
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  16 * (1 + ascii(substring(text, 1, 1)) % 8) AS width,
-      |  16 * (1 + ascii(substring(text, 2, 1)) % 8) AS height,
-      |  3 AS channels,
-      |  md5(text) AS px_hash
-      |FROM documents""".stripMargin)
+  // Decode path: typed Dataset → mapPartitions with the REAL codec (r12 —
+  // the stub-decode form retired with the last stub). Real PNG bytes are
+  // decoded and the metadata emitted is dimensional (out of the bytes, not
+  // the row) plus the md5 of the decoded raster's RGB bytes: PNG is
+  // lossless, so the fingerprint is oracle-exact against the raw pattern —
+  // one flipped pixel anywhere in encode→codec→decode is a hash diff.
+  val mmDecodeRaster: (QFn, String) = (
+    (s, dir) => Multimodal.decodeRasterMeta(
+      Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF(),
+    """WITH g AS (
+      |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 6 * (1 + doc_id % 3) AS h,
+      |    rpad(text,
+      |      CAST(8 * (1 + doc_id % 4) * 6 * (1 + doc_id % 3) * 3 AS INTEGER),
+      |      text) AS px
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels,
+      |  md5(px) AS px_hash
+      |FROM g""".stripMargin)
 
   // REAL image decode, no codec library: binary PPM (P6) payloads are built
   // deterministically from the fixture (header + w·h·3 raw RGB bytes cycled
@@ -2264,17 +2274,20 @@ object ExtQueries {
       |FROM documents
       |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin)
 
-  // Resize planning over opaque media: decode (stub) → integer fit-to-box
-  // geometry + output byte budget, partition-wise and shuffle-free. The
-  // pixel resample for the P6 raster is REAL now (mm_resize above); this
+  // Resize planning over real compressed media, from the PNG HEADER alone
+  // (r12: dims now come out of real IHDR bytes via Multimodal.sniffPngDims,
+  // 24 bytes read per asset, no raster decode): integer fit-to-box geometry
+  // + output byte budget, partition-wise and shuffle-free. The pixel
+  // resample for the P6 raster is REAL too (mm_resize above); this
   // plan-side variant keeps the geometry/byte-budget numbers that size
   // partitions for the 100 TB media pass BEFORE touching pixels.
   val mmResizePlan: (QFn, String) = (
-    (s, dir) => Multimodal.resizeMeta(Multimodal.mediaTable(docs(s, dir))).toDF(),
+    (s, dir) => Multimodal.resizePlanPng(
+      Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF(),
     """WITH d AS (
       |  SELECT doc_id,
-      |    16 * (1 + ascii(substring(text, 1, 1)) % 8) AS width,
-      |    16 * (1 + ascii(substring(text, 2, 1)) % 8) AS height
+      |    CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+      |    CAST(6 * (1 + doc_id % 3) AS INTEGER) AS height
       |  FROM documents),
       |r AS (SELECT *, CAST(224000000 // greatest(width, height) AS BIGINT)
       |        AS scale_pm FROM d)
@@ -2286,22 +2299,59 @@ object ExtQueries {
       |    * (height * scale_pm // 1000000) * 3 AS BIGINT) AS out_bytes
       |FROM r""".stripMargin)
 
-  // Feature extraction over opaque media: 4 byte probes at quarter-stride
-  // positions stand in for a vision encoder (stub boundary in
-  // Multimodal.featureStub); partition-wise streaming through one encoder
-  // handle per partition is the at-scale batch shape.
-  val mmFeatureStub: (QFn, String) = (
-    (s, dir) => Multimodal.featureStub(Multimodal.mediaTable(docs(s, dir))).toDF(),
-    """WITH d AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
-      |    greatest(octet_length(encode(text)) // 4, 1) AS stride
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CAST(CASE WHEN 0 < n THEN ascii(substring(text, 1, 1)) ELSE 0 END AS BIGINT) AS f0,
-      |  CAST(CASE WHEN stride < n THEN ascii(substring(text, 1 + stride, 1)) ELSE 0 END AS BIGINT) AS f1,
-      |  CAST(CASE WHEN 2 * stride < n THEN ascii(substring(text, 1 + 2 * stride, 1)) ELSE 0 END AS BIGINT) AS f2,
-      |  CAST(CASE WHEN 3 * stride < n THEN ascii(substring(text, 1 + 3 * stride, 1)) ELSE 0 END AS BIGINT) AS f3
-      |FROM d""".stripMargin)
+  // REAL feature ENCODER over real compressed media (r12: the codebase's
+  // last stub retired): exact-integer 2D DCT low-band descriptor — the
+  // classical pHash core — over the actually-decoded PNG raster. Decode
+  // (real codec) → integer luminance → floor-averaged 8×6 pooling →
+  // separable DCT with a hardcoded fixed-point cosine basis (1e5 scale,
+  // IDENTICAL literals in this oracle, so no cross-engine libm dependence),
+  // low band u∈0..3 × v∈0..2 = 12 coefficients per image. The oracle
+  // reconstructs every coefficient from the raw pattern bytes — the
+  // encoder, the PNG bit format, the decoder, the pooling, and the basis
+  // fold all have to agree for the hash to match. Partition-wise streaming
+  // through one encoder handle per partition is the at-scale batch shape a
+  // neural encoder would inherit unchanged.
+  val mmFeatureDct: (QFn, String) = (
+    (s, dir) => Multimodal.dctFeatures(
+      Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF(),
+    """WITH g AS (
+      |  SELECT doc_id, CAST(8 * (1 + doc_id % 4) AS INTEGER) AS w,
+      |    CAST(6 * (1 + doc_id % 3) AS INTEGER) AS h,
+      |    rpad(text,
+      |      CAST(8 * (1 + doc_id % 4) * 6 * (1 + doc_id % 3) * 3 AS INTEGER),
+      |      text) AS px
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h,
+      |    (t.p % w) // (w // 8) AS gx, (t.p // w) // (h // 6) AS gy,
+      |    ascii(substring(px, CAST(t.p * 3 + 1 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 2 AS INTEGER), 1))
+      |      + ascii(substring(px, CAST(t.p * 3 + 3 AS INTEGER), 1)) AS lum
+      |  FROM g, unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS t(p)),
+      |pool AS (
+      |  SELECT doc_id, gx, gy,
+      |    CAST(sum(lum) // ((w // 8) * (h // 6)) AS BIGINT) AS pv
+      |  FROM b GROUP BY doc_id, gx, gy, w, h),
+      |c8 AS (SELECT * FROM (VALUES
+      |  (0,0,100000),(0,1,100000),(0,2,100000),(0,3,100000),
+      |  (0,4,100000),(0,5,100000),(0,6,100000),(0,7,100000),
+      |  (1,0,98079),(1,1,83147),(1,2,55557),(1,3,19509),
+      |  (1,4,-19509),(1,5,-55557),(1,6,-83147),(1,7,-98079),
+      |  (2,0,92388),(2,1,38268),(2,2,-38268),(2,3,-92388),
+      |  (2,4,-92388),(2,5,-38268),(2,6,38268),(2,7,92388),
+      |  (3,0,83147),(3,1,-19509),(3,2,-98079),(3,3,-55557),
+      |  (3,4,55557),(3,5,98079),(3,6,19509),(3,7,-83147)) AS t(u, x, c)),
+      |c6 AS (SELECT * FROM (VALUES
+      |  (0,0,100000),(0,1,100000),(0,2,100000),
+      |  (0,3,100000),(0,4,100000),(0,5,100000),
+      |  (1,0,96593),(1,1,70711),(1,2,25882),
+      |  (1,3,-25882),(1,4,-70711),(1,5,-96593),
+      |  (2,0,86603),(2,1,0),(2,2,-86603),
+      |  (2,3,-86603),(2,4,0),(2,5,86603)) AS t(v, y, c))
+      |SELECT p.doc_id, CAST(c8.u AS BIGINT) AS fu, CAST(c6.v AS BIGINT) AS fv,
+      |  CAST(sum(p.pv * c8.c * c6.c) AS BIGINT) AS coef
+      |FROM pool p JOIN c8 ON c8.x = p.gx JOIN c6 ON c6.y = p.gy
+      |GROUP BY p.doc_id, c8.u, c6.v""".stripMargin)
 
   // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
   // in doc_id order and split every 2048 tokens — the standard LLM
@@ -3916,7 +3966,7 @@ object ExtQueries {
     "sim_lsh_ann" -> simLshAnn,
     "sim_ann_recall" -> simAnnRecall,
     "mm_binary_meta" -> mmBinaryMeta,
-    "mm_decode_stub" -> mmDecodeStub,
+    "mm_decode_raster" -> mmDecodeRaster,
     "mm_decode_ppm" -> mmDecodePpm,
     "mm_decode_png" -> mmDecodePng,
     "mm_decode_jpeg" -> mmDecodeJpeg,
@@ -3926,7 +3976,7 @@ object ExtQueries {
     "mm_feature_ppm" -> mmFeaturePpm,
     "mm_ahash" -> mmAhash,
     "mm_pipeline_features" -> mmPipelineFeatures,
-    "mm_feature_stub" -> mmFeatureStub,
+    "mm_feature_dct" -> mmFeatureDct,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)
 }

@@ -169,4 +169,73 @@ class CodecSpec extends AnyFunSuite {
       assert(pd(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
     }
   }
+
+  test("sniffPngDims reads IHDR without decoding; agrees with the real decode") {
+    val (w, h, rgb) = pattern(13L, "header sniff probe text 0123456789")
+    val png = Multimodal.encodeImage(w, h, rgb, "png")
+    assert(Multimodal.sniffPngDims(png).contains((w, h)))
+    val Some((dw, dh, _)) = Multimodal.decodeCompressed(png)
+    assert((dw, dh) == (w, h))
+    // quarantine: JPEG bytes, truncated header, garbage
+    val jpeg = Multimodal.encodeImage(w, h, rgb, "jpeg")
+    assert(Multimodal.sniffPngDims(jpeg).isEmpty)
+    assert(Multimodal.sniffPngDims(png.take(20)).isEmpty)
+    assert(Multimodal.sniffPngDims("not a png at all, truly".getBytes).isEmpty)
+  }
+
+  test("DCT low band: constant raster concentrates all energy in the DC term") {
+    // constant luminance L per pixel ⇒ every pooled cell is exactly L and
+    // every non-DC basis row sums to zero (the hardcoded fixed-point table
+    // preserves that exactly: each cosine row is antisymmetric at 1e5
+    // scale) ⇒ coef(0,0) = 48·L·1e10, all others 0
+    val w = 16; val h = 12
+    val px = Array.fill(w * h)((100 << 16) | (50 << 8) | 25) // L = 175
+    val Some(coefs) = Multimodal.dctLowBand(w, h, px)
+    assert(coefs.size == 12)
+    coefs.foreach { case (u, v, c) =>
+      if (u == 0 && v == 0) assert(c == 48L * 175L * 10000000000L)
+      else assert(c == 0L, s"AC coefficient ($u,$v) = $c on a constant raster")
+    }
+  }
+
+  test("DCT low band: horizontal edge excites u>0 terms, v terms stay zero") {
+    // left half black, right half white — constant in y, a step in x:
+    // v>0 coefficients must vanish (each C6 row sums to 0 over a constant
+    // column profile); u=1 must be the dominant AC term (the step's
+    // fundamental); and the descriptor must distinguish the edge image
+    // from its mirror by the SIGN of u-odd terms
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h)(p => if (p % w < w / 2) 0 else 0xFFFFFF)
+    val Some(coefs) = Multimodal.dctLowBand(w, h, px)
+    val m = coefs.map { case (u, v, c) => (u, v) -> c }.toMap
+    assert(m((1, 1)) == 0L && m((1, 2)) == 0L && m((2, 1)) == 0L,
+      "y-direction terms must vanish for an x-only edge")
+    assert(m((1, 0)) != 0L, "the step's fundamental must be excited")
+    assert(math.abs(m((1, 0))) > math.abs(m((2, 0))),
+      "u=1 must dominate u=2 for a half-step edge")
+    val mirror = Array.tabulate(w * h)(p => if (p % w < w / 2) 0xFFFFFF else 0)
+    val Some(mc) = Multimodal.dctLowBand(w, h, mirror)
+    val mm = mc.map { case (u, v, c) => (u, v) -> c }.toMap
+    assert(mm((1, 0)) == -m((1, 0)), "mirroring must flip the odd term's sign")
+  }
+
+  test("DCT low band quarantines rasters that do not tile the 8x6 grid") {
+    assert(Multimodal.dctLowBand(10, 12, new Array[Int](120)).isEmpty)
+    assert(Multimodal.dctLowBand(16, 10, new Array[Int](160)).isEmpty)
+  }
+
+  test("mm_feature_dct end to end: 12 coefficients per doc through real PNG bytes") {
+    val spark = SparkTestBase.spark
+    val rows = SparkEntry.queries("mm_feature_dct")(spark, SparkTestBase.sf)
+      .collect()
+    assert(rows.length == 500 * 12)
+    // DC term is always positive (luminance is non-negative, text is ASCII
+    // with printable bytes), AC terms vary — the encoder is not constant
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.forall(_._2.length == 12))
+    val dc = rows.filter(r => r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(dc.forall(_.getLong(3) > 0L))
+    assert(rows.map(_.getLong(3)).distinct.length > 100,
+      "DCT coefficients suspiciously uniform")
+  }
 }

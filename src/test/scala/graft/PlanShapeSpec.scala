@@ -288,9 +288,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nBoth + n97 == k97, s"$nBoth + $n97 != |k97| $k97")
   }
 
-  test("mm_resize / mm_resize_plan / mm_feature_stub are shuffle-free partition-wise") {
-    Seq("mm_resize", "mm_resize_plan", "mm_feature_ppm",
-        "mm_feature_stub").foreach { name =>
+  test("mm_resize / mm_resize_plan / mm_feature_dct are shuffle-free partition-wise") {
+    Seq("mm_resize", "mm_resize_plan", "mm_feature_ppm", "mm_feature_dct",
+        "mm_decode_raster").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
       assert(p.contains("MapPartitions"),
