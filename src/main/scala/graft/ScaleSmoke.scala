@@ -159,12 +159,33 @@ object ScaleSmoke {
     val jitter = sys.env.getOrElse("GRAFT_SMOKE_JITTER", "0") == "1"
     // completion marker, not a table probe: with GRAFT_SMOKE_TABLES the
     // replica set may not include lineitem, and a partial (crashed) build
-    // must rebuild rather than silently serve half a fixture dir
+    // must rebuild rather than silently serve half a fixture dir. The
+    // marker records the full KNOB TUPLE the dir was built with (r11
+    // ADVICE): a dir built under one knob set must never silently serve a
+    // run with different knobs — e.g. a non-jittered replica dir answering
+    // a GRAFT_SMOKE_EMB_JITTER=1 run would report "jittered regime" rung
+    // numbers actually measured on exact-dup data.
+    val knobs = Seq(
+      s"src=$src", s"copies=$copies", s"jitter=$jitter",
+      s"emb_jitter=${sys.env.getOrElse("GRAFT_SMOKE_EMB_JITTER", "0")}",
+      s"tables=${sys.env.getOrElse("GRAFT_SMOKE_TABLES", "ALL")}"
+    ).mkString("\n")
     val doneMarker = java.nio.file.Paths.get(s"$out/_SMOKE_DONE")
-    if (!java.nio.file.Files.exists(doneMarker)) {
+    val recorded =
+      if (java.nio.file.Files.exists(doneMarker))
+        Some(java.nio.file.Files.readString(doneMarker))
+      else None
+    if (recorded.contains(knobs)) {
+      System.err.println(s"[smoke] reusing replicated dir $out (knobs match)")
+    } else {
+      recorded.foreach { r =>
+        System.err.println(s"[smoke] REBUILDING $out — recorded knobs\n$r\n" +
+          s"differ from current\n$knobs")
+        java.nio.file.Files.delete(doneMarker)
+      }
       replicate(spark, src, out, copies, jitter)
-      java.nio.file.Files.createFile(doneMarker)
-    } else System.err.println(s"[smoke] reusing replicated dir $out")
+      java.nio.file.Files.writeString(doneMarker, knobs)
+    }
 
     val names = sys.env.get("GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
