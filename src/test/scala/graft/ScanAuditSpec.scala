@@ -51,6 +51,14 @@ class ScanAuditSpec extends AnyFunSuite {
       ("classic two-pass outlier detection: stats pass reduces the fact " +
         "to one 5-row broadcast frame, flag pass re-scans — persisting " +
         "the whole fact to save one columnar scan would cost more"),
+    // r12 in-band sketch-accuracy contracts: the second scan IS the exact
+    // twin that makes the engine-specific sketch oracle-testable (each
+    // engine gates its own sketch against its own exact value). Production
+    // use is the one-pass sketch alone; the twin is the test harness.
+    "events_approx_distinct" ->
+      "sketch pass + exact-twin pass (in-band accuracy oracle)",
+    "events_approx_quantiles" ->
+      "sketch pass + rank-audit pass (in-band accuracy oracle)",
     "olap_full_outer_reconcile" -> "two snapshot slices by design",
     "text_rarity_score" ->
       ("df aggregate joined back to exploded tokens; materializing the " +
