@@ -2353,6 +2353,80 @@ object ExtQueries {
       |FROM pool p JOIN c8 ON c8.x = p.gx JOIN c6 ON c6.y = p.gy
       |GROUP BY p.doc_id, c8.u, c6.v""".stripMargin)
 
+  /** Shared DCT-descriptor oracle prefix: the mm_feature_dct pipeline up to
+    * per-(doc, u, v) coefficients, reused by the similarity composition. */
+  private val dctFeatCtes: String = mmFeatureDct._2
+    .replaceFirst("SELECT p\\.doc_id, CAST\\(c8\\.u AS BIGINT\\) AS fu,[\\s\\S]*$",
+      """,feat AS (
+        |  SELECT p.doc_id, c8.u * 3 + c6.v AS idx,
+        |    CAST(sum(p.pv * c8.c * c6.c) AS BIGINT) AS coef
+        |  FROM pool p JOIN c8 ON c8.x = p.gx JOIN c6 ON c6.y = p.gy
+        |  GROUP BY p.doc_id, c8.u, c6.v)""".stripMargin)
+
+  // The encoder's output FEEDING the similarity tier — classical DCT-
+  // descriptor image retrieval: each image's 12 exact-integer DCT
+  // coefficients are its embedding, the 11-bit AC-sign word is its coarse
+  // bucket (the pHash-style fingerprint), candidates are bucket collisions
+  // (never all-pairs — measured at sf0.1: 5000 docs → 1734 buckets, max 13,
+  // ~21k candidate pairs), ranking is exact-integer L1 distance through the
+  // map-side partial top-k heap (k rows per src cross the shuffle). The
+  // descriptor frame is localCheckpoint-materialized: both self-join sides
+  // read 1-row-per-image descriptors instead of re-running PNG encode →
+  // decode → DCT twice. Overflow/exactness: |coef| ≤ 48·765·10¹⁰ so the
+  // L1 sum ≤ 12·7.4e14 < 2⁵³ — the heap's double score is exact. At 100 TB
+  // the shape is the standard two-stage ANN: tiny per-item descriptor +
+  // sign-bucket partitioning + in-bucket exact rank; skewed buckets would
+  // get the same banding/multi-probe treatment as sim_lsh_ann.
+  val mmSimDct: (QFn, String) = (
+    (s, dir) => {
+      val feats = Multimodal.dctFeatures(
+        Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF()
+      val vec = feats
+        .withColumn("idx", (col("fu") * 3 + col("fv")).cast("int"))
+        .withColumn("bit",
+          expr("CASE WHEN idx > 0 AND coef > 0 THEN shiftleft(1L, idx - 1) " +
+            "ELSE 0L END"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bit")).as("fp"),
+          sort_array(collect_list(struct(col("idx"), col("coef")))).as("cs"))
+        .select(col("doc_id"), col("fp"),
+          expr("transform(cs, c -> c.coef)").as("v"))
+        .localCheckpoint() // both self-join sides read the tiny descriptors
+      val a = vec.select(col("doc_id").as("src_doc"), col("fp").as("afp"),
+        col("v").as("av"))
+      val b = vec.select(col("doc_id").as("dst_doc"), col("fp").as("bfp"),
+        col("v").as("bv"))
+      a.join(b, col("afp") === col("bfp") && col("src_doc") =!= col("dst_doc"))
+        .select(col("src_doc"), col("dst_doc"),
+          expr("aggregate(zip_with(av, bv, (x, y) -> abs(x - y)), 0L, " +
+            "(acc, d) -> acc + d)").as("l1_dist"))
+        .groupBy(col("src_doc"))
+        .agg(graft.functions.TopKByScore
+          .topK((-col("l1_dist")).cast("double"), col("dst_doc"), 3).as("top"))
+        .select(col("src_doc"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("src_doc"), col("t.id").as("dst_doc"),
+          (-col("t.score")).cast("long").as("l1_dist"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+    s"""$dctFeatCtes,
+       |vec AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN idx > 0 AND coef > 0
+       |      THEN (1::BIGINT << CAST(idx - 1 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    list(coef ORDER BY idx) AS v
+       |  FROM feat GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+       |    CAST(list_sum(list_transform(generate_series(1, 12),
+       |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS l1_dist
+       |  FROM vec a JOIN vec b ON a.fp = b.fp AND a.doc_id <> b.doc_id)
+       |SELECT src_doc, dst_doc, l1_dist, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_doc
+       |    ORDER BY l1_dist, dst_doc) AS BIGINT) AS rank
+       |  FROM cand)
+       |WHERE rank <= 3""".stripMargin)
+
   // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
   // in doc_id order and split every 2048 tokens — the standard LLM
   // pretraining packing. Each doc's pack is its cumulative token offset
@@ -3977,6 +4051,7 @@ object ExtQueries {
     "mm_ahash" -> mmAhash,
     "mm_pipeline_features" -> mmPipelineFeatures,
     "mm_feature_dct" -> mmFeatureDct,
+    "mm_sim_dct" -> mmSimDct,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)
 }

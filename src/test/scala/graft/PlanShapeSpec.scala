@@ -308,6 +308,29 @@ class PlanShapeSpec extends AnyFunSuite {
       .count() == 0, "resized channel value out of byte range")
   }
 
+  test("mm_sim_dct: bucketed equi-join (never all-pairs), heap top-k, <=3 per src") {
+    val p = plan("mm_sim_dct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"descriptor candidate join fell back to all-pairs:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected map-side partial top-k in:\n$p")
+    assert(!p.contains("Window"), s"rank window crept into:\n$p")
+    // the descriptor frame must be checkpoint-materialized: one PNG
+    // encode→decode→DCT pass feeds BOTH self-join sides
+    assert(!p.contains("Scan parquet"),
+      s"self-join re-evaluates the raw subtree instead of the checkpoint:\n$p")
+    import org.apache.spark.sql.functions.{col, count => fcount, max => fmax}
+    val g = SparkEntry.queries("mm_sim_dct")(SparkTestBase.spark, SparkTestBase.sf)
+    val per = g.groupBy(col("src_doc"))
+      .agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"),
+        fmax("rank").as("maxr"))
+    assert(per.filter(col("n") > 3 || col("maxr") > 3).count() == 0,
+      "a src carries more than 3 neighbors")
+    assert(g.filter(col("src_doc") === col("dst_doc")).count() == 0,
+      "self-match in the similarity output")
+    assert(g.filter(col("l1_dist") < 0).count() == 0, "negative L1 distance")
+  }
+
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
     val p = plan("olap_nation_share")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
