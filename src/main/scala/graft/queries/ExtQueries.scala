@@ -2112,6 +2112,87 @@ object ExtQueries {
       |    ORDER BY adc_e8, vec_id) AS BIGINT) AS rank FROM adc)
       |WHERE rank <= 5""".stripMargin)
 
+  // IVF-PQ — the COMPOSED production ANN index (r12): coarse IVF cell
+  // pruning (the label cell, as sim_ivf_topk) × PQ asymmetric-distance
+  // scoring (the broadcast LUTs, as sim_pq_adc_topk) in one query. This is
+  // the shape every large-scale vector store actually serves: candidates
+  // are ONLY the query's inverted list, and each candidate costs 4 LUT
+  // lookups instead of a 64-dim float scan — at 100 TB the work drops from
+  // n·4 lookups (flat ADC) to (n/ncells)·4, and the corpus never holds
+  // floats at serving time, only 4-byte codes. Plan shape: codebook +
+  // query LUTs ride broadcasts, the one shuffle keys on (qid, cid) partial
+  // sums, ranking is the map-side heap (k rows per partition per query).
+  // Exactness: same e8 integer distances as the PQ family; sums < 2^53 so
+  // the heap's double round-trips exactly.
+  val simIvfPqTopk: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val sub = e.select(col("vec_id"), col("label"),
+          explode(expr("transform(sequence(0, 3), " +
+            "j -> struct(j as subspace, slice(embedding, j * 16 + 1, 16) as sv))"))
+            .as("x"))
+        .select(col("vec_id"), col("label"), col("x.subspace").as("subspace"),
+          col("x.sv").as("sv"))
+      val cents = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("subspace").as("c_subspace"),
+          col("sv").as("cv"))
+      val scored = sub.join(broadcast(cents),
+          col("subspace") === col("c_subspace"))
+        .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
+          graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
+      val codes = scored.groupBy(col("vec_id"), col("label"), col("subspace"))
+        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("label"), col("subspace"),
+          col("m.cid").as("code"))
+      val lut = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("subspace").as("l_subspace"), col("cid").as("l_cid"),
+          col("d2_e8"))
+      codes.join(broadcast(lut),
+          col("subspace") === col("l_subspace") &&
+            col("code") === col("l_cid") && col("label") === col("qlabel"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2_e8")).as("adc_e8"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("adc_e8")).cast("double"), col("vec_id"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("adc_e8"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+    """WITH sub AS (
+      |  SELECT vec_id, label, j AS subspace,
+      |    embedding[j * 16 + 1 : j * 16 + 16] AS sv
+      |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |cents AS (
+      |  SELECT vec_id AS cid, subspace AS c_subspace, sv AS cv
+      |  FROM sub WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT s.vec_id, s.label, s.subspace, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CAST(floor((s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      100000000) AS BIGINT))) AS BIGINT) AS d2_e8
+      |  FROM sub s JOIN cents c ON s.subspace = c.c_subspace),
+      |codes AS (
+      |  SELECT vec_id, label, subspace, cid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d2_e8, cid) AS rn FROM scored) WHERE rn = 1),
+      |adc AS (
+      |  SELECT l.vec_id AS qid, c.vec_id,
+      |    CAST(sum(l.d2_e8) AS BIGINT) AS adc_e8
+      |  FROM codes c JOIN scored l
+      |    ON l.vec_id < 10 AND l.subspace = c.subspace AND l.cid = c.code
+      |      AND l.label = c.label
+      |  WHERE l.vec_id <> c.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS cid, adc_e8, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_e8, vec_id) AS BIGINT) AS rank FROM adc)
+      |WHERE rank <= 5""".stripMargin)
+
   // Per-vector symmetric int8 quantization (the storage/serving compression
   // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
   // q_i = floor(x_i/scale + 0.5) — the explicit half-up formula, spelled the
@@ -3999,6 +4080,7 @@ object ExtQueries {
     "emb_quantize" -> embQuantize,
     "emb_pq_codes" -> embPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
+    "sim_ivfpq_topk" -> simIvfPqTopk,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,

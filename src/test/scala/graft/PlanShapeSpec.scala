@@ -308,6 +308,35 @@ class PlanShapeSpec extends AnyFunSuite {
       .count() == 0, "resized channel value out of byte range")
   }
 
+  test("sim_ivfpq_topk: broadcast LUTs, cell-pruned ADC, heap top-k; agrees with flat ADC") {
+    val p = plan("sim_ivfpq_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ join fell back to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT sides must broadcast:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected map-side partial top-k in:\n$p")
+    import org.apache.spark.sql.functions.col
+    val spark2 = SparkTestBase.spark
+    val ivfpq = SparkEntry.queries("sim_ivfpq_topk")(spark2, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every IVF-PQ pair must carry the SAME ADC distance the flat PQ scan
+    // assigns it (cell pruning changes the candidate SET, never a score)
+    val flat = SparkEntry.queries("sim_pq_adc_topk")(spark2, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val disagree = ivfpq.collect {
+      case (k, v) if flat.contains(k) && flat(k) != v => (k, v, flat(k))
+    }
+    assert(disagree.isEmpty, s"ADC scores diverge between IVF-PQ and flat: $disagree")
+    // and the candidates really are cell-mates of their query
+    val labels = graft.cdc.ChangeLog.table(spark2, SparkTestBase.sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivfpq.keys.foreach { case (q, c) =>
+      assert(labels(q) == labels(c), s"pair ($q, $c) crosses IVF cells")
+    }
+  }
+
   test("mm_sim_dct: bucketed equi-join (never all-pairs), heap top-k, <=3 per src") {
     val p = plan("mm_sim_dct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -31,6 +31,9 @@ class ScanAuditSpec extends AnyFunSuite {
     "sim_knn_graph" -> ("cell self-join (both sides cell-pruned) + the " +
       "column-pruned cell-count scan that sizes the adaptive fan-out"),
     "sim_pq_adc_topk" -> "codes + LUT sides; LUT pruned (vec_id<10)",
+    "sim_ivfpq_topk" -> ("same codes + LUT structure as sim_pq_adc_topk " +
+      "(scored feeds both; materializing 32n rows costs more than the " +
+      "pruned columnar rescans), plus the cell key carried through"),
     "cluster_assign" -> "centroid side pruned (vec_id<8)",
     "cluster_inertia" -> "centroid side pruned (vec_id<8)",
     "sim_hybrid_search" -> "query-embedding side pruned (vec_id=0)",
