@@ -2446,18 +2446,25 @@ object ExtQueries {
 
   // The encoder's output FEEDING the similarity tier — classical DCT-
   // descriptor image retrieval: each image's 12 exact-integer DCT
-  // coefficients are its embedding, the 11-bit AC-sign word is its coarse
-  // bucket (the pHash-style fingerprint), candidates are bucket collisions
-  // (never all-pairs — measured at sf0.1: 5000 docs → 1734 buckets, max 13,
-  // ~21k candidate pairs), ranking is exact-integer L1 distance through the
+  // coefficients are its embedding, its coarse bucket is the 11-bit
+  // AC-sign word (the pHash-style fingerprint) PLUS the DC coefficient's
+  // 1e12-quantized brightness band — signs partition by STRUCTURE, the DC
+  // band by BRIGHTNESS, and the compound key space (2048 × ~370 bands)
+  // keeps expected bucket size flat as the corpus grows where an 11-bit
+  // space alone would saturate at 2048 buckets (measured at sf0.1: 5000
+  // docs → 3615 compound buckets, max 7, vs 1734/max-13 sign-only).
+  // Candidates are bucket collisions
+  // — never all-pairs; near-dups share both structure and brightness, and
+  // the band-edge miss mode is the standard LSH boundary trade whose
+  // production mitigation is multi-probe (query adjacent bands), exactly
+  // as in sim_lsh_ann. Ranking is exact-integer L1 distance through the
   // map-side partial top-k heap (k rows per src cross the shuffle). The
   // descriptor frame is localCheckpoint-materialized: both self-join sides
   // read 1-row-per-image descriptors instead of re-running PNG encode →
   // decode → DCT twice. Overflow/exactness: |coef| ≤ 48·765·10¹⁰ so the
-  // L1 sum ≤ 12·7.4e14 < 2⁵³ — the heap's double score is exact. At 100 TB
-  // the shape is the standard two-stage ANN: tiny per-item descriptor +
-  // sign-bucket partitioning + in-bucket exact rank; skewed buckets would
-  // get the same banding/multi-probe treatment as sim_lsh_ann.
+  // L1 sum ≤ 12·7.4e14 < 2⁵³ — the heap's double score is exact; the DC
+  // coefficient is non-negative (luminance), so its floor-div banding is
+  // engine-exact.
   val mmSimDct: (QFn, String) = (
     (s, dir) => {
       val feats = Multimodal.dctFeatures(
@@ -2469,15 +2476,18 @@ object ExtQueries {
             "ELSE 0L END"))
         .groupBy(col("doc_id"))
         .agg(sum(col("bit")).as("fp"),
+          sum(expr("CASE WHEN idx = 0 THEN coef div 1000000000000L " +
+            "ELSE 0L END")).as("dc_band"),
           sort_array(collect_list(struct(col("idx"), col("coef")))).as("cs"))
-        .select(col("doc_id"), col("fp"),
+        .select(col("doc_id"), col("fp"), col("dc_band"),
           expr("transform(cs, c -> c.coef)").as("v"))
         .localCheckpoint() // both self-join sides read the tiny descriptors
       val a = vec.select(col("doc_id").as("src_doc"), col("fp").as("afp"),
-        col("v").as("av"))
+        col("dc_band").as("aband"), col("v").as("av"))
       val b = vec.select(col("doc_id").as("dst_doc"), col("fp").as("bfp"),
-        col("v").as("bv"))
-      a.join(b, col("afp") === col("bfp") && col("src_doc") =!= col("dst_doc"))
+        col("dc_band").as("bband"), col("v").as("bv"))
+      a.join(b, col("afp") === col("bfp") && col("aband") === col("bband") &&
+          col("src_doc") =!= col("dst_doc"))
         .select(col("src_doc"), col("dst_doc"),
           expr("aggregate(zip_with(av, bv, (x, y) -> abs(x - y)), 0L, " +
             "(acc, d) -> acc + d)").as("l1_dist"))
@@ -2495,13 +2505,16 @@ object ExtQueries {
        |    CAST(sum(CASE WHEN idx > 0 AND coef > 0
        |      THEN (1::BIGINT << CAST(idx - 1 AS INTEGER)) ELSE 0 END)
        |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN idx = 0 THEN coef // 1000000000000
+       |      ELSE 0 END) AS BIGINT) AS dc_band,
        |    list(coef ORDER BY idx) AS v
        |  FROM feat GROUP BY doc_id),
        |cand AS (
        |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
        |    CAST(list_sum(list_transform(generate_series(1, 12),
        |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS l1_dist
-       |  FROM vec a JOIN vec b ON a.fp = b.fp AND a.doc_id <> b.doc_id)
+       |  FROM vec a JOIN vec b ON a.fp = b.fp AND a.dc_band = b.dc_band
+       |    AND a.doc_id <> b.doc_id)
        |SELECT src_doc, dst_doc, l1_dist, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_doc
        |    ORDER BY l1_dist, dst_doc) AS BIGINT) AS rank
