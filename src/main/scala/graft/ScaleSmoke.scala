@@ -181,7 +181,20 @@ object ScaleSmoke {
       recorded.foreach { r =>
         System.err.println(s"[smoke] REBUILDING $out — recorded knobs\n$r\n" +
           s"differ from current\n$knobs")
-        java.nio.file.Files.delete(doneMarker)
+      }
+      // wipe the WHOLE dir, not just the marker: replicate() writes only
+      // the filtered table set, so a table the new knobs exclude would
+      // otherwise survive from the previous regime and silently serve
+      // stale data to any query that reads it
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () })
+        } finally walk.close()
       }
       replicate(spark, src, out, copies, jitter)
       java.nio.file.Files.writeString(doneMarker, knobs)
