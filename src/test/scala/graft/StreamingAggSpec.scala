@@ -72,4 +72,47 @@ class StreamingAggSpec extends AnyFunSuite {
       assert(got.exceptAll(batch).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming HLL distinct users per resource lands within 10% of batch exact") {
+    // the sketch family's streaming twin (r12, completing the
+    // events_approx_distinct contract): approx_count_distinct's HLL buffers
+    // are mergeable streaming state, so the one-pass sketch the batch query
+    // runs carries to the stream unchanged — constant state per group where
+    // an exact streaming distinct would hold every key. The gate mirrors
+    // the batch query's in-band oracle: each streamed estimate within 10%
+    // of the batch EXACT distinct (HLL rsd 0.02 ⇒ ~5× margin).
+    import graft.source.wal.WalFixture
+    val walDir = Files.createTempDirectory("graft-hllwal").toString
+    val ev = WalFixture.eventsUs(spark, SparkTestBase.sf)
+      .orderBy("event_id").collect().iterator
+      .map(WalFixture.evFromRow)
+    WalFixture.writeLog(ev, walDir)
+
+    // user_id rides the envelope's data JSON on the stream side; restrict
+    // both sides to INSERTs so the contract doesn't depend on which row
+    // image DELETE events carry
+    val stream = StreamingPipeline.walStream(spark, walDir)
+      .filter(col("op") === "INSERT")
+      .select(col("resource"),
+        get_json_object(col("data"), "$.user_id").cast("long").as("user_id"))
+      .groupBy(col("resource"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_distinct").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_distinct").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = graft.cdc.ChangeLog.changelog(spark, SparkTestBase.sf)
+        .filter(col("op") === "INSERT")
+        .groupBy(col("resource"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == exact.keySet, s"resources ${got.keySet} vs ${exact.keySet}")
+      got.foreach { case (res, a) =>
+        val e = exact(res).toDouble
+        assert(math.abs(a - e) <= 0.10 * e, s"$res: stream HLL $a vs exact $e")
+      }
+    } finally q.stop()
+  }
 }
