@@ -35,7 +35,11 @@ object ScaleSmoke {
     "olap_market_basket", "cluster_train_2iter", "dedup_keep_best",
     "olap_waiting_suppliers", "text_repetition", "dedup_soft_weights",
     "dedup_embedding_cosine", "pipeline_clean_corpus", "olap_nation_share",
-    "graph_jaccard_suggest", "text_collocations", "events_attribution_linear")
+    "graph_jaccard_suggest", "text_collocations", "events_attribution_linear",
+    // r12 composed additions: the DCT-descriptor similarity self-join and
+    // the IVF-PQ serving path — both bucket-bounded in theory, probed here
+    // so a bucket-skew regression at scale is a rung diff, not a surprise
+    "mm_sim_dct", "sim_ivfpq_topk")
 
   /** Deterministic ±1e-3 per-(vector, dim) embedding perturbation — the
     * near-dup vector regime (`GRAFT_SMOKE_EMB_JITTER=1`). Derived from the
