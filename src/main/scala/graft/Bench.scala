@@ -117,6 +117,11 @@ object Bench {
     }
     def recErr(tag: String, e: Throwable): Unit =
       recMsg(tag, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
 
     // -------- live drain: a REAL walsender backlog over the wire ----------
     // Runs FIRST-IN-PROCESS (before the suite warm-up fills the heap): the
@@ -145,9 +150,14 @@ object Bench {
     // same-run single-slot decode rate; verdict = measured ≤ 1.15×predicted
     val live10ReadWaitPct = scala.collection.mutable.Buffer.empty[Double]
     var live10Predicted = -1.0
+    var live10BestPct = -1.0
     var live10Ceiling = "unavailable"
     def loadAvg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def diskFreeGb(): Double =
+      try Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        .toFile.getUsableSpace / 1e9
       catch { case _: Throwable => -1.0 }
     var liveLoadBefore = -1.0; var liveLoadAfter = -1.0
     var liveLoadWaitS = 0.0; var liveLoadVerdict = "skipped"
@@ -335,9 +345,18 @@ object Bench {
                   live10Predicted = total10.toDouble * liveMin / liveDrainEvents
                 case _ => ()
               }
+              // the verdict prices the SAME trial the artifact reports
+              // (r12 VERDICT #3 / ADVICE: gating on the MAX share across
+              // trials let a single server-bound outlier mask a client
+              // regression in the recorded-min trial) — qualified trials
+              // append to live10ReadWaitPct in order, so index-of-min in
+              // t10 is the recorded trial's read-wait share
+              live10BestPct =
+                if (live10ReadWaitPct.isEmpty) -1.0
+                else live10ReadWaitPct(t10.indexOf(secs10))
               live10Ceiling =
                 if (live10ReadWaitPct.isEmpty) "no_trials"
-                else if (live10ReadWaitPct.max >= 85.0) "pass"
+                else if (live10BestPct >= 85.0) "pass"
                 else "miss"
               System.err.println(
                 f"[bench] live_drain_10x: $total10 events over the real " +
@@ -345,7 +364,8 @@ object Bench {
                   f"${total10 / secs10}%.0f ev/s min of ${t10.size} trials " +
                   f"[${t10.map(t => f"$t%.3f").mkString(", ")}]; read-wait " +
                   f"[${live10ReadWaitPct.map(p => f"$p%.0f%%").mkString(", ")}]" +
-                  f" → ceiling $live10Ceiling (client ≤15%% bar; naive " +
+                  f" → ceiling $live10Ceiling on the min trial's " +
+                  f"$live10BestPct%.1f%% (client ≤15%% bar; naive " +
                   f"99k-extrapolated $live10Predicted%.2f s recorded as " +
                   f"informational)")
             }
@@ -519,6 +539,14 @@ object Bench {
     var latencyP50 = 0L; var latencyP99 = 0L
     val walTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val wal10TrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    // Per-trial environment for the 10× WAL point (r12 VERDICT #1: its
+    // recorded min regressed 2.9× with the bench code unchanged and the
+    // artifact carried nothing to attribute it — root-caused to ~25 GB of
+    // accumulated graft-livepg-* data dirs that PgServerHarness.stop()
+    // never deleted, i.e. exactly the disk-state suspect class). Each
+    // trial records (gc_ms delta, 1-min load avg, tmpdir free GB) so the
+    // next swing is attributable from the artifact alone.
+    val wal10Env = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
     var drainEvents = 0L
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
@@ -823,7 +851,8 @@ object Bench {
           val (min10, max10) = (b10.getLong(0), b10.getLong(1))
           drainEvents10 = ev10.count() - 1000
           val t10 = (1 to 3).map { i =>
-            try oneDrain(ev10, min10, max10, min10 + 999, 40,
+            val g0 = gcMs()
+            val t = try oneDrain(ev10, min10, max10, min10 + 999, 40,
               framesHeadline, async = false)
             catch { case e: Throwable =>
               System.err.println(s"[bench] wal_drain_10x trial $i failed: $e")
@@ -831,6 +860,8 @@ object Bench {
               recErr("wal_drain_10x", e)
               -1.0
             }
+            wal10Env += ((gcMs() - g0, loadAvg(), diskFreeGb()))
+            t
           }
           wal10TrialsRec ++= t10
           val ok = t10.filter(_ > 0)
@@ -999,11 +1030,6 @@ object Bench {
     // recording each round-robin pass's wall-clock sum and its GC delta
     // makes intra-run drift and GC pressure DATA in the artifact instead
     // of a post-hoc hypothesis.
-    def gcMs(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
     val passTotals = scala.collection.mutable.Buffer.empty[Double]
     val passGcMs = scala.collection.mutable.Buffer.empty[Long]
     if (runSuite) (1 to 3).foreach { _ =>
@@ -1067,6 +1093,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
       .filterNot { case (k, v) => nonComparable(k) || v < 0 }.values.sum
+    // The 12 slowest suite queries, with PER-PASS times (pass order) in the
+    // artifact: r12's in-suite sim_knn_graph swing (1.70→3.64 s) could only
+    // be argued to be heap-history, not shown — per-pass values make a
+    // min-of-3 swing attributable (all passes slow = plan/regime change;
+    // later passes slow = heap/GC history) without changing the protocol.
+    val slowest = results.toSeq
+      .filterNot { case (k, v) => nonComparable(k) ||
+        k.startsWith("wal_drain") || v < 0 }
+      .sortBy(-_._2).take(12)
+    val slowestTrials = slowest.flatMap { case (k, _) =>
+      trials.get(k).map(ts => k -> ts.reverse) } // prepended ⇒ reverse = pass order
     val summaryKeys =
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""n_queries":${results.size},""" +
@@ -1079,12 +1116,16 @@ object Bench {
       }.mkString("{", ",", "}")},""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
+      s""""wal_drain_10x_env":[${wal10Env.map { case (gc, load, free) =>
+        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
+      }.mkString(",")}],""" +
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_predicted":${r3(live10Predicted)},""" +
       s""""live_drain_10x_ceiling":{"client_share_bound_pct":15,""" +
-      s""""best_trial_read_wait_pct":${
+      s""""best_trial_read_wait_pct":${r3(live10BestPct)},""" +
+      s""""max_trial_read_wait_pct":${
         r3(if (live10ReadWaitPct.isEmpty) -1.0 else live10ReadWaitPct.max)
       },"verdict":"$live10Ceiling"},""" +
       s""""live_drain_10x_read_wait_pct":[${live10ReadWaitPct.map(r3).mkString(",")}],""" +
@@ -1097,6 +1138,9 @@ object Bench {
       s""""latency_floor_wire_ms":{"p50":$floorWireP50,"p99":$floorWireP99},""" +
       s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
       s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
+      s""""suite_slowest_trials":${slowestTrials.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
@@ -1107,10 +1151,6 @@ object Bench {
       "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x",
       "live_drain_2db", "live_drain_4db")
       .flatMap(k => results.get(k).map(k -> _))
-    val slowest = results.toSeq
-      .filterNot { case (k, v) => nonComparable(k) ||
-        k.startsWith("wal_drain") || v < 0 }
-      .sortBy(-_._2).take(12)
     val compactJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(headline ++ slowest)},""" + summaryKeys +

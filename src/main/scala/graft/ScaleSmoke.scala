@@ -189,9 +189,24 @@ object ScaleSmoke {
       // wipe the WHOLE dir, not just the marker: replicate() writes only
       // the filtered table set, so a table the new knobs exclude would
       // otherwise survive from the previous regime and silently serve
-      // stale data to any query that reads it
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      // stale data to any query that reads it. SAFETY (r12 ADVICE): only
+      // wipe recursively when a _SMOKE_DONE marker proves the dir is a
+      // fixture dir this tool built — `out` is an arbitrary user-supplied
+      // path, and recursively deleting a non-empty dir with no marker
+      // would destroy unknown content (a crashed PARTIAL build has no
+      // marker either, so those must be cleared by hand — the error says
+      // so rather than guessing).
+      val outPath = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(outPath)) {
+        val empty = {
+          val s = java.nio.file.Files.list(outPath)
+          try !s.iterator().hasNext finally s.close()
+        }
+        require(recorded.isDefined || empty,
+          s"refusing to wipe $out: non-empty with no _SMOKE_DONE marker — " +
+            "not a fixture dir this tool built (or a crashed partial " +
+            "build); clear it manually or point GRAFT_SMOKE at a fresh dir")
+        val walk = java.nio.file.Files.walk(outPath)
         try {
           import scala.jdk.CollectionConverters._
           walk.sorted(java.util.Comparator.reverseOrder())

@@ -75,8 +75,19 @@ object Multimodal {
     * codec time on pixels (the PNG spec fixes IHDR as the first chunk, so
     * width/height are big-endian words at offsets 16/20). Non-PNG or
     * truncated payloads → None, the tier's quarantine policy. */
-  def sniffPngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
-    if (bytes == null || bytes.length < 24) return None
+  def sniffPngDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    sniffPngHeader(bytes).map { case (w, h, _) => (w, h) }
+
+  /** Full IHDR sniff: (width, height, DECODED channel count). The channel
+    * count derives from the color-type byte (IHDR offset 25) — 0 grayscale
+    * → 1, 2 truecolor → 3, 3 palette → 3 (a palette decodes to RGB),
+    * 4 gray+alpha → 2, 6 RGBA → 4. An unknown color type quarantines the
+    * payload (None) like other malformed media: a byte-budget planner
+    * must never hardcode 3 channels for a payload the sniff admits but
+    * the budget math doesn't cover (r12 ADVICE — resizePlanPng's
+    * `out_bytes` silently assumed truecolor for every valid PNG). */
+  def sniffPngHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 26) return None
     val sig = (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G'
     val ihdr = bytes(12) == 'I' && bytes(13) == 'H' &&
@@ -87,7 +98,11 @@ object Multimodal {
         ((bytes(i + 1) & 0xFF) << 16) | ((bytes(i + 2) & 0xFF) << 8) |
         (bytes(i + 3) & 0xFF)
       val w = be32(16); val h = be32(20)
-      if (w > 0 && h > 0) Some((w, h)) else None
+      val channels = (bytes(25) & 0xFF) match {
+        case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4
+        case _ => -1
+      }
+      if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
     }
   }
 
@@ -128,11 +143,16 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        sniffPngDims(r.media).map { case (w, h) =>
+        // channel count from the color-type byte, not a hardcoded 3: the
+        // sniff admits grayscale/palette/alpha PNGs, and their decoded
+        // byte budgets differ (the fixture is truecolor, so the oracle's
+        // ×3 is unchanged there)
+        sniffPngHeader(r.media).map { case (w, h, channels) =>
           val scalePm = box.toLong * 1000000L / math.max(w, h)
           val ow = (w * scalePm / 1000000L).toInt
           val oh = (h * scalePm / 1000000L).toInt
-          MediaResize(r.doc_id, w, h, ow, oh, scalePm, ow.toLong * oh * 3)
+          MediaResize(r.doc_id, w, h, ow, oh, scalePm,
+            ow.toLong * oh * channels)
         }
       }
     }

@@ -50,7 +50,25 @@ final class PgServerHarness private (
     stopped = true
     sh(s"$binDir/pg_ctl -D ${baseDir.resolve("data")} -m immediate stop " +
       "> /dev/null 2>&1")
-    ()
+    // Delete the instance's tmp dir: a live-drain run retains the WHOLE
+    // generated backlog as WAL (slots never confirm, so nothing is
+    // recycled) — the r12 4db rung's instance was 1.6 GB, and stop()
+    // leaving it on disk meant (a) it sat there while the SAME bench
+    // process went on to run the wal_drain_10x temp-dir-heavy tier and
+    // (b) every round's runs accumulated: 25 GB of dead graft-livepg-*
+    // dirs were on this box when the r12 wal_drain_10x regression was
+    // root-caused. Best-effort, children-before-parents; never throws —
+    // cleanup must not fail a bench or a shutdown hook.
+    try {
+      val walk = Files.walk(baseDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      } finally walk.close()
+    } catch { case _: Throwable => () }
   }
 }
 

@@ -181,6 +181,19 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.sniffPngDims(jpeg).isEmpty)
     assert(Multimodal.sniffPngDims(png.take(20)).isEmpty)
     assert(Multimodal.sniffPngDims("not a png at all, truly".getBytes).isEmpty)
+    // channel count derives from the color-type byte (IHDR offset 25):
+    // the encoder writes truecolor (type 2 → 3 channels); rewriting the
+    // byte must change the decoded-channel answer, and an unknown type
+    // must quarantine (the r12 ADVICE resize-plan byte-budget fix)
+    assert(Multimodal.sniffPngHeader(png).contains((w, h, 3)))
+    def withColorType(ct: Int): Array[Byte] = {
+      val b = png.clone(); b(25) = ct.toByte; b
+    }
+    assert(Multimodal.sniffPngHeader(withColorType(0)).contains((w, h, 1)))
+    assert(Multimodal.sniffPngHeader(withColorType(3)).contains((w, h, 3)))
+    assert(Multimodal.sniffPngHeader(withColorType(4)).contains((w, h, 2)))
+    assert(Multimodal.sniffPngHeader(withColorType(6)).contains((w, h, 4)))
+    assert(Multimodal.sniffPngHeader(withColorType(7)).isEmpty)
   }
 
   test("DCT low band: constant raster concentrates all energy in the DC term") {
