@@ -1007,6 +1007,7 @@ object Bench {
     if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
       try runToNoop(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
+      finally graft.util.Checkpoints.releaseOwned(spark)
     }
 
     // min of 3 runs per query — the reference's component baseline is
@@ -1043,6 +1044,10 @@ object Bench {
           recErr(s"suite:$name", e)
         }
         trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
+        // release query-owned checkpoints AFTER the timing capture: the
+        // blocks' lifetime ends with the consumed output, so 183 queries
+        // × 3 passes no longer accumulate pinned superseded frames
+        graft.util.Checkpoints.releaseOwned(spark)
       }
       passTotals += (System.nanoTime() - p0) / 1e9
       passGcMs += gcMs() - g0

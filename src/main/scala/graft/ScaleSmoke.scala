@@ -232,6 +232,10 @@ object ScaleSmoke {
       } catch { case e: Throwable => s"FAIL: ${e.getMessage.take(120)}" }
       val secs = (System.nanoTime() - t0) / 1e9
       val big = try shape(out) catch { case _: Throwable => "n/a" }
+      // the shape probes + timed run each registered this query's owned
+      // checkpoints (localCheckpoint is eager, so even plan-only probes
+      // materialize); consumed now — release before the next rung query
+      graft.util.Checkpoints.releaseOwned(spark)
       val flip = if (small != big) "  PLAN-FLIP" else ""
       f"$name%-30s $secs%7.2fs  $r%s$flip%n    sf0.1: $small%n    sf~1 : $big"
     }

@@ -27,6 +27,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // output written ⇒ this query's owned checkpoints are consumable
+      finally graft.util.Checkpoints.releaseOwned(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -614,8 +614,8 @@ object AnalyticsQueries {
       // materialize each (small, already-distinct) key set once — INTERSECT
       // and both EXCEPT directions then consume the checkpointed sets
       // instead of re-scanning the orders fact three times per side
-      val k97 = keys(y97, y98).localCheckpoint()
-      val k98 = keys(y98, y99).localCheckpoint()
+      val k97 = keys(y97, y98).transform(graft.util.Checkpoints.ownedCheckpoint)
+      val k98 = keys(y98, y99).transform(graft.util.Checkpoints.ownedCheckpoint)
       k97.intersect(k98).agg(count(lit(1)).as("n_both"))
         .crossJoin(k97.except(k98).agg(count(lit(1)).as("n_only_1997")))
         .crossJoin(k98.except(k97).agg(count(lit(1)).as("n_only_1998")))
@@ -1145,7 +1145,7 @@ object AnalyticsQueries {
           col("l_extendedprice"))
         .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"))
         .drop("p_partkey")
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val perPart = liB.groupBy(col("l_partkey"))
         .agg(sum(col("qty_e2")).as("sum_qty_e2"), count(lit(1)).as("n_li"))
       liB.join(perPart, Seq("l_partkey"))
@@ -1343,7 +1343,7 @@ object AnalyticsQueries {
         .filter(col("to_type").isNotNull)
         .select(col("event_type").as("from_type"), col("to_type"))
         .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // tiny |types|² frame feeds two consumers
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // tiny |types|² frame feeds two consumers
       trans.crossJoin(broadcast(trans.agg(sum(col("n")).as("total"))))
         .withColumn("share_pm", expr("n * 1000000 div total"))
         .select(col("from_type"), col("to_type"), col("n"), col("share_pm"))
@@ -1378,7 +1378,7 @@ object AnalyticsQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .groupBy("n").agg(count(lit(1)).as("n_users"))
         .withColumn("ev", col("n") * col("n_users"))
-        .localCheckpoint() // |activity levels| rows; feeds window + totals
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // |activity levels| rows; feeds window + totals
       val w = Window.orderBy(col("n").desc)
       hist
         .withColumn("cum_users", sum(col("n_users")).over(w))
@@ -1459,7 +1459,7 @@ object AnalyticsQueries {
         .withColumn("month_us",
           expr("unix_micros(date_trunc('MONTH', timestamp_micros(ts_us)))"))
         .select(col("day_us"), col("month_us"), col("user_id"))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint)
       val dau = u.groupBy(col("day_us"), col("month_us"))
         .agg(count(lit(1)).as("dau"))
       val mau = u.select(col("month_us"), col("user_id")).distinct()
@@ -1498,7 +1498,7 @@ object AnalyticsQueries {
         .agg(max(col("ts_us")).as("last_us"),
           count(lit(1)).as("freq"),
           sum(col("v_e6")).as("money_e6"))
-        .localCheckpoint() // |users| rows feed the horizon agg + the grid
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // |users| rows feed the horizon agg + the grid
       per.crossJoin(broadcast(per.agg(max(col("last_us")).as("horizon_us"))))
         .select(
           expr("""CASE WHEN (horizon_us - last_us) div 86400000000 <= 0 THEN 'active'
@@ -1553,7 +1553,7 @@ object AnalyticsQueries {
         // epoch-µs timestamps
         .select((col("ts_us") - (col("ts_us") % lit(86400000000L)))
           .as("day_us"), col("user_id"))
-        .distinct().localCheckpoint() // feeds both anti-join sides
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // feeds both anti-join sides
       val next = wu.select((col("day_us") - 86400000000L).as("prev_day_us"),
         col("user_id").as("nu"))
       val churned = wu.join(next,
@@ -1759,7 +1759,7 @@ object AnalyticsQueries {
       val base = events(s, dir)
         .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
           col("event_id"))
-        .localCheckpoint() // conversions AND touches slice this one scan
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // conversions AND touches slice this one scan
       val convs = base.filter(col("event_type") === "purchase")
         .select(col("user_id").as("cu"), col("ts_us").as("cts"),
           col("event_id").as("conv_id"))

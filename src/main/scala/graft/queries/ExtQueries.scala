@@ -517,7 +517,7 @@ object ExtQueries {
         .connected(dedupNgramJaccard._1(s, dir)
           .select(col("doc_a"), col("doc_b")))
         .select(col("node").as("cdoc"), col("component"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val sizes = comp.groupBy(col("component"))
         .agg(count(lit(1)).as("csize"))
       val weights = comp.join(sizes, Seq("component"))
@@ -1632,7 +1632,7 @@ object ExtQueries {
           "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
             "c -> concat_ws(' ', slice(t, c * 20 + 1, 20)))")).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h"))
-        .localCheckpoint() // both the df aggregate's and the join's basis
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // both the df aggregate's and the join's basis
       val dfx = ch.groupBy(col("h").as("dh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       ch.join(dfx, col("h") === col("dh"))
@@ -1701,7 +1701,7 @@ object ExtQueries {
       val grouped = base.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
           sum(col("nt")).as("total_tokens"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val total = grouped.agg(sum(col("n_docs")).as("corpus_docs"))
       grouped.crossJoin(broadcast(total))
         .withColumn("share_pm", expr("n_docs * 1000000 div corpus_docs"))
@@ -1829,7 +1829,7 @@ object ExtQueries {
   val pipelineDriftChi2: (QFn, String) = (
     (s, dir) => {
       val cell = docs(s, dir).groupBy("source", "lang")
-        .agg(count(lit(1)).as("o")).localCheckpoint()
+        .agg(count(lit(1)).as("o")).transform(graft.util.Checkpoints.ownedCheckpoint)
       val rowT = cell.groupBy("source").agg(sum(col("o")).as("row_t"))
       val colT = cell.groupBy("lang").agg(sum(col("o")).as("col_t"))
       val tot = cell.agg(sum(col("o")).as("n_total"))
@@ -1864,7 +1864,7 @@ object ExtQueries {
       // re-runs the fact aggregate (a real double-scan at 100 TB — caught
       // by ScanAuditSpec on first run)
       val counts = docs(s, dir).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs")).localCheckpoint()
+        .agg(count(lit(1)).as("n_docs")).transform(graft.util.Checkpoints.ownedCheckpoint)
       val tot = counts.agg(sum(col("n_docs")).as("total"),
         count(lit(1)).as("n_langs"))
       counts.crossJoin(broadcast(tot))
@@ -1971,7 +1971,7 @@ object ExtQueries {
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim"),
           floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
-        .localCheckpoint() // feeds every round: quantize + explode ONCE
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds every round: quantize + explode ONCE
       def assign(cents: DataFrame): DataFrame =
         ve.join(broadcast(cents), "dim")
           .select(col("vec_id"), col("cluster"),
@@ -2481,7 +2481,7 @@ object ExtQueries {
           sort_array(collect_list(struct(col("idx"), col("coef")))).as("cs"))
         .select(col("doc_id"), col("fp"), col("dc_band"),
           expr("transform(cs, c -> c.coef)").as("v"))
-        .localCheckpoint() // both self-join sides read the tiny descriptors
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // both self-join sides read the tiny descriptors
       val a = vec.select(col("doc_id").as("src_doc"), col("fp").as("afp"),
         col("dc_band").as("aband"), col("v").as("av"))
       val b = vec.select(col("doc_id").as("dst_doc"), col("fp").as("bfp"),
@@ -3004,7 +3004,7 @@ object ExtQueries {
         .join(edges.groupBy(col("src").as("osrc"))
           .agg(count(lit(1)).as("od")), col("src") === col("osrc"))
         .select(col("src"), col("dst"), col("od"))
-        .localCheckpoint() // reused by both iterations
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // reused by both iterations
       val nodes = emb(s, dir).select(col("vec_id").as("node"))
       val nn = broadcast(nodes.agg(count(lit(1)).as("cnt")))
       var p = nodes.crossJoin(nn)
@@ -3059,7 +3059,7 @@ object ExtQueries {
       val und = knnEdges(s, dir)
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct().localCheckpoint() // wedge + closure both consume it
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // wedge + closure both consume it
       val wedge = und.as("e1").join(und.as("e2"),
           col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
         .select(col("e1.u").as("apex"), col("e1.v").as("a"), col("e2.v").as("b"))
@@ -3174,12 +3174,12 @@ object ExtQueries {
       val und = knnEdges(s, dir)
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct().localCheckpoint() // m, degrees AND e_in read this frame
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // m, degrees AND e_in read this frame
       // materialized once: degc, e_in (twice) and n_nodes all consume this
       // 2-column frame — without the checkpoint each is its own
       // embeddings scan (ScanAuditSpec caught the 4× pass)
       val lab = emb(s, dir).select(col("vec_id"), col("label"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val m1 = broadcast(und.agg(count(lit(1)).as("m")))
       val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
       val degc = bi.join(lab, col("u") === col("vec_id"))
@@ -3245,9 +3245,9 @@ object ExtQueries {
       val und = knnEdges(s, dir)
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct().localCheckpoint() // wedge basis AND the anti-join side
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // wedge basis AND the anti-join side
       val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint() // degrees + both wedge sides
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // degrees + both wedge sides
       val deg = bi.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
       val wedge = bi.as("b1").join(bi.as("b2"),
           col("b1.u") === col("b2.u") && col("b1.v") < col("b2.v"))
@@ -3341,7 +3341,7 @@ object ExtQueries {
           .as(Seq("pos", "p")))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds c1, c2, the total AND the scored frame
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds c1, c2, the total AND the scored frame
       val c1 = pairs.groupBy(col("w1").as("a")).agg(sum(col("c")).as("c1"))
       val c2 = pairs.groupBy(col("w2").as("b")).agg(sum(col("c")).as("c2"))
       val total = pairs.agg(sum(col("c")).as("n_pairs"))
@@ -3441,11 +3441,11 @@ object ExtQueries {
         .select(col("src"), col("dst"))
       // both directions: reachability is undirected even though knn is not
       val bi = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint() // every level's join reads this frame
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // every level's join reads this frame
       var reached = emb(s, dir).select(col("vec_id").as("node"))
         .filter(col("node") % 97 === 0)
         .select(col("node"), lit(0L).as("level"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       (1 to 4).foreach { lvl =>
         val frontier = reached.filter(col("level") === (lvl - 1))
         val nxt = frontier.join(bi, col("node") === col("src"))
@@ -3453,7 +3453,7 @@ object ExtQueries {
         val prev = reached
         reached = reached.union(nxt)
           .groupBy(col("node")).agg(min(col("level")).as("level"))
-          .localCheckpoint()
+          .transform(graft.util.Checkpoints.ownedCheckpoint)
         // level L is materialized (eager checkpoint) — release L−1's
         // blocks instead of pinning rounds×n superseded state (r11 #2)
         graft.util.Checkpoints.release(prev)
@@ -3505,7 +3505,7 @@ object ExtQueries {
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
       val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint() // (u,v) u≠v both directions, distinct by construction
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // (u,v) u≠v both directions, distinct by construction
       var alive = emb(s, dir).select(col("vec_id").as("node"))
       var deg: org.apache.spark.sql.DataFrame = null
       (1 to 2).foreach { _ =>
@@ -3515,7 +3515,7 @@ object ExtQueries {
           .join(alive.select(col("node").as("av")), col("v") === col("av"))
           .groupBy(col("u")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 4)
-          .localCheckpoint()
+          .transform(graft.util.Checkpoints.ownedCheckpoint)
         // round R's survivors are materialized — round R−1's checkpoint
         // (its input) is superseded; release instead of pinning (r11 #2)
         if (prev != null) graft.util.Checkpoints.release(prev)
@@ -3557,7 +3557,7 @@ object ExtQueries {
     (s, dir) => {
       val e0 = knnEdges(s, dir).select(col("src"), col("dst"))
       val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint)
       var lab = emb(s, dir)
         .select(col("vec_id").as("node"), col("vec_id").as("label"))
       (1 to 2).zipWithIndex.foreach { case (_, i) =>
@@ -3567,7 +3567,7 @@ object ExtQueries {
           .groupBy(col("src"))
           .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
           .select(col("src").as("node"), col("m.l").as("label"))
-          .localCheckpoint()
+          .transform(graft.util.Checkpoints.ownedCheckpoint)
         // superstep R is materialized — release R−1's checkpoint (round 0
         // is a plain projection over the parquet scan: nothing to release)
         if (i > 0) graft.util.Checkpoints.release(prev)
@@ -3609,7 +3609,7 @@ object ExtQueries {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val dfq = tf.groupBy(col("w").as("dw")).agg(count(lit(1)).as("df"))
       tf.join(dfq, col("w") === col("dw"))
         .select(col("doc_id"), col("w"), expr("tf * 1000000 div df").as("score_e6"))
@@ -3658,7 +3658,7 @@ object ExtQueries {
         .as[graft.multimodal.MediaRecord]
       val hs = graft.multimodal.Multimodal.ahashPpm(media).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("ahash"))
-        .localCheckpoint() // both band-join sides read this frame
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // both band-join sides read this frame
       val banded = hs
         .withColumn("bw", expr("cast((width * height + 3) div 4 as int)"))
         .select(col("doc_id"), col("width"), col("height"), col("ahash"),
@@ -3752,7 +3752,7 @@ object ExtQueries {
       // checkpointed: the capped frame feeds THREE consumers (slice side,
       // candidate side, sizes) — without this the df aggregate + join
       // re-execute per consumer (measured +0.9 s at gate scale)
-      val sh = sh0.join(keptS, Seq("s")).localCheckpoint()
+      val sh = sh0.join(keptS, Seq("s")).transform(graft.util.Checkpoints.ownedCheckpoint)
       val sa = sh.filter(col("doc_id") % 5 === 0)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val truth = sa.as("sa").join(sh.as("sb"),

@@ -198,7 +198,7 @@ object OlapDeepQueries {
           col("sd_us") < lit(US_1997_07_01))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_e4")).as("total_rev_e4"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
       val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_rev_e4") === col("max_rev_e4"))
@@ -604,7 +604,7 @@ object OlapDeepQueries {
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"))
-        .localCheckpoint() // feeds the rate rollup AND the pair set
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds the rate rollup AND the pair set
       val badSupp = pairStats.groupBy(col("l_suppkey").as("bs"))
         .agg(sum(col("n")).as("tot"), sum(col("nr")).as("ret"))
         .filter(expr("ret * 1000 div tot > 340"))
@@ -663,7 +663,7 @@ object OlapDeepQueries {
         .join(broadcast(grpSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("v_e2")).as("value_e2"))
-        .localCheckpoint() // feeds the group total AND the threshold filter
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds the group total AND the threshold filter
       val total = positions
         .agg(sum(col("value_e2")).as("total_e2"), count(lit(1)).as("n_pos"))
       positions.crossJoin(broadcast(total))

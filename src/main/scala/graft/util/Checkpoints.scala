@@ -41,4 +41,77 @@ object Checkpoints {
       r.unpersist(blocking = false)
       releasedCount.incrementAndGet()
     } catch { case _: Throwable => () }
+
+  // ------------------------------------------------------------------
+  // Query-owned checkpoint registry (r12 VERDICT #6). A one-shot query
+  // that checkpoints a multiply-consumed frame (mm_sim_dct's descriptor
+  // frame, pagerank's edge frame, the set-op count rollups…) returns a
+  // plan that READS the checkpoint, so the query legitimately cannot
+  // release it in-query — but nothing else ever released it either, so
+  // every invocation pinned another frame's blocks for the session
+  // lifetime (Bench invokes each query 4×, ScaleSmoke 3× per rung). The
+  // registry closes the class: `owned` checkpoints AND records the frame
+  // under the owning session's UUID; the HARNESS (Bench / Verify /
+  // ScaleSmoke — whoever consumed the query's output) calls
+  // `releaseOwned` once the output is materialized, returning block-
+  // manager state to baseline. Correctness needs nothing from this: an
+  // unreleased frame is only memory, and a released one is never re-read
+  // because release happens strictly after consumption.
+  // ------------------------------------------------------------------
+
+  private val owned = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
+
+  private def uuid(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.ColumnBridge.sessionUuid(s)
+
+  /** Eagerly checkpoint `df` and register the result as owned by a query
+    * of `df`'s session — the drop-in for in-query `.localCheckpoint()`
+    * calls whose returned plan reads the checkpoint. */
+  def ownedCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    owned.computeIfAbsent(uuid(c.sparkSession),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]).add(c)
+    c
+  }
+
+  /** Frames currently registered for `s` (the lifecycle-spec gate). */
+  def ownedCount(s: org.apache.spark.sql.SparkSession): Int = {
+    val q = owned.get(uuid(s)); if (q == null) 0 else q.size
+  }
+
+  /** Registered frames for `s` — spec introspection only (the lifecycle
+    * gate asserts their specific RDD ids leave the persistent-RDD
+    * registry after [[releaseOwned]], which a count can't prove under
+    * parallel suites). */
+  private[graft] def ownedFrames(
+      s: org.apache.spark.sql.SparkSession): Seq[DataFrame] = {
+    val q = owned.get(uuid(s))
+    if (q == null) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
+  }
+
+  /** Release every owned checkpoint registered for `s` since the last
+    * call — the harness hook after a query's output is consumed. Also
+    * sweeps registries of stopped sessions (their UUIDs never recur).
+    * Returns the number of frames released for `s`. */
+  def releaseOwned(s: org.apache.spark.sql.SparkSession): Int = {
+    val it = owned.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val head = e.getValue.peek()
+      if (head != null && head.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val q = owned.remove(uuid(s))
+    if (q == null) 0
+    else {
+      var n = 0
+      val qi = q.iterator()
+      while (qi.hasNext) { release(qi.next()); n += 1 }
+      n
+    }
+  }
 }

@@ -74,6 +74,40 @@ class IterativeCheckpointLifecycleSpec extends AnyFunSuite {
       "doubling loop released no superseded checkpoints")
   }
 
+  test("query-owned checkpoints (mm_sim_dct et al) release to baseline via the registry") {
+    // r12 VERDICT #6 / ADVICE: a one-shot query that checkpoints a frame
+    // its returned plan reads (mm_sim_dct's descriptor frame) can't
+    // release it in-query, and nothing else ever did — Bench invokes each
+    // query 4× and ScaleSmoke 3× per rung, so superseded frames pinned
+    // blocks for the session lifetime. The registry closes the class: the
+    // harness calls releaseOwned after consuming each query's output.
+    val s = spark.newSession()
+    // two invocations back-to-back — the Bench shape that leaked
+    (1 to 2).foreach { pass =>
+      val out = SparkEntry.queries("mm_sim_dct")(s, SparkTestBase.sf)
+      val n = out.count()
+      assert(n > 0, s"pass $pass returned no rows")
+      assert(Checkpoints.ownedCount(s) >= 1,
+        s"pass $pass registered no owned checkpoint (descriptor frame)")
+      // id-specific baseline proof (a global count races parallel suites):
+      // the registered frames' RDD ids must leave the persistent registry
+      val ids = Checkpoints.ownedFrames(s).flatMap(Checkpoints.rdds).map(_.id)
+      assert(ids.nonEmpty, "owned frames carried no checkpoint RDDs")
+      val released = Checkpoints.releaseOwned(s)
+      assert(released >= 1 && Checkpoints.ownedCount(s) == 0)
+      val deadline = System.nanoTime() + 10000000000L
+      def still = ids.filter(s.sparkContext.getPersistentRDDs.contains)
+      while (still.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(still.isEmpty,
+        s"pass $pass: RDDs $still still persisted after releaseOwned")
+    }
+    // releaseOwned is strictly post-consumption, so results are unaffected:
+    // a third run after two release cycles matches itself re-run
+    val again = SparkEntry.queries("mm_sim_dct")(s, SparkTestBase.sf).count()
+    assert(again > 0)
+    Checkpoints.releaseOwned(s)
+  }
+
   test("graph iterative queries release their per-round checkpoints and stay correct") {
     // fresh session (own cache entries), same contract as KnnCacheLifecycleSpec
     val s = spark.newSession()
