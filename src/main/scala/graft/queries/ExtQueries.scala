@@ -2465,40 +2465,58 @@ object ExtQueries {
   // L1 sum ≤ 12·7.4e14 < 2⁵³ — the heap's double score is exact; the DC
   // coefficient is non-negative (luminance), so its floor-div banding is
   // engine-exact.
-  val mmSimDct: (QFn, String) = (
-    (s, dir) => {
-      val feats = Multimodal.dctFeatures(
+  /** The checkpointed 1-row-per-image DCT descriptor frame (doc_id, fp =
+    * 11-bit AC-sign word, dc_band = 1e12-quantized DC, v = the 12
+    * idx-ordered coefficients) — shared by the retrieval and its recall
+    * contract so a recall run prices ONE encode→decode→DCT pass. */
+  private def dctDescriptors(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dctFeatures(
         Multimodal.mediaCompressedTable(docs(s, dir), "png")).toDF()
-      val vec = feats
-        .withColumn("idx", (col("fu") * 3 + col("fv")).cast("int"))
-        .withColumn("bit",
-          expr("CASE WHEN idx > 0 AND coef > 0 THEN shiftleft(1L, idx - 1) " +
-            "ELSE 0L END"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bit")).as("fp"),
-          sum(expr("CASE WHEN idx = 0 THEN coef div 1000000000000L " +
-            "ELSE 0L END")).as("dc_band"),
-          sort_array(collect_list(struct(col("idx"), col("coef")))).as("cs"))
-        .select(col("doc_id"), col("fp"), col("dc_band"),
-          expr("transform(cs, c -> c.coef)").as("v"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // both self-join sides read the tiny descriptors
-      val a = vec.select(col("doc_id").as("src_doc"), col("fp").as("afp"),
-        col("dc_band").as("aband"), col("v").as("av"))
-      val b = vec.select(col("doc_id").as("dst_doc"), col("fp").as("bfp"),
-        col("dc_band").as("bband"), col("v").as("bv"))
-      a.join(b, col("afp") === col("bfp") && col("aband") === col("bband") &&
-          col("src_doc") =!= col("dst_doc"))
-        .select(col("src_doc"), col("dst_doc"),
-          expr("aggregate(zip_with(av, bv, (x, y) -> abs(x - y)), 0L, " +
-            "(acc, d) -> acc + d)").as("l1_dist"))
-        .groupBy(col("src_doc"))
-        .agg(graft.functions.TopKByScore
-          .topK((-col("l1_dist")).cast("double"), col("dst_doc"), 3).as("top"))
-        .select(col("src_doc"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("src_doc"), col("t.id").as("dst_doc"),
-          (-col("t.score")).cast("long").as("l1_dist"),
-          (col("pos") + 1).cast("long").as("rank"))
-    },
+      .withColumn("idx", (col("fu") * 3 + col("fv")).cast("int"))
+      .withColumn("bit",
+        expr("CASE WHEN idx > 0 AND coef > 0 THEN shiftleft(1L, idx - 1) " +
+          "ELSE 0L END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("fp"),
+        sum(expr("CASE WHEN idx = 0 THEN coef div 1000000000000L " +
+          "ELSE 0L END")).as("dc_band"),
+        sort_array(collect_list(struct(col("idx"), col("coef")))).as("cs"))
+      .select(col("doc_id"), col("fp"), col("dc_band"),
+        expr("transform(cs, c -> c.coef)").as("v"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // every consumer reads the tiny descriptors
+
+  /** Bucketed top-3 retrieval over a descriptor frame: candidates are
+    * compound-key collisions (fp, and a DC band within `probe` of the
+    * query's — probe 0 is the single-bucket plan, probe 1 the multi-probe
+    * mitigation for band-edge misses), ranked by exact-integer L1 through
+    * the map-side partial top-k heap. Multi-probe stays an EQUI-join: the
+    * query side explodes across its probe±ε bands so the shuffle key is
+    * still (fp, band) — never a range join, never all-pairs. */
+  private def dctBucketTopK(vec: DataFrame, probe: Int = 0): DataFrame = {
+    val a0 = vec.select(col("doc_id").as("src_doc"), col("fp").as("afp"),
+      col("dc_band").as("aband"), col("v").as("av"))
+    val a =
+      if (probe == 0) a0.withColumn("pband", col("aband"))
+      else a0.withColumn("pband",
+        explode(sequence(col("aband") - probe, col("aband") + probe)))
+    val b = vec.select(col("doc_id").as("dst_doc"), col("fp").as("bfp"),
+      col("dc_band").as("bband"), col("v").as("bv"))
+    a.join(b, col("afp") === col("bfp") && col("pband") === col("bband") &&
+        col("src_doc") =!= col("dst_doc"))
+      .select(col("src_doc"), col("dst_doc"),
+        expr("aggregate(zip_with(av, bv, (x, y) -> abs(x - y)), 0L, " +
+          "(acc, d) -> acc + d)").as("l1_dist"))
+      .groupBy(col("src_doc"))
+      .agg(graft.functions.TopKByScore
+        .topK((-col("l1_dist")).cast("double"), col("dst_doc"), 3).as("top"))
+      .select(col("src_doc"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("src_doc"), col("t.id").as("dst_doc"),
+        (-col("t.score")).cast("long").as("l1_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  val mmSimDct: (QFn, String) = (
+    (s, dir) => dctBucketTopK(dctDescriptors(s, dir)),
     s"""$dctFeatCtes,
        |vec AS (
        |  SELECT doc_id,
@@ -2520,6 +2538,133 @@ object ExtQueries {
        |    ORDER BY l1_dist, dst_doc) AS BIGINT) AS rank
        |  FROM cand)
        |WHERE rank <= 3""".stripMargin)
+
+  // Recall contract for the DCT-descriptor retrieval (the sim_ann_recall
+  // mold applied to mm_sim_dct, r12 VERDICT #5) — measured on the regime
+  // the bucketing exists for. A first-cut recall@3 against the exact L1
+  // top-3 of ARBITRARY corpus docs measured 1.3% at sf0.01 with
+  // multi-probe changing nothing: in a corpus with no near-duplicates the
+  // true top-3 of a random image almost never shares an 11-bit sign word,
+  // and no band probing can fix a sign mismatch — that number prices the
+  // corpus's dup-freeness, not the retrieval. The honest eval (standard
+  // for near-dup retrieval without labeled pairs) PLANTS the near-dups:
+  // every 20th image's descriptor gets a deterministic ±2e11 per-
+  // coefficient perturbation (small against coefficient scale ~1e13-7e14,
+  // large enough to flip low-magnitude AC signs and cross DC band edges —
+  // exactly the two miss modes), and the probe queries the real corpus.
+  // Truth is computed honestly as the probe's exact-L1 nearest over ALL
+  // docs (sample x corpus — linear in n, the sim_ann_recall shape; the
+  // broadcast probe side keeps it shuffle-free), NOT assumed to be the
+  // source image. recall@1 = fraction of probes whose bucketed top-1
+  // equals the exact top-1; `recall_mp_pm` re-prices it with multi-probe
+  // retrieval (probe explodes across dc_band +-1, still an equi-join on
+  // (fp, band) — ~3x candidates, never all-pairs), so the row quantifies
+  // what one probe step buys against the band-edge miss class. Integer
+  // per-million, pure count arithmetic — hash-exact cross-engine.
+  val mmSimRecall: (QFn, String) = (
+    (s, dir) => {
+      val vec = dctDescriptors(s, dir)
+      // planted near-dup probes with their PERTURBED bucket key
+      val probes = vec.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("qdoc"),
+          expr("transform(v, (x, i) -> x + (pmod(doc_id * 31L + i * 17L, " +
+            "1001L) - 500L) * 400000000L)").as("qv"))
+        .withColumn("qfp",
+          expr("aggregate(sequence(1, 11), 0L, (acc, j) -> acc + " +
+            "IF(element_at(qv, j + 1) > 0, shiftleft(1L, j - 1), 0L))"))
+        // DC stays >= 4e13 >> the 2e11 jitter bound, so the floor-div
+        // banding never sees a negative operand on either engine
+        .withColumn("qband", expr("element_at(qv, 1) div 1000000000000L"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // truth + both retrieval legs
+      val c = vec.select(col("doc_id").as("cdoc"), col("fp"),
+        col("dc_band"), col("v").as("cv"))
+      val l1 = expr("aggregate(zip_with(qv, cv, (x, y) -> abs(x - y)), 0L, " +
+        "(acc, d) -> acc + d)")
+      def top1(cand: DataFrame, out: String): DataFrame = {
+        val w = Window.partitionBy(col("qdoc")).orderBy(col("l1"), col("cdoc"))
+        cand.select(col("qdoc"), col("cdoc"), l1.as("l1"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qdoc"), col("cdoc").as(out))
+      }
+      // exact truth: sample x corpus, broadcast probe side (linear in n)
+      val truth = top1(c.crossJoin(broadcast(probes)), "tdoc")
+      def best(probe: Int, out: String): DataFrame = {
+        val p =
+          if (probe == 0) probes.withColumn("pband", col("qband"))
+          else probes.withColumn("pband",
+            explode(sequence(col("qband") - probe, col("qband") + probe)))
+        top1(p.join(c,
+          col("qfp") === col("fp") && col("pband") === col("dc_band")), out)
+      }
+      truth
+        .join(best(0, "rdoc"), Seq("qdoc"), "left")
+        .join(best(1, "mdoc"), Seq("qdoc"), "left")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("rdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits"),
+          sum(when(col("mdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits_mp"))
+        .select(col("n_eval"), col("n_hits"),
+          expr("n_hits * 1000000 div n_eval").as("recall_pm"),
+          col("n_hits_mp"),
+          expr("n_hits_mp * 1000000 div n_eval").as("recall_mp_pm"))
+    },
+    s"""$dctFeatCtes,
+       |vec AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN idx > 0 AND coef > 0
+       |      THEN (1::BIGINT << CAST(idx - 1 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN idx = 0 THEN coef // 1000000000000
+       |      ELSE 0 END) AS BIGINT) AS dc_band,
+       |    list(coef ORDER BY idx) AS v
+       |  FROM feat GROUP BY doc_id),
+       |pk AS (
+       |  SELECT qdoc, qv,
+       |    CAST(coalesce(list_sum(list_transform(generate_series(1, 11),
+       |      j -> CASE WHEN qv[j + 1] > 0
+       |        THEN (1::BIGINT << CAST(j - 1 AS INTEGER)) ELSE 0 END)), 0)
+       |      AS BIGINT) AS qfp,
+       |    CAST(qv[1] // 1000000000000 AS BIGINT) AS qband
+       |  FROM (
+       |    SELECT doc_id AS qdoc,
+       |      list_transform(generate_series(1, 12),
+       |        i -> v[i] + (((doc_id * 31 + (i - 1) * 17) % 1001) - 500)
+       |          * 400000000) AS qv
+       |    FROM vec WHERE doc_id % 20 = 0)),
+       |truth AS (
+       |  SELECT qdoc, cdoc AS tdoc FROM (
+       |    SELECT p.qdoc, c.doc_id AS cdoc,
+       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 12),
+       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
+       |    FROM pk p, vec c) WHERE rn = 1),
+       |r0 AS (
+       |  SELECT qdoc, cdoc AS rdoc FROM (
+       |    SELECT p.qdoc, c.doc_id AS cdoc,
+       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 12),
+       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
+       |    FROM pk p JOIN vec c ON p.qfp = c.fp AND p.qband = c.dc_band)
+       |  WHERE rn = 1),
+       |rmp AS (
+       |  SELECT qdoc, cdoc AS rdoc FROM (
+       |    SELECT p.qdoc, c.doc_id AS cdoc,
+       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 12),
+       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
+       |    FROM pk p JOIN vec c ON p.qfp = c.fp
+       |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(CASE WHEN r0.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN r0.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS recall_pm,
+       |  CAST(sum(CASE WHEN rmp.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits_mp,
+       |  CAST(sum(CASE WHEN rmp.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS recall_mp_pm
+       |FROM truth t
+       |LEFT JOIN r0 ON t.qdoc = r0.qdoc
+       |LEFT JOIN rmp ON t.qdoc = rmp.qdoc""".stripMargin)
 
   // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
   // in doc_id order and split every 2048 tokens — the standard LLM
@@ -4147,6 +4292,7 @@ object ExtQueries {
     "mm_pipeline_features" -> mmPipelineFeatures,
     "mm_feature_dct" -> mmFeatureDct,
     "mm_sim_dct" -> mmSimDct,
+    "mm_sim_recall" -> mmSimRecall,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "sim_knn_graph" -> simKnnGraph)
 }

@@ -360,6 +360,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(g.filter(col("l1_dist") < 0).count() == 0, "negative L1 distance")
   }
 
+  test("mm_sim_recall: retrieval legs stay equi-joins; multi-probe hits dominate") {
+    val p = plan("mm_sim_recall")
+    // the ONE all-pairs shape allowed is the broadcast sampled-truth side
+    // (sample × corpus, linear in n — the sim_ann_recall mold); the two
+    // retrieval legs must be hash equi-joins on the (fp, band) bucket key
+    assert(!p.contains("CartesianProduct"),
+      s"truth side lost its broadcast (non-broadcast cartesian):\n$p")
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"a retrieval leg fell back to all-pairs ($bnl BNL):\n$p")
+    val r = SparkEntry.queries("mm_sim_recall")(SparkTestBase.spark, SparkTestBase.sf)
+      .collect().head
+    val (nEval, nHits, nHitsMp) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    // every 20th doc is a probe, each with exactly one truth row
+    assert(nEval > 0 && nHits >= 0 && nHits <= nEval)
+    // multi-probe candidates are a SUPERSET of single-probe candidates and
+    // truth's top-1 is unique under the (l1, id) tie-break, so a single-
+    // probe hit can never become a multi-probe miss — monotone by
+    // construction, pinned so a probe-leg refactor cannot silently break it
+    assert(nHitsMp >= nHits,
+      s"multi-probe recall fell below single-probe: $nHitsMp < $nHits")
+  }
+
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
     val p = plan("olap_nation_share")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
