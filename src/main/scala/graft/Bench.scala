@@ -159,6 +159,10 @@ object Bench {
       try Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
         .toFile.getUsableSpace / 1e9
       catch { case _: Throwable => -1.0 }
+    // run-level disk accounting: the r12 wal_drain_10x regression was
+    // 25 GB of cross-round tmpdir accumulation — start/end free-GB in the
+    // artifact makes that class visible without shell archaeology
+    val diskFreeStart = diskFreeGb()
     var liveLoadBefore = -1.0; var liveLoadAfter = -1.0
     var liveLoadWaitS = 0.0; var liveLoadVerdict = "skipped"
     val runLive = sys.env.getOrElse("GRAFT_BENCH_LIVE",
@@ -1146,6 +1150,7 @@ object Bench {
       s""""suite_slowest_trials":${slowestTrials.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
       }.mkString("{", ",", "}")},""" +
+      s""""disk_free_gb":{"start":${r3(diskFreeStart)},"end":${r3(diskFreeGb())}},""" +
       s""""sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

@@ -2580,12 +2580,18 @@ object ExtQueries {
         col("dc_band"), col("v").as("cv"))
       val l1 = expr("aggregate(zip_with(qv, cv, (x, y) -> abs(x - y)), 0L, " +
         "(acc, d) -> acc + d)")
-      def top1(cand: DataFrame, out: String): DataFrame = {
-        val w = Window.partitionBy(col("qdoc")).orderBy(col("l1"), col("cdoc"))
+      // map-side partial top-1 heap, not a rank window: the truth leg is
+      // sample × corpus wide, and the heap sends ONE row per probe across
+      // the shuffle where a window would sort the full candidate frame
+      // (measured 4.4 s → window-free at sf0.1 in-suite). Tie-break
+      // (smaller id on equal score) matches the oracle's row_number
+      // ORDER BY l1, cdoc — the same equivalence mm_sim_dct's hash pins.
+      def top1(cand: DataFrame, out: String): DataFrame =
         cand.select(col("qdoc"), col("cdoc"), l1.as("l1"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("qdoc"), col("cdoc").as(out))
-      }
+          .groupBy(col("qdoc"))
+          .agg(graft.functions.TopKByScore
+            .topK((-col("l1")).cast("double"), col("cdoc"), 1).as("top"))
+          .select(col("qdoc"), expr("top[0].id").as(out))
       // exact truth: sample x corpus, broadcast probe side (linear in n)
       val truth = top1(c.crossJoin(broadcast(probes)), "tdoc")
       def best(probe: Int, out: String): DataFrame = {
