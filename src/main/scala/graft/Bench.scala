@@ -229,8 +229,17 @@ object Bench {
           // 0 and the slot keeps the WAL). All trials land in the artifact;
           // the headline is the min (the reference's own committed-baseline
           // methodology), the median is the honesty number.
+          // the whole trial body is wrapped so the spool dir (70 MB at the
+          // 99k point, ~750 MB at 10×) is deleted per trial — the same
+          // leftover class as the r12-root-caused livepg data dirs, and
+          // deletion sits strictly after the timed window
           def oneTrial(endAt: Long, expect: Int, tag: String): Double = {
             val walDir = Files.createTempDirectory("graft-bench-live").toString
+            try oneTrialIn(walDir, endAt, expect, tag)
+            finally rmRf(walDir)
+          }
+          def oneTrialIn(walDir: String, endAt: Long, expect: Int,
+              tag: String): Double = {
             // the previous trial's socket close releases the slot
             // ASYNCHRONOUSLY server-side; a back-to-back START_REPLICATION
             // can land while the old walsender still holds it ("slot is
@@ -941,10 +950,10 @@ object Bench {
           }
           spark.streams.addListener(l); Some(l)
         } else None
+        val walDir = Files.createTempDirectory("graft-bench-floor-wal").toString
+        val outDir = Files.createTempDirectory("graft-bench-floor-out").toString
+        val ckptDir = Files.createTempDirectory("graft-bench-floor-ckpt").toString
         try {
-          val walDir = Files.createTempDirectory("graft-bench-floor-wal").toString
-          val outDir = Files.createTempDirectory("graft-bench-floor-out").toString
-          val ckptDir = Files.createTempDirectory("graft-bench-floor-ckpt").toString
           val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
             ckptDir, outDir,
             kafkaBootstrap = wire.map(b => s"wire://localhost:${b.port}"),
@@ -966,6 +975,7 @@ object Bench {
         } finally {
           debugL.foreach(spark.streams.removeListener)
           spark.streams.removeListener(listenerF)
+          Seq(walDir, outDir, ckptDir).foreach(rmRf)
         }
       }
       val floorBroker =
