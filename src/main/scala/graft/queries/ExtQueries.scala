@@ -2594,24 +2594,40 @@ object ExtQueries {
           .select(col("qdoc"), expr("top[0].id").as(out))
       // exact truth: sample x corpus, broadcast probe side (linear in n)
       val truth = top1(c.crossJoin(broadcast(probes)), "tdoc")
-      def best(probe: Int, out: String): DataFrame = {
+      // fpProbe: additionally probe every single-bit FLIP of the sign
+      // word (11 extra fp keys) — the fp-dimension multi-probe. A probe
+      // whose perturbation flipped exactly one low-magnitude AC sign
+      // lands one Hamming step from its source's bucket; probing the
+      // Hamming-1 ring recovers exactly that class, still as a plain
+      // equi-join on (fp, band) with 12× probe-side rows (probe side is
+      // the SAMPLE — candidate volume stays linear in the corpus).
+      def best(probe: Int, fpProbe: Boolean, out: String): DataFrame = {
+        val p0 =
+          if (!fpProbe) probes.withColumn("pfp", col("qfp"))
+          else probes.withColumn("pfp",
+            explode(expr("transform(sequence(-1, 10), b -> CASE WHEN b < 0 " +
+              "THEN qfp ELSE qfp ^ shiftleft(1L, CAST(b AS INT)) END)")))
         val p =
-          if (probe == 0) probes.withColumn("pband", col("qband"))
-          else probes.withColumn("pband",
+          if (probe == 0) p0.withColumn("pband", col("qband"))
+          else p0.withColumn("pband",
             explode(sequence(col("qband") - probe, col("qband") + probe)))
         top1(p.join(c,
-          col("qfp") === col("fp") && col("pband") === col("dc_band")), out)
+          col("pfp") === col("fp") && col("pband") === col("dc_band")), out)
       }
       truth
-        .join(best(0, "rdoc"), Seq("qdoc"), "left")
-        .join(best(1, "mdoc"), Seq("qdoc"), "left")
+        .join(best(0, fpProbe = false, "rdoc"), Seq("qdoc"), "left")
+        .join(best(1, fpProbe = false, "mdoc"), Seq("qdoc"), "left")
+        .join(best(1, fpProbe = true, "fdoc"), Seq("qdoc"), "left")
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("rdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits"),
-          sum(when(col("mdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits_mp"))
+          sum(when(col("mdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits_mp"),
+          sum(when(col("fdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits_fpmp"))
         .select(col("n_eval"), col("n_hits"),
           expr("n_hits * 1000000 div n_eval").as("recall_pm"),
           col("n_hits_mp"),
-          expr("n_hits_mp * 1000000 div n_eval").as("recall_mp_pm"))
+          expr("n_hits_mp * 1000000 div n_eval").as("recall_mp_pm"),
+          col("n_hits_fpmp"),
+          expr("n_hits_fpmp * 1000000 div n_eval").as("recall_fpmp_pm"))
     },
     s"""$dctFeatCtes,
        |vec AS (
@@ -2658,6 +2674,19 @@ object ExtQueries {
        |        CAST(list_sum(list_transform(generate_series(1, 12),
        |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
        |    FROM pk p JOIN vec c ON p.qfp = c.fp
+       |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1),
+       |pfp AS (
+       |  SELECT qdoc, qv, qband,
+       |    CASE WHEN b.b < 0 THEN qfp
+       |      ELSE xor(qfp, (1::BIGINT << CAST(b.b AS INTEGER))) END AS pfp
+       |  FROM pk, (SELECT unnest(generate_series(-1, 10)) AS b) AS b),
+       |rfp AS (
+       |  SELECT qdoc, cdoc AS rdoc FROM (
+       |    SELECT p.qdoc, c.doc_id AS cdoc,
+       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 12),
+       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
+       |    FROM pfp p JOIN vec c ON p.pfp = c.fp
        |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1)
        |SELECT CAST(count(*) AS BIGINT) AS n_eval,
        |  CAST(sum(CASE WHEN r0.rdoc = t.tdoc THEN 1 ELSE 0 END)
@@ -2667,10 +2696,15 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN rmp.rdoc = t.tdoc THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hits_mp,
        |  CAST(sum(CASE WHEN rmp.rdoc = t.tdoc THEN 1 ELSE 0 END)
-       |    * 1000000 // count(*) AS BIGINT) AS recall_mp_pm
+       |    * 1000000 // count(*) AS BIGINT) AS recall_mp_pm,
+       |  CAST(sum(CASE WHEN rfp.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits_fpmp,
+       |  CAST(sum(CASE WHEN rfp.rdoc = t.tdoc THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS recall_fpmp_pm
        |FROM truth t
        |LEFT JOIN r0 ON t.qdoc = r0.qdoc
-       |LEFT JOIN rmp ON t.qdoc = rmp.qdoc""".stripMargin)
+       |LEFT JOIN rmp ON t.qdoc = rmp.qdoc
+       |LEFT JOIN rfp ON t.qdoc = rfp.qdoc""".stripMargin)
 
   // Training-sequence packing (concat-and-chunk): docs are laid end-to-end
   // in doc_id order and split every 2048 tokens — the standard LLM

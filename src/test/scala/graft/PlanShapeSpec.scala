@@ -371,15 +371,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnl <= 1, s"a retrieval leg fell back to all-pairs ($bnl BNL):\n$p")
     val r = SparkEntry.queries("mm_sim_recall")(SparkTestBase.spark, SparkTestBase.sf)
       .collect().head
-    val (nEval, nHits, nHitsMp) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    val (nEval, nHits, nHitsMp, nHitsFpmp) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))
     // every 20th doc is a probe, each with exactly one truth row
     assert(nEval > 0 && nHits >= 0 && nHits <= nEval)
-    // multi-probe candidates are a SUPERSET of single-probe candidates and
-    // truth's top-1 is unique under the (l1, id) tie-break, so a single-
-    // probe hit can never become a multi-probe miss — monotone by
-    // construction, pinned so a probe-leg refactor cannot silently break it
+    // each probe rung's candidates are a SUPERSET of the previous rung's
+    // (band ±1 ⊇ band-exact; Hamming-1 fp ring ⊇ the exact fp key) and
+    // truth's top-1 is unique under the (l1, id) tie-break, so a hit can
+    // never become a miss as probing widens — monotone by construction,
+    // pinned so a probe-leg refactor cannot silently break it
     assert(nHitsMp >= nHits,
-      s"multi-probe recall fell below single-probe: $nHitsMp < $nHits")
+      s"band multi-probe recall fell below single-probe: $nHitsMp < $nHits")
+    assert(nHitsFpmp >= nHitsMp,
+      s"fp multi-probe recall fell below band multi-probe: $nHitsFpmp < $nHitsMp")
   }
 
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
