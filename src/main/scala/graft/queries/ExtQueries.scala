@@ -2540,8 +2540,10 @@ object ExtQueries {
        |WHERE rank <= 3""".stripMargin)
 
   // Recall contract for the DCT-descriptor retrieval (the sim_ann_recall
-  // mold applied to mm_sim_dct, r12 VERDICT #5) — measured on the regime
-  // the bucketing exists for. A first-cut recall@3 against the exact L1
+  // mold applied to mm_sim_dct) — measured on the regime the bucketing
+  // exists for. Reference discipline analog: the count+structure E2E
+  // contract of reference tests/e2e (src/e2e/cdc_test.zig:25-441) — a
+  // pipeline claim is only done when a measured number gates it. A first-cut recall@3 against the exact L1
   // top-3 of ARBITRARY corpus docs measured 1.3% at sf0.01 with
   // multi-probe changing nothing: in a corpus with no near-duplicates the
   // true top-3 of a random image almost never shares an 11-bit sign word,
