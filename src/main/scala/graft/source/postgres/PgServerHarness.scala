@@ -45,6 +45,11 @@ final class PgServerHarness private (
   def session(database: String): PgSession =
     PgSession.connect(endpoint(superUser, None, database))
 
+  /** The instance's tmp dir (data dir, socket dir, logs, TLS material) —
+    * deleted by [[stop]]; exposed so hosts and the lifecycle spec can
+    * verify the on-disk footprint is actually released. */
+  def instanceDir: Path = baseDir
+
   @volatile private var stopped = false
   def stop(): Unit = if (!stopped) {
     stopped = true
