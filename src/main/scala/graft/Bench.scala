@@ -149,6 +149,11 @@ object Bench {
     // MEASURED ceiling, not a fixed constant — predicted = events ÷ the
     // same-run single-slot decode rate; verdict = measured ≤ 1.15×predicted
     val live10ReadWaitPct = scala.collection.mutable.Buffer.empty[Double]
+    // per-trial environment for the live 10× point, symmetric with
+    // wal_drain_10x_env: the live band swings 4.7–6.5 s across runs and
+    // read-wait alone says "server" without saying WHY — gc/load/disk per
+    // trial make the next swing attributable from the artifact
+    val live10Env = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
     var live10Predicted = -1.0
     var live10BestPct = -1.0
     var live10BestClientS = -1.0
@@ -336,8 +341,12 @@ object Bench {
             val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
               "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
             val total10 = n + n10
-            val t10 = Seq.fill(5)(oneTrial(end10, total10, "live_drain_10x"))
-              .filterNot(_.isNaN)
+            val t10 = Seq.fill(5) {
+              val g0 = gcMs()
+              val t = oneTrial(end10, total10, "live_drain_10x")
+              live10Env += ((gcMs() - g0, loadAvg(), diskFreeGb()))
+              t
+            }.filterNot(_.isNaN)
             if (t10.nonEmpty) {
               live10TrialsRec ++= t10
               val secs10 = t10.min
@@ -1173,6 +1182,9 @@ object Bench {
         r3(if (live10ReadWaitPct.isEmpty) -1.0 else live10ReadWaitPct.max)
       },"verdict":"$live10Ceiling"},""" +
       s""""live_drain_10x_read_wait_pct":[${live10ReadWaitPct.map(r3).mkString(",")}],""" +
+      s""""live_drain_10x_env":[${live10Env.map { case (gc, load, free) =>
+        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
+      }.mkString(",")}],""" +
       s""""live_drain_2db_trials":[${live2dbTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_4db_trials":[${live4dbTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
