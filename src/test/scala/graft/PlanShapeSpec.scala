@@ -371,19 +371,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnl <= 1, s"a retrieval leg fell back to all-pairs ($bnl BNL):\n$p")
     val r = SparkEntry.queries("mm_sim_recall")(SparkTestBase.spark, SparkTestBase.sf)
       .collect().head
-    val (nEval, nHits, nHitsMp, nHitsFpmp) =
-      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))
-    // every 20th doc is a probe, each with exactly one truth row
-    assert(nEval > 0 && nHits >= 0 && nHits <= nEval)
+    val (nEval, nHits, nHitsMp, nHitsFpmp, nHitsFp2) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(7))
+    val (candR0, candMp, candFpmp, candFp2) =
+      (r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12))
+    // every 20th doc below the deterministic cap is a probe, each with
+    // exactly one truth row — the cap keeps the exact-truth leg linear in
+    // the corpus (≤1000 probes regardless of n)
+    assert(nEval > 0 && nEval <= 1000 && nHits >= 0 && nHits <= nEval)
     // each probe rung's candidates are a SUPERSET of the previous rung's
-    // (band ±1 ⊇ band-exact; Hamming-1 fp ring ⊇ the exact fp key) and
-    // truth's top-1 is unique under the (l1, id) tie-break, so a hit can
-    // never become a miss as probing widens — monotone by construction,
-    // pinned so a probe-leg refactor cannot silently break it
+    // (band ±1 ⊇ band-exact; Hamming-1 fp ring ⊇ the exact fp key;
+    // Hamming-2 ⊇ Hamming-1) and truth's top-1 is unique under the
+    // (l1, id) tie-break, so a hit can never become a miss as probing
+    // widens — monotone by construction, pinned so a probe-leg refactor
+    // cannot silently break it. The recorded candidate volumes must be
+    // monotone for the same reason: each rung's cost is data.
     assert(nHitsMp >= nHits,
       s"band multi-probe recall fell below single-probe: $nHitsMp < $nHits")
     assert(nHitsFpmp >= nHitsMp,
       s"fp multi-probe recall fell below band multi-probe: $nHitsFpmp < $nHitsMp")
+    assert(nHitsFp2 >= nHitsFpmp,
+      s"Hamming-2 recall fell below Hamming-1: $nHitsFp2 < $nHitsFpmp")
+    assert(candR0 <= candMp && candMp <= candFpmp && candFpmp <= candFp2,
+      s"candidate volumes not monotone: $candR0, $candMp, $candFpmp, $candFp2")
   }
 
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
