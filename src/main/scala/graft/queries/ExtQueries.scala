@@ -3150,6 +3150,115 @@ object ExtQueries {
        |FROM pairs GROUP BY pair
        |ORDER BY n DESC, pair LIMIT 30""".stripMargin)
 
+  // FULL BPE merge TRAINING (text_bpe_pairs is one iteration's statistics;
+  // this is the trainer): k = 4 rounds of count-pairs → pick-best → merge,
+  // the Sennrich subword-tokenizer training loop, value-exact per round
+  // (the cluster_train_2iter mold: fixed iteration count, every round's
+  // chosen merge + its weighted count + the post-merge corpus symbol total
+  // in the output). Scale shape — the whole point of training BPE from a
+  // WORD-FREQUENCY table: one corpus-wide tokenize+count pass shuffles on
+  // the word ONCE, and every iteration after that runs on the vocab-sized
+  // (word, symbols, freq) state — pair stats are a vocab-linear explode +
+  // one (l, r) groupBy, the argmax is a 1-row aggregate broadcast back,
+  // and the merge is a per-row left fold with no shuffle at all. At 100 TB
+  // the corpus never gets re-read; superseded rounds release their
+  // checkpoints (the dedup_components_doubling discipline) so state stays
+  // O(vocab) regardless of k. Merge semantics are the standard left-to-
+  // right non-overlapping rewrite ("aaa" + (a,a) → [aa, a]); the fold
+  // checks the last OUTPUT symbol, which cannot itself re-trigger (l||r
+  // never equals l since r is non-empty), and the oracle reproduces the
+  // same semantics positionally (mark → islands of consecutive marks →
+  // merge odd offsets), so a semantic drift in either engine is a hash
+  // diff. Ties on pair count pick the lexicographically smallest (l, r)
+  // on both engines. Assumes a non-degenerate corpus (some word with ≥2
+  // symbols in every round — k = 4 on real text is always far from
+  // exhausting pairs).
+  val textBpeTrain: (QFn, String) = (
+    (s, dir) => {
+      val iters = 4
+      var words = docs(s, dir)
+        .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(expr("transform(sequence(1, length(w)), " +
+          "i -> substring(w, CAST(i AS INT), 1))").as("syms"), col("freq"))
+        .localCheckpoint()
+      val rows = (1 to iters).map { t =>
+        val best = words.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(" +
+              "element_at(syms, CAST(i AS INT)) AS l, " +
+              "element_at(syms, CAST(i AS INT) + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
+          .select(col("m.l").as("l"), col("m.r").as("r"),
+            (-col("m.nc")).as("cnt"))
+          .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row, read by the output
+        val merged = words.crossJoin(broadcast(best))
+          .select(TextAnalysis.bpeMerge(col("syms"), col("l"), col("r"))
+            .as("syms"), col("freq"))
+          .localCheckpoint() // superseded next round; released below
+        val prev = words
+        words = merged
+        graft.util.Checkpoints.release(prev) // round t-1's vocab state
+        val stats = merged
+          .agg(sum(col("freq") * size(col("syms"))).as("corpus_syms"))
+        best.crossJoin(broadcast(stats))
+          .select(lit(t).cast("long").as("iter"), col("l").as("merge_l"),
+            col("r").as("merge_r"), col("cnt").as("pair_count"),
+            col("corpus_syms"))
+          .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row/iter
+      }
+      graft.util.Checkpoints.release(words) // final vocab state, never re-read
+      rows.reduce(_ unionByName _)
+    },
+    {
+      def iterSql(t: Int): String = {
+        val w = s"w${t - 1}"
+        s"""p$t AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r,
+           |    CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM $w, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+           |m$t AS MATERIALIZED (
+           |  SELECT v.w, v.freq, v.syms, u.i,
+           |    coalesce(v.syms[u.i] = b.l AND v.syms[u.i + 1] = b.r,
+           |      FALSE) AS mk
+           |  FROM $w v, b$t b,
+           |    unnest(generate_series(1, len(v.syms))) AS u(i)),
+           |mg$t AS MATERIALIZED (
+           |  SELECT w, i, (row_number() OVER (PARTITION BY w, isl
+           |    ORDER BY i) % 2 = 1) AS merged
+           |  FROM (
+           |    SELECT w, i, i - row_number() OVER (PARTITION BY w
+           |      ORDER BY i) AS isl
+           |    FROM m$t WHERE mk)),
+           |w$t AS MATERIALIZED (
+           |  SELECT m.w, m.freq,
+           |    list(CASE WHEN coalesce(g.merged, FALSE) THEN b.l || b.r
+           |      ELSE m.syms[m.i] END ORDER BY m.i) AS syms
+           |  FROM m$t m CROSS JOIN b$t b
+           |  LEFT JOIN mg$t g ON g.w = m.w AND g.i = m.i
+           |  LEFT JOIN mg$t gp ON gp.w = m.w AND gp.i = m.i - 1 AND gp.merged
+           |  WHERE gp.i IS NULL
+           |  GROUP BY m.w, m.freq)""".stripMargin
+      }
+      def rowSql(t: Int): String =
+        s"""SELECT CAST($t AS BIGINT) AS iter, b.l AS merge_l,
+           |  b.r AS merge_r, b.cnt AS pair_count,
+           |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$t)
+           |    AS corpus_syms
+           |FROM b$t b""".stripMargin
+      s"""$toksCte,
+         |w0 AS MATERIALIZED (
+         |  SELECT w, string_split(w, '') AS syms,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |${(1 to 4).map(iterSql).mkString(",\n")}
+         |${(1 to 4).map(rowSql).mkString("\nUNION ALL\n")}""".stripMargin
+    })
+
   // Hybrid retrieval with TRUNCATED reciprocal-rank fusion — the standard
   // production form: each leg retrieves its top-100 (lexical query-term
   // frequency; cosine against one broadcast query embedding), the two
@@ -4364,6 +4473,7 @@ object ExtQueries {
     "emb_centroid_shift" -> embCentroidShift,
     "text_top_terms" -> textTopTerms,
     "text_bpe_pairs" -> textBpePairs,
+    "text_bpe_train" -> textBpeTrain,
     "sim_hybrid_search" -> simHybridSearch,
     "cluster_assign" -> clusterAssign,
     "cluster_inertia" -> clusterInertia,

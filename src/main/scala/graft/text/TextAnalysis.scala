@@ -30,6 +30,21 @@ object TextAnalysis {
   def vocabHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => array_contains(array(words.map(lit): _*), t)))
 
+  /** One BPE merge applied to a symbol sequence: every left-to-right
+    * NON-OVERLAPPING adjacent occurrence of (l, r) becomes the single
+    * symbol l||r — the standard subword-tokenizer rewrite ("aaa" with
+    * merge (a,a) → [aa, a]). Implemented as a left fold over the array:
+    * the guard checks the last OUTPUT symbol, which cannot re-trigger a
+    * merge because l||r never equals l (r is non-empty) — so greedy
+    * left-to-right and the positional odd-offsets-of-a-mark-run rule
+    * coincide (BpeTrainSpec pins both readings). Pure Catalyst higher-
+    * order function: no UDF, per-row work O(|syms|), no shuffle. */
+  def bpeMerge(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (out, x) =>
+      when(size(out) > 0 && element_at(out, size(out)) === l && x === r,
+        concat(slice(out, lit(1), size(out) - 1), array(concat(l, r))))
+        .otherwise(concat(out, array(x))))
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
