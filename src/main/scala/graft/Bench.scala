@@ -154,11 +154,20 @@ object Bench {
     // read-wait alone says "server" without saying WHY — gc/load/disk per
     // trial make the next swing attributable from the artifact
     val live10Env = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+    // r13 VERDICT #4: live_drain_2db/4db drifted +6–10 % with nothing
+    // recorded to attribute it — only the 10× points carried env fields.
+    // Symmetric per-qualified-trial (gc_ms, load-at-start, disk-free) rows.
+    val live2dbEnv = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+    val live4dbEnv = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
     var live10Predicted = -1.0
     var live10BestPct = -1.0
     var live10BestClientS = -1.0
     var live10MedianClientS = -1.0
     var live10Ceiling = "unavailable"
+    // committed cross-run baseline for the 10× live drain's CLIENT-absolute
+    // seconds (wall − walsender read-wait): recorded best-trial values are
+    // 0.65–0.84 s across BENCH_r12/r13 — see the gate comment below
+    val Live10ClientBaselineS = 0.70
     def loadAvg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -166,6 +175,29 @@ object Bench {
       try Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
         .toFile.getUsableSpace / 1e9
       catch { case _: Throwable => -1.0 }
+    // Quiet-box gate, shared by the live phase and (since r14, per r13
+    // VERDICT #3) the WAL 10× phase: wait up to `budgetS` for 1-min load
+    // below `thresh`, returning (waited s, load at exit, pass|breach). A
+    // breach never skips the phase — the artifact carries the verdict so
+    // the reader weighs the numbers instead of discovering the load
+    // post-hoc. Most of what the gate drains mid-run is SELF-induced load
+    // from the previous phase's 32-core trials decaying out of the 1-min
+    // average.
+    def waitQuiet(thresh: Double, budgetS: Int): (Double, Double, String) = {
+      val t0 = System.nanoTime()
+      while (loadAvg() >= thresh &&
+          (System.nanoTime() - t0) / 1e9 < budgetS)
+        Thread.sleep(5000)
+      val waited = (System.nanoTime() - t0) / 1e9
+      val l = loadAvg()
+      (waited, l, if (l >= 0 && l < thresh) "pass" else "breach")
+    }
+    val loadThresh =
+      sys.env.getOrElse("GRAFT_BENCH_LOAD_THRESH", "0.5").toDouble
+    val loadWaitBudgetS =
+      sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_S", "180").toInt
+    var wal10LoadWaitS = 0.0; var wal10LoadBefore = -1.0
+    var wal10LoadVerdict = "skipped"
     // run-level disk accounting: the r12 wal_drain_10x regression was
     // 25 GB of cross-round tmpdir accumulation — start/end free-GB in the
     // artifact makes that class visible without shell archaeology
@@ -185,19 +217,8 @@ object Bench {
       // recording the wait; if the box never goes idle, the run proceeds and
       // the artifact carries verdict "breach" so the reader weighs the
       // numbers accordingly instead of discovering the load post-hoc.
-      val loadThresh =
-        sys.env.getOrElse("GRAFT_BENCH_LOAD_THRESH", "0.5").toDouble
-      val loadWaitBudgetS =
-        sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_S", "180").toInt
-      val gateT0 = System.nanoTime()
-      while (loadAvg() >= loadThresh &&
-          (System.nanoTime() - gateT0) / 1e9 < loadWaitBudgetS)
-        Thread.sleep(5000)
-      liveLoadWaitS = (System.nanoTime() - gateT0) / 1e9
-      liveLoadBefore = loadAvg()
-      liveLoadVerdict =
-        if (liveLoadBefore >= 0 && liveLoadBefore < loadThresh) "pass"
-        else "breach"
+      val (lw, ll, lv) = waitQuiet(loadThresh, loadWaitBudgetS)
+      liveLoadWaitS = lw; liveLoadBefore = ll; liveLoadVerdict = lv
       System.err.println(
         f"[bench] live_drain load gate: waited $liveLoadWaitS%.0f s, " +
           f"load=$liveLoadBefore%.2f (threshold $loadThresh) → $liveLoadVerdict")
@@ -343,8 +364,16 @@ object Bench {
             val total10 = n + n10
             val t10 = Seq.fill(5) {
               val g0 = gcMs()
+              val loadAtStart = loadAvg()
               val t = oneTrial(end10, total10, "live_drain_10x")
-              live10Env += ((gcMs() - g0, loadAvg(), diskFreeGb()))
+              // env rows are recorded for QUALIFIED trials only (r13
+              // ADVICE: a NaN-disqualified trial got an env row but no
+              // trials/read-wait row, so the arrays lost the index
+              // alignment that attribution-by-index depends on); load is
+              // sampled at trial START — the conditions the trial ran
+              // under, not the load the trial itself induced
+              if (!t.isNaN)
+                live10Env += ((gcMs() - g0, loadAtStart, diskFreeGb()))
               t
             }.filterNot(_.isNaN)
             if (t10.nonEmpty) {
@@ -382,10 +411,19 @@ object Bench {
               // client's absolute seconds didn't move — a share-only bar
               // flags exactly the best runs. So the verdict passes iff the
               // min trial's client share ≤ 15% OR its client ABSOLUTE
-              // seconds (wall − read-wait) ≤ 1.25× the run's median
-              // client absolute — a real client regression moves the
-              // absolute number; a fast server doesn't. Both absolutes
-              // are recorded next to the shares.
+              // seconds (wall − read-wait) ≤ 1.5× a COMMITTED cross-run
+              // baseline (r13 ADVICE: the first cut compared against the
+              // SAME run's median client absolute, which a uniform client
+              // regression moves in lockstep with the min — self-
+              // referential, detects only an anomalous trial). Baseline
+              // provenance: recorded artifacts put the best-trial client
+              // absolute at 0.65 s (BENCH_r13) with ~0.68 s medians and
+              // 0.84 s as the worst best-trial observed (the r13 false-
+              // alarm run) — 0.70 s is the committed band center, and
+              // 1.5× (1.05 s) is the regression bar a real client change
+              // crosses while host variance does not. Both absolutes stay
+              // recorded next to the shares and the baseline is in the
+              // artifact, so a future bar change is itself auditable.
               live10BestPct =
                 if (live10ReadWaitPct.isEmpty) -1.0
                 else live10ReadWaitPct(t10.indexOf(secs10))
@@ -399,7 +437,7 @@ object Bench {
               live10Ceiling =
                 if (live10ReadWaitPct.isEmpty) "no_trials"
                 else if (live10BestPct >= 85.0 ||
-                  live10BestClientS <= 1.25 * live10MedianClientS) "pass"
+                  live10BestClientS <= 1.5 * Live10ClientBaselineS) "pass"
                 else "miss"
               System.err.println(
                 f"[bench] live_drain_10x: $total10 events over the real " +
@@ -409,8 +447,9 @@ object Bench {
                   f"[${live10ReadWaitPct.map(p => f"$p%.0f%%").mkString(", ")}]" +
                   f" → ceiling $live10Ceiling on the min trial's " +
                   f"$live10BestPct%.1f%% share / $live10BestClientS%.2f s " +
-                  f"client-absolute (median $live10MedianClientS%.2f s; " +
-                  f"share ≤15%% OR absolute ≤1.25×median; naive " +
+                  f"client-absolute (median $live10MedianClientS%.2f s " +
+                  f"recorded; share ≤15%% OR absolute ≤1.5×committed " +
+                  f"${Live10ClientBaselineS}%.2f s baseline; naive " +
                   f"99k-extrapolated $live10Predicted%.2f s recorded as " +
                   f"informational)")
             }
@@ -443,7 +482,9 @@ object Bench {
           // 2-vs-4 rung pair measures (r11 VERDICT #5: the >200k ev/s
           // deployment claim deserved a second data point).
           def dbShardDrain(nShards: Int, perShard: Int, tag: String,
-              trialsRec: scala.collection.mutable.Buffer[Double]): Unit = try {
+              trialsRec: scala.collection.mutable.Buffer[Double],
+              envRec: scala.collection.mutable.Buffer[(Long, Double, Double)])
+              : Unit = try {
             val dbPrefix = s"graft_shard${nShards}db"
             val shards = (0 until nShards).map { i =>
               val db = s"${dbPrefix}_$i"
@@ -539,11 +580,19 @@ object Bench {
               }
             }
             // per-trial fault isolation: one failed open/drain records its
-            // reason and the next trial still runs
-            val ts = Seq.fill(5)(
-              try shardTrial()
-              catch { case e: Throwable => recErr(tag, e); Double.NaN })
-              .filterNot(_.isNaN)
+            // reason and the next trial still runs. Env rows (gc delta,
+            // load at trial START, disk free) only for QUALIFIED trials so
+            // the env array stays index-aligned with the trials array.
+            val ts = Seq.fill(5) {
+              val g0 = gcMs()
+              val loadAtStart = loadAvg()
+              val t =
+                try shardTrial()
+                catch { case e: Throwable => recErr(tag, e); Double.NaN }
+              if (!t.isNaN)
+                envRec += ((gcMs() - g0, loadAtStart, diskFreeGb()))
+              t
+            }.filterNot(_.isNaN)
             if (ts.nonEmpty) {
               trialsRec ++= ts
               val best = ts.min
@@ -561,9 +610,11 @@ object Bench {
             recErr(tag, e)
           }
           if (sys.env.getOrElse("GRAFT_BENCH_LIVE_2DB", "1") != "0")
-            dbShardDrain(2, 549000, "live_drain_2db", live2dbTrialsRec)
+            dbShardDrain(2, 549000, "live_drain_2db", live2dbTrialsRec,
+              live2dbEnv)
           if (sys.env.getOrElse("GRAFT_BENCH_LIVE_4DB", "1") != "0")
-            dbShardDrain(4, 274500, "live_drain_4db", live4dbTrialsRec)
+            dbShardDrain(4, 274500, "live_drain_4db", live4dbTrialsRec,
+              live4dbEnv)
           admin.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
@@ -895,8 +946,22 @@ object Bench {
           val b10 = ev10.agg(min("event_id"), max("event_id")).head()
           val (min10, max10) = (b10.getLong(0), b10.getLong(1))
           drainEvents10 = ev10.count() - 1000
+          // quiet-box gate (r13 VERDICT #3): the r13 trials ran ungated at
+          // load 1.92–2.60 — mostly the preceding drain phases' own load
+          // still in the 1-min average — with a 2.1× trial-2 outlier,
+          // while the gated live phase's trials sat at 0.64–0.95. Same
+          // gate as the live phase before the first trial, and a shorter
+          // decay wait (≤90 s for load < 1.0) between trials so trial N's
+          // own 32-core burst doesn't shade trial N+1's conditions.
+          val (ww, wl, wv) = waitQuiet(loadThresh, loadWaitBudgetS)
+          wal10LoadWaitS = ww; wal10LoadBefore = wl; wal10LoadVerdict = wv
+          System.err.println(
+            f"[bench] wal_drain_10x load gate: waited $ww%.0f s, " +
+              f"load=$wl%.2f (threshold $loadThresh) → $wv")
           val t10 = (1 to 3).map { i =>
+            if (i > 1) waitQuiet(1.0, 90)
             val g0 = gcMs()
+            val loadAtStart = loadAvg()
             val t = try oneDrain(ev10, min10, max10, min10 + 999, 40,
               framesHeadline, async = false)
             catch { case e: Throwable =>
@@ -905,7 +970,9 @@ object Bench {
               recErr("wal_drain_10x", e)
               -1.0
             }
-            wal10Env += ((gcMs() - g0, loadAvg(), diskFreeGb()))
+            // load at trial START (the conditions the trial ran under —
+            // post-trial sampling mostly read back the trial's own burst)
+            wal10Env += ((gcMs() - g0, loadAtStart, diskFreeGb()))
             t
           }
           wal10TrialsRec ++= t10
@@ -1170,11 +1237,14 @@ object Bench {
       s""""wal_drain_10x_env":[${wal10Env.map { case (gc, load, free) =>
         s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
       }.mkString(",")}],""" +
+      s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
+      s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_predicted":${r3(live10Predicted)},""" +
       s""""live_drain_10x_ceiling":{"client_share_bound_pct":15,""" +
+      s""""client_abs_baseline_s":${r3(Live10ClientBaselineS)},""" +
       s""""best_trial_read_wait_pct":${r3(live10BestPct)},""" +
       s""""best_trial_client_s":${r3(live10BestClientS)},""" +
       s""""median_trial_client_s":${r3(live10MedianClientS)},""" +
@@ -1186,7 +1256,13 @@ object Bench {
         s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
       }.mkString(",")}],""" +
       s""""live_drain_2db_trials":[${live2dbTrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_2db_env":[${live2dbEnv.map { case (gc, load, free) =>
+        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
+      }.mkString(",")}],""" +
       s""""live_drain_4db_trials":[${live4dbTrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_4db_env":[${live4dbEnv.map { case (gc, load, free) =>
+        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
+      }.mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
       s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
@@ -1220,10 +1296,29 @@ object Bench {
       "bench_out/latest.json"
     })
     Files.writeString(Paths.get(outPath), fullJson + "\n")
-    // stdout (fork + StdoutOutput keep both lines unprefixed): full first,
-    // compact LAST — a tail-window scanner finds the compact line intact.
+    // r13 regression: the "compact" line embeds summaryKeys, which has
+    // grown past the 2000-char tail window (env arrays, read-wait arrays,
+    // per-pass slowest-trials) — its HEAD got cut and the driver recorded
+    // parsed:null, the exact r5/r6 failure mode returning through summary
+    // growth. Structural fix: a third MICRO line goes LAST — headline
+    // metrics + the slowest suite queries ONLY, no summaryKeys, with a
+    // hard size budget enforced by dropping slowest-entries until it
+    // fits. The full artifact is the file + first stdout line; the
+    // compact line stays for humans scanning mid-stream.
+    def microLine(nSlowest: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":${jmap(headline ++ slowest.take(nSlowest))},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""full_queries":"$outPath"}"""
+    val microJson = (12 to 0 by -1).map(microLine)
+      .find(_.length <= 1500).getOrElse(microLine(0))
+    // stdout (fork + StdoutOutput keep the lines unprefixed): full first,
+    // micro LAST — a bounded tail-window scanner always finds the micro
+    // line whole, no matter how the summary fields grow.
     println(fullJson)
     println(compactJson)
+    println(microJson)
     graft.queries.ExtQueries.invalidateKnnEdges(spark) // release checkpoint blocks
     spark.stop()
   }

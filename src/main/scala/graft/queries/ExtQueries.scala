@@ -2556,12 +2556,25 @@ object ExtQueries {
        |      ELSE 0 END) AS BIGINT) AS dc_band,
        |    list(coef ORDER BY idx) AS v
        |  FROM feat GROUP BY doc_id),
+       |vexp AS (
+       |  -- corpus-side expansion of the Hamming-1 × band ±1 probe ball:
+       |  -- the Spark plan explodes the QUERY side over 36 distinct probe
+       |  -- keys; by symmetry of XOR and band distance, expanding the
+       |  -- CORPUS side over the same masks yields the identical candidate
+       |  -- set through a plain equi-join (each pair matches exactly one
+       |  -- (mask, band-offset), so no duplicates) — and stays a hash join
+       |  -- at every ladder scale where a bit_count(xor()) join condition
+       |  -- would degrade to a quadratic nested loop
+       |  SELECT doc_id, xor(fp, m.m) AS fpx, dc_band + e.e AS bandx, v
+       |  FROM vec,
+       |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+       |      1024]) AS m) m,
+       |    (SELECT unnest([-1, 0, 1]) AS e) e),
        |cand AS (
        |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
        |    CAST(list_sum(list_transform(generate_series(1, 12),
        |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS l1_dist
-       |  FROM vec a JOIN vec b ON bit_count(xor(a.fp, b.fp)) <= 1
-       |    AND abs(a.dc_band - b.dc_band) <= 1
+       |  FROM vec a JOIN vexp b ON a.fp = b.fpx AND a.dc_band = b.bandx
        |    AND a.doc_id <> b.doc_id)
        |SELECT src_doc, dst_doc, l1_dist, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_doc

@@ -67,11 +67,26 @@ object Checkpoints {
 
   /** Eagerly checkpoint `df` and register the result as owned by a query
     * of `df`'s session — the drop-in for in-query `.localCheckpoint()`
-    * calls whose returned plan reads the checkpoint. */
+    * calls whose returned plan reads the checkpoint.
+    *
+    * Registration retries until the queue it added to is still the mapped
+    * one: a concurrent [[releaseOwned]] for the same session can remove
+    * the queue between computeIfAbsent and add, which would strand the
+    * frame on a detached queue with no release path (a silent block leak
+    * under parallel suites). If the removal lands after the re-check, the
+    * concurrent release sweeps the just-added frame — the legitimate
+    * "registered then immediately released" ordering, never a leak. */
   def ownedCheckpoint(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint()
-    owned.computeIfAbsent(uuid(c.sparkSession),
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]).add(c)
+    val id = uuid(c.sparkSession)
+    var registered = false
+    while (!registered) {
+      val q = owned.computeIfAbsent(id,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame])
+      q.add(c)
+      if (owned.get(id) eq q) registered = true
+      else q.remove(c) // queue was detached mid-register: retry on the live one
+    }
     c
   }
 
