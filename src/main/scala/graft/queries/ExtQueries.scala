@@ -3186,91 +3186,130 @@ object ExtQueries {
   // on both engines. Assumes a non-degenerate corpus (some word with ≥2
   // symbols in every round — k = 4 on real text is always far from
   // exhausting pairs).
+  /** The k-round BPE training loop shared by `text_bpe_train` (per-round
+    * merge rows) and `text_bpe_encode` (the final encoded vocab state).
+    * Every round's vocab state is an OWNED checkpoint (released by the
+    * harness after the consuming query's output materializes); superseded
+    * rounds are additionally released eagerly in-loop so live state stays
+    * O(vocab) regardless of k — double-release is a safe no-op. */
+  private def bpeTrainLoop(s: SparkSession, dir: String, iters: Int)
+      : (Seq[DataFrame], DataFrame) = {
+    var words = docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(w)), " +
+        "i -> substring(w, CAST(i AS INT), 1))").as("syms"), col("freq"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint)
+    val rows = (1 to iters).map { t =>
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(" +
+            "element_at(syms, CAST(i AS INT)) AS l, " +
+            "element_at(syms, CAST(i AS INT) + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
+        .select(col("m.l").as("l"), col("m.r").as("r"),
+          (-col("m.nc")).as("cnt"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row, read by the output
+      val merged = words.crossJoin(broadcast(best))
+        .select(TextAnalysis.bpeMerge(col("syms"), col("l"), col("r"))
+          .as("syms"), col("freq"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
+      val prev = words
+      words = merged
+      graft.util.Checkpoints.release(prev) // round t-1's vocab state
+      val stats = merged
+        .agg(sum(col("freq") * size(col("syms"))).as("corpus_syms"))
+      best.crossJoin(broadcast(stats))
+        .select(lit(t).cast("long").as("iter"), col("l").as("merge_l"),
+          col("r").as("merge_r"), col("cnt").as("pair_count"),
+          col("corpus_syms"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row/iter
+    }
+    (rows, words)
+  }
+
   val textBpeTrain: (QFn, String) = (
-    (s, dir) => {
-      val iters = 4
-      var words = docs(s, dir)
-        .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(expr("transform(sequence(1, length(w)), " +
-          "i -> substring(w, CAST(i AS INT), 1))").as("syms"), col("freq"))
-        .localCheckpoint()
-      val rows = (1 to iters).map { t =>
-        val best = words.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> struct(" +
-              "element_at(syms, CAST(i AS INT)) AS l, " +
-              "element_at(syms, CAST(i AS INT) + 1) AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
-          .select(col("m.l").as("l"), col("m.r").as("r"),
-            (-col("m.nc")).as("cnt"))
-          .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row, read by the output
-        val merged = words.crossJoin(broadcast(best))
-          .select(TextAnalysis.bpeMerge(col("syms"), col("l"), col("r"))
-            .as("syms"), col("freq"))
-          .localCheckpoint() // superseded next round; released below
-        val prev = words
-        words = merged
-        graft.util.Checkpoints.release(prev) // round t-1's vocab state
-        val stats = merged
-          .agg(sum(col("freq") * size(col("syms"))).as("corpus_syms"))
-        best.crossJoin(broadcast(stats))
-          .select(lit(t).cast("long").as("iter"), col("l").as("merge_l"),
-            col("r").as("merge_r"), col("cnt").as("pair_count"),
-            col("corpus_syms"))
-          .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row/iter
-      }
-      graft.util.Checkpoints.release(words) // final vocab state, never re-read
-      rows.reduce(_ unionByName _)
-    },
-    {
-      def iterSql(t: Int): String = {
-        val w = s"w${t - 1}"
-        s"""p$t AS (
-           |  SELECT syms[i] AS l, syms[i + 1] AS r,
-           |    CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM $w, unnest(generate_series(1, len(syms) - 1)) AS u(i)
-           |  GROUP BY 1, 2),
-           |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
-           |m$t AS MATERIALIZED (
-           |  SELECT v.w, v.freq, v.syms, u.i,
-           |    coalesce(v.syms[u.i] = b.l AND v.syms[u.i + 1] = b.r,
-           |      FALSE) AS mk
-           |  FROM $w v, b$t b,
-           |    unnest(generate_series(1, len(v.syms))) AS u(i)),
-           |mg$t AS MATERIALIZED (
-           |  SELECT w, i, (row_number() OVER (PARTITION BY w, isl
-           |    ORDER BY i) % 2 = 1) AS merged
-           |  FROM (
-           |    SELECT w, i, i - row_number() OVER (PARTITION BY w
-           |      ORDER BY i) AS isl
-           |    FROM m$t WHERE mk)),
-           |w$t AS MATERIALIZED (
-           |  SELECT m.w, m.freq,
-           |    list(CASE WHEN coalesce(g.merged, FALSE) THEN b.l || b.r
-           |      ELSE m.syms[m.i] END ORDER BY m.i) AS syms
-           |  FROM m$t m CROSS JOIN b$t b
-           |  LEFT JOIN mg$t g ON g.w = m.w AND g.i = m.i
-           |  LEFT JOIN mg$t gp ON gp.w = m.w AND gp.i = m.i - 1 AND gp.merged
-           |  WHERE gp.i IS NULL
-           |  GROUP BY m.w, m.freq)""".stripMargin
-      }
-      def rowSql(t: Int): String =
-        s"""SELECT CAST($t AS BIGINT) AS iter, b.l AS merge_l,
-           |  b.r AS merge_r, b.cnt AS pair_count,
-           |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$t)
-           |    AS corpus_syms
-           |FROM b$t b""".stripMargin
-      s"""$toksCte,
-         |w0 AS MATERIALIZED (
-         |  SELECT w, string_split(w, '') AS syms,
-         |    CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-         |${(1 to 4).map(iterSql).mkString(",\n")}
-         |${(1 to 4).map(rowSql).mkString("\nUNION ALL\n")}""".stripMargin
-    })
+    (s, dir) => bpeTrainLoop(s, dir, 4)._1.reduce(_ unionByName _),
+    s"""$bpeOracleCtes
+       |${(1 to 4).map(bpeRowSql).mkString("\nUNION ALL\n")}""".stripMargin)
+
+  /** One BPE oracle training round as DuckDB CTEs: pair stats → best pair
+    * (lexicographic tie-break) → POSITIONAL merge (mark adjacent-pair
+    * hits, group consecutive marks into islands, merge odd offsets —
+    * equivalent to the Spark fold's greedy left-to-right rewrite, see
+    * TextAnalysis.bpeMerge). */
+  private def bpeIterSql(t: Int): String = {
+    val w = s"w${t - 1}"
+    s"""p$t AS (
+       |  SELECT syms[i] AS l, syms[i + 1] AS r,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM $w, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+       |m$t AS MATERIALIZED (
+       |  SELECT v.w, v.freq, v.syms, u.i,
+       |    coalesce(v.syms[u.i] = b.l AND v.syms[u.i + 1] = b.r,
+       |      FALSE) AS mk
+       |  FROM $w v, b$t b,
+       |    unnest(generate_series(1, len(v.syms))) AS u(i)),
+       |mg$t AS MATERIALIZED (
+       |  SELECT w, i, (row_number() OVER (PARTITION BY w, isl
+       |    ORDER BY i) % 2 = 1) AS merged
+       |  FROM (
+       |    SELECT w, i, i - row_number() OVER (PARTITION BY w
+       |      ORDER BY i) AS isl
+       |    FROM m$t WHERE mk)),
+       |w$t AS MATERIALIZED (
+       |  SELECT m.w, m.freq,
+       |    list(CASE WHEN coalesce(g.merged, FALSE) THEN b.l || b.r
+       |      ELSE m.syms[m.i] END ORDER BY m.i) AS syms
+       |  FROM m$t m CROSS JOIN b$t b
+       |  LEFT JOIN mg$t g ON g.w = m.w AND g.i = m.i
+       |  LEFT JOIN mg$t gp ON gp.w = m.w AND gp.i = m.i - 1 AND gp.merged
+       |  WHERE gp.i IS NULL
+       |  GROUP BY m.w, m.freq)""".stripMargin
+  }
+
+  private def bpeRowSql(t: Int): String =
+    s"""SELECT CAST($t AS BIGINT) AS iter, b.l AS merge_l,
+       |  b.r AS merge_r, b.cnt AS pair_count,
+       |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$t)
+       |    AS corpus_syms
+       |FROM b$t b""".stripMargin
+
+  /** Shared oracle prefix: toks → word-freq table → 4 training rounds. */
+  private def bpeOracleCtes: String =
+    s"""$toksCte,
+       |w0 AS MATERIALIZED (
+       |  SELECT w, string_split(w, '') AS syms,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |${(1 to 4).map(bpeIterSql).mkString(",\n")}""".stripMargin
+
+  // The ENCODE side of the trainer — apply the learned 4-merge table to
+  // the corpus and surface the resulting token distribution: top-20
+  // tokens by tf-weighted count after encoding (learned subwords like
+  // "er"/"in" rise into the single-char ranks — the sanity readout a
+  // tokenizer build publishes). The encoded state IS the trainer's final
+  // vocab frame, so encode costs one extra vocab-linear explode + one
+  // (token) groupBy + a distributed top-k; at 100 TB the corpus is still
+  // tokenized exactly once (the trainer's word-freq pass) and everything
+  // here is vocab-sized. Output ties to text_bpe_train: these tokens are
+  // exactly the symbols whose count the trainer's corpus_syms telescopes
+  // over, so the two queries cross-check each other's merge application.
+  val textBpeEncode: (QFn, String) = (
+    (s, dir) => bpeTrainLoop(s, dir, 4)._2
+      .select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20),
+    s"""$bpeOracleCtes,
+       |enc AS (SELECT unnest(syms) AS token, freq FROM w4)
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n
+       |FROM enc GROUP BY token
+       |ORDER BY n DESC, token LIMIT 20""".stripMargin)
 
   // Hybrid retrieval with TRUNCATED reciprocal-rank fusion — the standard
   // production form: each leg retrieves its top-100 (lexical query-term
@@ -4487,6 +4526,7 @@ object ExtQueries {
     "text_top_terms" -> textTopTerms,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_train" -> textBpeTrain,
+    "text_bpe_encode" -> textBpeEncode,
     "sim_hybrid_search" -> simHybridSearch,
     "cluster_assign" -> clusterAssign,
     "cluster_inertia" -> clusterInertia,

@@ -74,4 +74,25 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
     }
   }
+
+  test("text_bpe_encode: trained merges surface in the token distribution") {
+    val trained = SparkEntry.queries("text_bpe_train")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getString(1) + r.getString(2)).toSet
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, SparkTestBase.sf)
+      .collect()
+    graft.util.Checkpoints.releaseOwned(spark)
+    assert(enc.length <= 20 && enc.nonEmpty)
+    // counts are positive and ordered (desc, then token asc on ties)
+    val ns = enc.map(_.getLong(1))
+    assert(ns.forall(_ > 0))
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
+    // every encoded token is a single char or built from a trained merge
+    // prefix chain — in particular, any multi-char token in the top-20
+    // must be one of the 4 trained merge results (4 merges can compose at
+    // most chains of themselves)
+    enc.map(_.getString(0)).filter(_.length > 1).foreach { t =>
+      assert(trained.contains(t),
+        s"top-20 token '$t' is not a trained merge result ($trained)")
+    }
+  }
 }
