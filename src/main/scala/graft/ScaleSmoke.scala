@@ -39,7 +39,12 @@ object ScaleSmoke {
     // r12 composed additions: the DCT-descriptor similarity self-join and
     // the IVF-PQ serving path — both bucket-bounded in theory, probed here
     // so a bucket-skew regression at scale is a rung diff, not a surprise
-    "mm_sim_dct", "sim_ivfpq_topk")
+    "mm_sim_dct", "sim_ivfpq_topk",
+    // r14 additions: the capped recall contract (its truth leg's linearity
+    // is the r14 claim — a rung regression here means the cap broke) and
+    // the BPE trainer (vocab-bound after one corpus pass; a super-linear
+    // rung means corpus state leaked into the loop)
+    "mm_sim_recall", "text_bpe_train")
 
   /** Deterministic ±1e-3 per-(vector, dim) embedding perturbation — the
     * near-dup vector regime (`GRAFT_SMOKE_EMB_JITTER=1`). Derived from the

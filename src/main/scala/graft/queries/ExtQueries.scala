@@ -2572,8 +2572,7 @@ object ExtQueries {
        |    (SELECT unnest([-1, 0, 1]) AS e) e),
        |cand AS (
        |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
-       |    CAST(list_sum(list_transform(generate_series(1, 12),
-       |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS l1_dist
+       |    ${l1UnrolledSql("a.v", "b.v")} AS l1_dist
        |  FROM vec a JOIN vexp b ON a.fp = b.fpx AND a.dc_band = b.bandx
        |    AND a.doc_id <> b.doc_id)
        |SELECT src_doc, dst_doc, l1_dist, rank FROM (
@@ -2618,6 +2617,19 @@ object ExtQueries {
   // per-million, pure count arithmetic — hash-exact cross-engine; the
   // per-million divisions are guarded for the degenerate n_eval = 0
   // corpus where Spark's div yields NULL but DuckDB's // raises.
+  /** Unrolled exact-L1 for the DuckDB legs: 12 direct abs-diff terms
+    * instead of list_sum(list_transform(...)) — the lambda form allocates
+    * a 12-element list PER PAIR, which dominates the oracle's runtime on
+    * the 50M-pair sf~1 truth leg (measured ~5 min; unrolled it is pure
+    * column arithmetic). Sum stays BIGINT: 12 × 7.4e14 < 2⁶³. */
+  private def l1UnrolledSql(a: String, b: String): String =
+    "(" + (1 to 12).map(i => s"abs($a[$i] - $b[$i])").mkString(" + ") + ")"
+
+  /** Same unrolled L1 over the flattened q1..q12 / v1..v12 scalar columns
+    * (the recall oracle's join payloads — no per-pair list allocation). */
+  private def l1ScalarSql: String =
+    "(" + (1 to 12).map(i => s"abs(p.q$i - c.v$i)").mkString(" + ") + ")"
+
   val mmSimRecall: (QFn, String) = (
     (s, dir) => {
       val vec = dctDescriptors(s, dir)
@@ -2729,57 +2741,70 @@ object ExtQueries {
        |        i -> v[i] + (((doc_id * 31 + (i - 1) * 17) % 1001) - 500)
        |          * 400000000) AS qv
        |    FROM vec WHERE doc_id % 20 = 0 AND doc_id < 20000)),
+       |p12 AS MATERIALIZED (
+       |  -- probes and corpus flattened to 12 scalar columns: list-typed
+       |  -- join payloads allocate per pair and dominated the measured
+       |  -- sf~1 oracle runtime; scalars make every leg pure column math
+       |  SELECT qdoc, qfp, qband,
+       |    ${(1 to 12).map(i => s"qv[$i] AS q$i").mkString(", ")}
+       |  FROM pk),
+       |v12 AS MATERIALIZED (
+       |  SELECT doc_id, fp, dc_band,
+       |    ${(1 to 12).map(i => s"v[$i] AS v$i").mkString(", ")}
+       |  FROM vec),
        |truth AS (
-       |  SELECT qdoc, cdoc AS tdoc FROM (
-       |    SELECT p.qdoc, c.doc_id AS cdoc,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 12),
-       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
-       |    FROM pk p, vec c) WHERE rn = 1),
-       |r0 AS (
-       |  SELECT qdoc, cdoc AS rdoc FROM (
-       |    SELECT p.qdoc, c.doc_id AS cdoc,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 12),
-       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
-       |    FROM pk p JOIN vec c ON p.qfp = c.fp AND p.qband = c.dc_band)
-       |  WHERE rn = 1),
-       |rmp AS (
-       |  SELECT qdoc, cdoc AS rdoc FROM (
-       |    SELECT p.qdoc, c.doc_id AS cdoc,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 12),
-       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
-       |    FROM pk p JOIN vec c ON p.qfp = c.fp
-       |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1),
-       |rfp AS (
-       |  SELECT qdoc, cdoc AS rdoc FROM (
-       |    SELECT p.qdoc, c.doc_id AS cdoc,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 12),
-       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
-       |    FROM pk p JOIN vec c ON bit_count(xor(p.qfp, c.fp)) <= 1
-       |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1),
-       |rf2 AS (
-       |  SELECT qdoc, cdoc AS rdoc FROM (
-       |    SELECT p.qdoc, c.doc_id AS cdoc,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 12),
-       |          i -> abs(p.qv[i] - c.v[i]))) AS BIGINT), c.doc_id) AS rn
-       |    FROM pk p JOIN vec c ON bit_count(xor(p.qfp, c.fp)) <= 2
-       |      AND abs(p.qband - c.dc_band) <= 1) WHERE rn = 1),
+       |  -- struct-min hash aggregate, NOT a row_number window: the window
+       |  -- form materializes all probes x corpus pairs for sorting, which
+       |  -- exhausts the 40 GB spill cap at the sf~10 rung (500M pairs,
+       |  -- measured r14) — min({'l','c'}) compares fields in order, so the
+       |  -- (l1, cdoc) tie-break is identical and memory is O(probes)
+       |  SELECT p.qdoc,
+       |    (min({'l': $l1ScalarSql, 'c': c.doc_id})).c AS tdoc
+       |  FROM p12 p, v12 c GROUP BY p.qdoc),
+       |r0 AS MATERIALIZED (
+       |  -- each leg also carries its candidate count so the cost columns
+       |  -- reuse the same pass instead of re-running every join
+       |  SELECT p.qdoc,
+       |    (min({'l': $l1ScalarSql, 'c': c.doc_id})).c AS rdoc,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM p12 p JOIN v12 c ON p.qfp = c.fp AND p.qband = c.dc_band
+       |  GROUP BY p.qdoc),
+       |rmp AS MATERIALIZED (
+       |  SELECT p.qdoc,
+       |    (min({'l': $l1ScalarSql, 'c': c.doc_id})).c AS rdoc,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM p12 p JOIN v12 c ON p.qfp = c.fp
+       |    AND abs(p.qband - c.dc_band) <= 1 GROUP BY p.qdoc),
+       |pf1 AS (
+       |  -- probe-side Hamming-ring expansion (the masks are the XOR ball,
+       |  -- distinct per probe) keeps the fp legs HASH equi-joins: a
+       |  -- bit_count(xor()) join condition nested-loops over probes x
+       |  -- corpus, which is the scalable-oracle difference at sf~10
+       |  SELECT p.*, xor(p.qfp, m.m) AS pfp
+       |  FROM p12 p, (SELECT unnest([${fpRingMasks(1).mkString(", ")}])
+       |    AS m) m),
+       |rfp AS MATERIALIZED (
+       |  SELECT p.qdoc,
+       |    (min({'l': $l1ScalarSql, 'c': c.doc_id})).c AS rdoc,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM pf1 p JOIN v12 c ON p.pfp = c.fp
+       |    AND abs(p.qband - c.dc_band) <= 1 GROUP BY p.qdoc),
+       |pf2 AS (
+       |  SELECT p.*, xor(p.qfp, m.m) AS pfp
+       |  FROM p12 p, (SELECT unnest([${fpRingMasks(2).mkString(", ")}])
+       |    AS m) m),
+       |rf2 AS MATERIALIZED (
+       |  SELECT p.qdoc,
+       |    (min({'l': $l1ScalarSql, 'c': c.doc_id})).c AS rdoc,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM pf2 p JOIN v12 c ON p.pfp = c.fp
+       |    AND abs(p.qband - c.dc_band) <= 1 GROUP BY p.qdoc),
        |cost AS (
        |  SELECT
-       |    (SELECT count(*) FROM pk p JOIN vec c
-       |      ON p.qfp = c.fp AND p.qband = c.dc_band) AS cand_r0,
-       |    (SELECT count(*) FROM pk p JOIN vec c ON p.qfp = c.fp
-       |      AND abs(p.qband - c.dc_band) <= 1) AS cand_mp,
-       |    (SELECT count(*) FROM pk p JOIN vec c
-       |      ON bit_count(xor(p.qfp, c.fp)) <= 1
-       |      AND abs(p.qband - c.dc_band) <= 1) AS cand_fpmp,
-       |    (SELECT count(*) FROM pk p JOIN vec c
-       |      ON bit_count(xor(p.qfp, c.fp)) <= 2
-       |      AND abs(p.qband - c.dc_band) <= 1) AS cand_fp2),
+       |    (SELECT coalesce(sum(nc), 0) FROM r0) AS cand_r0,
+       |    (SELECT coalesce(sum(nc), 0) FROM rmp) AS cand_mp,
+       |    (SELECT coalesce(sum(nc), 0) FROM rfp) AS cand_fpmp,
+       |    (SELECT coalesce(sum(nc), 0) FROM rf2) AS cand_fp2),
        |agg AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
        |    CAST(sum(CASE WHEN r0.rdoc = t.tdoc THEN 1 ELSE 0 END)
