@@ -2193,6 +2193,129 @@ object ExtQueries {
       |    ORDER BY adc_e8, vec_id) AS BIGINT) AS rank FROM adc)
       |WHERE rank <= 5""".stripMargin)
 
+  // The REFINE stage that completes the PQ serving path: ADC scores are a
+  // lossy compression of distance (the whole point — query time never
+  // touches a raw vector), so production ANN serves in two stages: PQ-ADC
+  // scans the compressed corpus for a SHORTLIST (top-20 per query here,
+  // k' = 4k — the standard over-retrieve factor), then only the shortlist
+  // rows fetch their raw vectors and re-rank by EXACT distance. Scale
+  // shape: the expensive stage (ADC scan) stays compressed-domain with the
+  // broadcast LUT + one (qid, cid) partial-agg shuffle (sim_ivfpq_topk's
+  // plan); the exact stage touches k' × queries rows — at 10⁹ vectors and
+  // 10k queries that is 200k raw-vector fetches, not a corpus scan. Both
+  // distances ride in the output (adc_e8 next to exact_e8), so the row
+  // also SHOWS the quantization error the rerank corrects — rank is by
+  // exact distance where sim_ivfpq_topk serves ADC-rank, and any pair
+  // where the two orders disagree is PQ error made visible. Exactness:
+  // the same per-dim floor((a-b)²·1e8) integer contract as L2DistanceE8 /
+  // the ADC LUTs, identical formula in the oracle — hash-exact.
+  val simIvfPqRerank: (QFn, String) = (
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val sub = e.select(col("vec_id"), col("label"),
+          explode(expr("transform(sequence(0, 3), " +
+            "j -> struct(j as subspace, slice(embedding, j * 16 + 1, 16) as sv))"))
+            .as("x"))
+        .select(col("vec_id"), col("label"), col("x.subspace").as("subspace"),
+          col("x.sv").as("sv"))
+      val cents = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("ccid"), col("subspace").as("c_subspace"),
+          col("sv").as("cv"))
+      val scored = sub.join(broadcast(cents),
+          col("subspace") === col("c_subspace"))
+        .select(col("vec_id"), col("label"), col("subspace"), col("ccid"),
+          graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
+      val codes = scored.groupBy(col("vec_id"), col("label"), col("subspace"))
+        .agg(min(struct(col("d2_e8"), col("ccid"))).as("m"))
+        .select(col("vec_id"), col("label"), col("subspace"),
+          col("m.ccid").as("code"))
+      val lut = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("subspace").as("l_subspace"), col("ccid").as("l_cid"),
+          col("d2_e8"))
+      val shortlist = codes.join(broadcast(lut),
+          col("subspace") === col("l_subspace") &&
+            col("code") === col("l_cid") && col("label") === col("qlabel"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2_e8")).as("adc_e8"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("adc_e8")).cast("double"), col("vec_id"), 20).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("adc_e8"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds rerank + the adc join-back
+      // exact refine: ONLY the shortlist fetches raw vectors — the query
+      // side is a broadcast handful, the candidate side a semi-joined
+      // subset of the corpus (k' rows per query, never a corpus scan)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val reranked = shortlist
+        .join(broadcast(qv), "qid")
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          "cid")
+        .select(col("qid"), col("cid"), col("adc_e8"),
+          graft.functions.L2DistanceE8(col("qe"), col("ce")).as("exact_e8"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // top-k + join-back both read it
+      reranked
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("exact_e8")).cast("double"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("exact_e8"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .join(reranked.select(col("qid"), col("cid"), col("adc_e8")),
+          Seq("qid", "cid"))
+        .select(col("qid"), col("cid"), col("adc_e8"), col("exact_e8"),
+          col("rank"))
+    },
+    """WITH sub AS (
+      |  SELECT vec_id, label, j AS subspace,
+      |    embedding[j * 16 + 1 : j * 16 + 16] AS sv
+      |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |cents AS (
+      |  SELECT vec_id AS cid, subspace AS c_subspace, sv AS cv
+      |  FROM sub WHERE vec_id < 8),
+      |scored AS MATERIALIZED (
+      |  SELECT s.vec_id, s.label, s.subspace, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CAST(floor((s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |                      100000000) AS BIGINT))) AS BIGINT) AS d2_e8
+      |  FROM sub s JOIN cents c ON s.subspace = c.c_subspace),
+      |codes AS (
+      |  SELECT vec_id, label, subspace, cid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d2_e8, cid) AS rn FROM scored) WHERE rn = 1),
+      |adc AS (
+      |  SELECT l.vec_id AS qid, c.vec_id,
+      |    CAST(sum(l.d2_e8) AS BIGINT) AS adc_e8
+      |  FROM codes c JOIN scored l
+      |    ON l.vec_id < 10 AND l.subspace = c.subspace AND l.cid = c.code
+      |      AND l.label = c.label
+      |  WHERE l.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |shortlist AS MATERIALIZED (
+      |  SELECT qid, vec_id AS cid, adc_e8 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY adc_e8, vec_id) AS rn FROM adc)
+      |  WHERE rn <= 20),
+      |rer AS MATERIALIZED (
+      |  SELECT s.qid, s.cid, s.adc_e8,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(floor((q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) *
+      |                      (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) *
+      |                      100000000) AS BIGINT))) AS BIGINT) AS exact_e8
+      |  FROM shortlist s
+      |  JOIN embeddings q ON q.vec_id = s.qid
+      |  JOIN embeddings c ON c.vec_id = s.cid)
+      |SELECT qid, cid, adc_e8, exact_e8, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY exact_e8, cid) AS BIGINT) AS rank FROM rer)
+      |WHERE rank <= 5""".stripMargin)
+
   // Per-vector symmetric int8 quantization (the storage/serving compression
   // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
   // q_i = floor(x_i/scale + 0.5) — the explicit half-up formula, spelled the
@@ -4563,6 +4686,7 @@ object ExtQueries {
     "emb_pq_codes" -> embPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
+    "sim_ivfpq_rerank" -> simIvfPqRerank,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,

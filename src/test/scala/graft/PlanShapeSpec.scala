@@ -396,6 +396,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate volumes not monotone: $candR0, $candMp, $candFpmp, $candFp2")
   }
 
+  test("sim_ivfpq_rerank: exact refine touches only the shortlist; ranks by exact") {
+    val p = plan("sim_ivfpq_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fallback in the rerank plan:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected the map-side heap for both stages in:\n$p")
+    assert(!p.contains("Window"), s"rank window crept into:\n$p")
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("sim_ivfpq_rerank")(SparkTestBase.spark, SparkTestBase.sf)
+      .collect()
+    graft.util.Checkpoints.releaseOwned(SparkTestBase.spark)
+    // <=5 per query, exact_e8 ascends with rank (rank is BY exact distance),
+    // and every reranked candidate still carries its ADC score
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q carries ${rows.length} rows")
+      val sorted = rows.sortBy(_.getLong(4))
+      val ex = sorted.map(_.getLong(3))
+      assert(ex.zip(ex.drop(1)).forall { case (a, b) => a <= b },
+        s"exact_e8 not ascending with rank for query $q: ${ex.toSeq}")
+      assert(rows.forall(_.getLong(2) >= 0))
+    }
+    // the refine stage must be able to REORDER vs ADC somewhere (that is
+    // its purpose); with zero disagreement the stage would be vacuous on
+    // this corpus — an equality-only check, not a flakiness risk, because
+    // the fixture's PQ error is deterministic
+    val anyReorder = byQ.exists { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(4)).map(_.getLong(2))
+      byRank.zip(byRank.drop(1)).exists { case (a, b) => a > b }
+    }
+    assert(anyReorder, "rerank never disagreed with ADC order — vacuous refine")
+  }
+
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
     val p = plan("olap_nation_share")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
