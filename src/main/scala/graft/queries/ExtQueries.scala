@@ -2251,8 +2251,13 @@ object ExtQueries {
       // subset of the corpus (k' rows per query, never a corpus scan)
       val qv = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val reranked = shortlist
-        .join(broadcast(qv), "qid")
+      // the SHORTLIST side broadcasts explicitly: it is k' × queries rows
+      // by construction, but it is also a checkpointed LogicalRDD whose
+      // size AQE won't estimate ahead of time — without the hint the cid
+      // join demoted to a sort-merge that SHUFFLED THE CORPUS (measured
+      // smj=1/exch=3 at the 2M-vector rung), exactly the plan a 10⁹-vector
+      // refine cannot run; with it the corpus streams map-side (bhj)
+      val reranked = broadcast(shortlist.join(broadcast(qv), "qid"))
         .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
           "cid")
         .select(col("qid"), col("cid"), col("adc_e8"),
@@ -2266,8 +2271,8 @@ object ExtQueries {
         .select(col("qid"), col("t.id").as("cid"),
           (-col("t.score")).cast("long").as("exact_e8"),
           (col("pos") + 1).cast("long").as("rank"))
-        .join(reranked.select(col("qid"), col("cid"), col("adc_e8")),
-          Seq("qid", "cid"))
+        .join(broadcast(reranked.select(col("qid"), col("cid"),
+          col("adc_e8"))), Seq("qid", "cid")) // k'×queries rows — broadcast
         .select(col("qid"), col("cid"), col("adc_e8"), col("exact_e8"),
           col("rank"))
     },

@@ -403,6 +403,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_top_k_by_score"),
       s"expected the map-side heap for both stages in:\n$p")
     assert(!p.contains("Window"), s"rank window crept into:\n$p")
+    // the refine join must stream the corpus against a BROADCAST shortlist
+    // — a sort-merge here shuffles the whole corpus for a k'×queries-row
+    // probe side (the measured 2M-vector regression this pin prevents)
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist→corpus refine join demoted to a corpus shuffle:\n$p")
     import org.apache.spark.sql.functions.col
     val r = SparkEntry.queries("sim_ivfpq_rerank")(SparkTestBase.spark, SparkTestBase.sf)
       .collect()
