@@ -3347,8 +3347,14 @@ object ExtQueries {
     * O(vocab) regardless of k — double-release is a safe no-op. */
   private def bpeTrainLoop(s: SparkSession, dir: String, iters: Int)
       : (Seq[DataFrame], DataFrame) = {
+    // the length >= 1 guard is a CROSS-ENGINE degenerate-corpus contract,
+    // not an optimization: an empty token would hit Spark's
+    // sequence(1, 0), which generates the DESCENDING [1, 0] (sequence
+    // supports reverse ranges), yielding ["", ""] where DuckDB's
+    // string_split('', '') yields [''] — guard identically on both sides
     var words = docs(s, dir)
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(expr("transform(sequence(1, length(w)), " +
         "i -> substring(w, CAST(i AS INT), 1))").as("syms"), col("freq"))
@@ -3438,7 +3444,8 @@ object ExtQueries {
        |w0 AS MATERIALIZED (
        |  SELECT w, string_split(w, '') AS syms,
        |    CAST(count(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |  FROM (SELECT unnest(t) AS w FROM toks) WHERE len(w) >= 1
+       |  GROUP BY w),
        |${(1 to 4).map(bpeIterSql).mkString(",\n")}""".stripMargin
 
   // The ENCODE side of the trainer — apply the learned 4-merge table to
