@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Streaming BPE pair statistics — the streaming twin of the batch
+  * `text_bpe_pairs` query (the trainer's inner loop: tf-weighted adjacent
+  * character-pair counts over the corpus).
+  *
+  * Built on Spark's incremental streaming aggregation: each micro-batch's
+  * documents explode to their adjacent pairs, partial-aggregate MAP-SIDE,
+  * and merge into the state store keyed by pair — so per-pair state is ONE
+  * count and the store is bounded by the pair vocabulary (~|alphabet|²),
+  * independent of corpus size. That is what makes BPE statistics trainable
+  * over an unbounded ingest: a 100 TB document stream updates a state
+  * store the size of a character-bigram table, and the trainer's
+  * pick-best step reads the store, not the corpus. Exactness: streaming
+  * aggregation is exactly incremental (counts are a commutative monoid),
+  * so the final state equals the batch query's counts for ANY micro-batch
+  * chopping — BpePairStreamSpec pins equality for two different splits.
+  */
+object BpePairStream {
+
+  /** docs(text, …) stream → running (pair, n) counts (update semantics). */
+  def pairCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, CAST(i AS INT), 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+}
