@@ -122,6 +122,32 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Process-CPU clock (r14 VERDICT #1/#2: the live/latency tier drifted
+    // +16–35% and the wal_drain_10x outlier survived the load gate — both
+    // with benign gc/load/disk rows, so the recorded variables weren't the
+    // cause). Per-trial Δcpu NEXT TO Δwall is the missing discriminator:
+    // wall ≫ cpu moving alone says the box starved the process (scheduler,
+    // page cache, CPU frequency); cpu and wall moving TOGETHER says the
+    // client itself did more work. JMX, zero deps.
+    def cpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // One environment row per qualified trial: the r12–r14 attribution
+    // lesson is that every headline point needs these or its next swing is
+    // a post-hoc hunt. cpu_s/wall_s span the SAME window (trial start →
+    // trial end, including per-trial fixture setup/cleanup — the ratio is
+    // what discriminates, not the absolute).
+    final case class EnvRow(gcMs: Long, load: Double, diskFreeGb: Double,
+        cpuS: Double, wallS: Double) {
+      def json: String =
+        s"""{"gc_ms":$gcMs,"load":${fmt3(load)},""" +
+        s""""disk_free_gb":${fmt3(diskFreeGb)},"cpu_s":${fmt3(cpuS)},""" +
+        s""""wall_s":${fmt3(wallS)}}"""
+    }
 
     // -------- live drain: a REAL walsender backlog over the wire ----------
     // Runs FIRST-IN-PROCESS (before the suite warm-up fills the heap): the
@@ -144,6 +170,7 @@ object Bench {
     val live10TrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val live2dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val live4dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    val live8dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     // server-ceiling accounting for the 10× point (r11 VERDICT #1): the
     // drain is ~90% blocked in walsender decode, so the honest bar is the
     // MEASURED ceiling, not a fixed constant — predicted = events ÷ the
@@ -153,12 +180,18 @@ object Bench {
     // wal_drain_10x_env: the live band swings 4.7–6.5 s across runs and
     // read-wait alone says "server" without saying WHY — gc/load/disk per
     // trial make the next swing attributable from the artifact
-    val live10Env = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+    val live10Env = scala.collection.mutable.Buffer.empty[EnvRow]
     // r13 VERDICT #4: live_drain_2db/4db drifted +6–10 % with nothing
     // recorded to attribute it — only the 10× points carried env fields.
-    // Symmetric per-qualified-trial (gc_ms, load-at-start, disk-free) rows.
-    val live2dbEnv = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
-    val live4dbEnv = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+    // Symmetric per-qualified-trial rows. r14 VERDICT #1 then flagged the
+    // exact inverse asymmetry: the 2db/4db points sat FLAT while every
+    // env-LESS point in the tier (live_drain, wal_drain, the floors)
+    // drifted +16–35% unattributably — so r15 extends env rows to ALL of
+    // them (liveEnv below, walEnv/floorEnv in the drain/floor sections).
+    val live2dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
+    val live4dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
+    val live8dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
+    val liveEnv = scala.collection.mutable.Buffer.empty[EnvRow]
     var live10Predicted = -1.0
     var live10BestPct = -1.0
     var live10BestClientS = -1.0
@@ -175,6 +208,17 @@ object Bench {
       try Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
         .toFile.getUsableSpace / 1e9
       catch { case _: Throwable => -1.0 }
+    // Run one trial under full env accounting. Load is sampled at trial
+    // START (the conditions the trial ran under, not the load it induced);
+    // gc/cpu/wall are deltas over the trial window.
+    def envTrial(run: => Double): (Double, EnvRow) = {
+      val g0 = gcMs(); val l = loadAvg()
+      val c0 = cpuNanos(); val w0 = System.nanoTime()
+      val t = run
+      (t, EnvRow(gcMs() - g0, l, diskFreeGb(),
+        if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9,
+        (System.nanoTime() - w0) / 1e9))
+    }
     // Quiet-box gate, shared by the live phase and (since r14, per r13
     // VERDICT #3) the WAL 10× phase: wait up to `budgetS` for 1-min load
     // below `thresh`, returning (waited s, load at exit, pass|breach). A
@@ -329,8 +373,13 @@ object Bench {
               secs
             }
           }
-          val trials = Seq.fill(5)(oneTrial(endLsn, n, "live_drain"))
-            .filterNot(_.isNaN)
+          // per-qualified-trial env rows (r14 VERDICT #1: this point's
+          // 0.425→0.552 band-disjoint drift carried no fields to attribute)
+          val trials = Seq.fill(5) {
+            val (t, env) = envTrial(oneTrial(endLsn, n, "live_drain"))
+            if (!t.isNaN) liveEnv += env
+            t
+          }.filterNot(_.isNaN)
           if (trials.nonEmpty) {
             liveTrialsRec ++= trials
             val secs = trials.min
@@ -363,17 +412,12 @@ object Bench {
               "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
             val total10 = n + n10
             val t10 = Seq.fill(5) {
-              val g0 = gcMs()
-              val loadAtStart = loadAvg()
-              val t = oneTrial(end10, total10, "live_drain_10x")
               // env rows are recorded for QUALIFIED trials only (r13
               // ADVICE: a NaN-disqualified trial got an env row but no
               // trials/read-wait row, so the arrays lost the index
-              // alignment that attribution-by-index depends on); load is
-              // sampled at trial START — the conditions the trial ran
-              // under, not the load the trial itself induced
-              if (!t.isNaN)
-                live10Env += ((gcMs() - g0, loadAtStart, diskFreeGb()))
+              // alignment that attribution-by-index depends on)
+              val (t, env) = envTrial(oneTrial(end10, total10, "live_drain_10x"))
+              if (!t.isNaN) live10Env += env
               t
             }.filterNot(_.isNaN)
             if (t10.nonEmpty) {
@@ -483,7 +527,7 @@ object Bench {
           // deployment claim deserved a second data point).
           def dbShardDrain(nShards: Int, perShard: Int, tag: String,
               trialsRec: scala.collection.mutable.Buffer[Double],
-              envRec: scala.collection.mutable.Buffer[(Long, Double, Double)])
+              envRec: scala.collection.mutable.Buffer[EnvRow])
               : Unit = try {
             val dbPrefix = s"graft_shard${nShards}db"
             val shards = (0 until nShards).map { i =>
@@ -584,13 +628,10 @@ object Bench {
             // load at trial START, disk free) only for QUALIFIED trials so
             // the env array stays index-aligned with the trials array.
             val ts = Seq.fill(5) {
-              val g0 = gcMs()
-              val loadAtStart = loadAvg()
-              val t =
+              val (t, env) = envTrial(
                 try shardTrial()
-                catch { case e: Throwable => recErr(tag, e); Double.NaN }
-              if (!t.isNaN)
-                envRec += ((gcMs() - g0, loadAtStart, diskFreeGb()))
+                catch { case e: Throwable => recErr(tag, e); Double.NaN })
+              if (!t.isNaN) envRec += env
               t
             }.filterNot(_.isNaN)
             if (ts.nonEmpty) {
@@ -615,6 +656,16 @@ object Bench {
           if (sys.env.getOrElse("GRAFT_BENCH_LIVE_4DB", "1") != "0")
             dbShardDrain(4, 274500, "live_drain_4db", live4dbTrialsRec,
               live4dbEnv)
+          // r14 VERDICT #6: the README asserted ">4 shards should split
+          // clusters" from the 2db/4db curve alone — the 8db rung makes
+          // the saturation claim recorded data (expect sublinear ~4–5×:
+          // every walsender still reads the WHOLE cluster WAL, so the
+          // shared WAL scan bounds the curve as nShards grows). Same
+          // 1.098M-event backlog split 8 ways; max_replication_slots was
+          // raised in PgServerHarness for the 15 slots a full run creates.
+          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_8DB", "1") != "0")
+            dbShardDrain(8, 137250, "live_drain_8db", live8dbTrialsRec,
+              live8dbEnv)
           admin.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
@@ -642,7 +693,10 @@ object Bench {
     // never deleted, i.e. exactly the disk-state suspect class). Each
     // trial records (gc_ms delta, 1-min load avg, tmpdir free GB) so the
     // next swing is attributable from the artifact alone.
-    val wal10Env = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+    val wal10Env = scala.collection.mutable.Buffer.empty[EnvRow]
+    // r15: the headline wal_drain point gets the same rows (it drifted
+    // 0.247→0.270 in the r14 tier-wide shift with nothing to attribute)
+    val walEnv = scala.collection.mutable.Buffer.empty[EnvRow]
     var drainEvents = 0L
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
@@ -790,13 +844,18 @@ object Bench {
       // disqualification) records -1.0 in the trial list and the next trial
       // still runs.
       val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
-        try headlineDrain(framesHeadline)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $hdLabel trial $i failed: $e")
-          e.printStackTrace()
-          recErr(hdLabel, e)
-          -1.0
-        }
+        val (t, env) = envTrial(
+          try headlineDrain(framesHeadline)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $hdLabel trial $i failed: $e")
+            e.printStackTrace()
+            recErr(hdLabel, e)
+            -1.0
+          })
+        // pre-suite headline only: wal_drain_insuite is a drift probe whose
+        // cause (suite heap history) is already recorded via suite_pass_gc_ms
+        if (t > 0 && !insuite) walEnv += env
+        t
       }
       (if (insuite) walInsuiteTrialsRec else walTrialsRec) ++= hdTrials
       val hdOk = hdTrials.filter(_ > 0)
@@ -958,21 +1017,25 @@ object Bench {
           System.err.println(
             f"[bench] wal_drain_10x load gate: waited $ww%.0f s, " +
               f"load=$wl%.2f (threshold $loadThresh) → $wv")
-          val t10 = (1 to 3).map { i =>
+          // 5 trials (r14 VERDICT #2, was 3): r14's trial 3 stalled 2.2×
+          // with a benign env row — one unexplained stall in three
+          // dominates a min-of-3 narrative; at 5 it's an outlier with
+          // company or it isn't. The cpu_s/wall_s pair in the env row is
+          // the new discriminator for exactly that stall class.
+          val t10 = (1 to 5).map { i =>
             if (i > 1) waitQuiet(1.0, 90)
-            val g0 = gcMs()
-            val loadAtStart = loadAvg()
-            val t = try oneDrain(ev10, min10, max10, min10 + 999, 40,
-              framesHeadline, async = false)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] wal_drain_10x trial $i failed: $e")
-              e.printStackTrace()
-              recErr("wal_drain_10x", e)
-              -1.0
-            }
-            // load at trial START (the conditions the trial ran under —
-            // post-trial sampling mostly read back the trial's own burst)
-            wal10Env += ((gcMs() - g0, loadAtStart, diskFreeGb()))
+            val (t, env) = envTrial(
+              try oneDrain(ev10, min10, max10, min10 + 999, 40,
+                framesHeadline, async = false)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] wal_drain_10x trial $i failed: $e")
+                e.printStackTrace()
+                recErr("wal_drain_10x", e)
+                -1.0
+              })
+            // env rows stay UNCONDITIONAL here: the trials list records
+            // -1.0 entries too, so index alignment holds either way
+            wal10Env += env
             t
           }
           wal10TrialsRec ++= t10
@@ -1014,6 +1077,8 @@ object Bench {
     // contention-sensitive p99 can be re-measured alone on a quiet box.
     val runFloor = sys.env.getOrElse("GRAFT_BENCH_FLOOR",
       if (runDrain) "1" else "0") != "0"
+    // per-(variant, pass) env rows for all three floor variants
+    val floorEnv = scala.collection.mutable.Buffer.empty[(String, Int, EnvRow)]
     if (runFloor) {
       // passes > 1 (GRAFT_BENCH_FLOOR_PASSES) report the LAST pass only:
       // pass 1 absorbs JIT/codegen/stream-startup (a cold first micro-batch
@@ -1085,10 +1150,21 @@ object Bench {
         else None
       try (1 to passes).foreach { pass =>
         try {
-          val (sp50, sp99) = floorOnce("parquet", async = false)
-          val (ap50, ap99) = floorOnce("frames", async = true)
+          // one env row per variant per pass (r14 VERDICT #1: all three
+          // floors drifted +23–35% with no fields to attribute it; the
+          // floor is ~2 s of wall per variant, so cpu-vs-wall separates a
+          // starved box from a client that got slower per batch)
+          def floorEnvTrial(variant: String, run: => (Long, Long)): (Long, Long) = {
+            var out = (0L, 0L)
+            val (_, env) = envTrial { out = run; 0.0 }
+            floorEnv += ((variant, pass, env))
+            out
+          }
+          val (sp50, sp99) = floorEnvTrial("sync", floorOnce("parquet", async = false))
+          val (ap50, ap99) = floorEnvTrial("async", floorOnce("frames", async = true))
           val (wp50, wp99) = floorBroker match {
-            case Some(b) => floorOnce("frames", async = true, wire = Some(b))
+            case Some(b) =>
+              floorEnvTrial("wire", floorOnce("frames", async = true, wire = Some(b)))
             case None => (0L, 0L)
           }
           if (pass == passes) {
@@ -1206,7 +1282,7 @@ object Bench {
     // (recorded as -1.0) must not be summed either: they'd subtract from the
     // total and corrupt it — list them separately instead.
     val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain",
-      "live_drain_2db", "live_drain_4db",
+      "live_drain_2db", "live_drain_4db", "live_drain_8db",
       "wal_drain_insuite") // a re-measurement, not a new workload
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
@@ -1232,15 +1308,15 @@ object Bench {
       s""""errors":${errs.map { case (k, v) =>
         jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
       }.mkString("{", ",", "}")},""" +
+      s""""wal_drain_env":[${walEnv.map(_.json).mkString(",")}],""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
-      s""""wal_drain_10x_env":[${wal10Env.map { case (gc, load, free) =>
-        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
-      }.mkString(",")}],""" +
+      s""""wal_drain_10x_env":[${wal10Env.map(_.json).mkString(",")}],""" +
       s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
       s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
       s""""live_drain_events":$liveDrainEvents,""" +
       s""""live_drain_trials":[${liveTrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_env":[${liveEnv.map(_.json).mkString(",")}],""" +
       s""""live_drain_10x_trials":[${live10TrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_10x_predicted":${r3(live10Predicted)},""" +
       s""""live_drain_10x_ceiling":{"client_share_bound_pct":15,""" +
@@ -1252,22 +1328,21 @@ object Bench {
         r3(if (live10ReadWaitPct.isEmpty) -1.0 else live10ReadWaitPct.max)
       },"verdict":"$live10Ceiling"},""" +
       s""""live_drain_10x_read_wait_pct":[${live10ReadWaitPct.map(r3).mkString(",")}],""" +
-      s""""live_drain_10x_env":[${live10Env.map { case (gc, load, free) =>
-        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
-      }.mkString(",")}],""" +
+      s""""live_drain_10x_env":[${live10Env.map(_.json).mkString(",")}],""" +
       s""""live_drain_2db_trials":[${live2dbTrialsRec.map(r3).mkString(",")}],""" +
-      s""""live_drain_2db_env":[${live2dbEnv.map { case (gc, load, free) =>
-        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
-      }.mkString(",")}],""" +
+      s""""live_drain_2db_env":[${live2dbEnv.map(_.json).mkString(",")}],""" +
       s""""live_drain_4db_trials":[${live4dbTrialsRec.map(r3).mkString(",")}],""" +
-      s""""live_drain_4db_env":[${live4dbEnv.map { case (gc, load, free) =>
-        s"""{"gc_ms":$gc,"load":${r3(load)},"disk_free_gb":${r3(free)}}"""
-      }.mkString(",")}],""" +
+      s""""live_drain_4db_env":[${live4dbEnv.map(_.json).mkString(",")}],""" +
+      s""""live_drain_8db_trials":[${live8dbTrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_8db_env":[${live8dbEnv.map(_.json).mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
       s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
       s""""latency_floor_sync_ms":{"p50":$floorSyncP50,"p99":$floorSyncP99},""" +
       s""""latency_floor_wire_ms":{"p50":$floorWireP50,"p99":$floorWireP99},""" +
+      s""""latency_floor_env":[${floorEnv.map { case (variant, pass, env) =>
+        s"""{"variant":"$variant","pass":$pass,${env.json.tail}"""
+      }.mkString(",")}],""" +
       s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
       s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
       s""""suite_slowest_trials":${slowestTrials.map { case (k, ts) =>
@@ -1282,7 +1357,7 @@ object Bench {
     // suite queries (the ones worth comparing round-over-round by eye).
     val headline = Seq("wal_drain", "wal_drain_wire", "wal_drain_2slot",
       "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x",
-      "live_drain_2db", "live_drain_4db")
+      "live_drain_2db", "live_drain_4db", "live_drain_8db")
       .flatMap(k => results.get(k).map(k -> _))
     val compactJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
@@ -1305,14 +1380,31 @@ object Bench {
     // hard size budget enforced by dropping slowest-entries until it
     // fits. The full artifact is the file + first stdout line; the
     // compact line stays for humans scanning mid-stream.
+    // the micro line's failed list is BOUNDED (r14 ADVICE: a run with many
+    // failed queries could push even microLine(0) past the 1.5 KB window
+    // through the unbounded failed array — reproducing the exact
+    // parsed:null failure the micro line exists to fix): first 8 names
+    // plus a count; the full list lives in the file artifact.
+    val failedMicro = (
+      failed.take(8).map("\"" + _ + "\"") ++
+        (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"")
+         else Nil)
+      ).mkString("[", ",", "]")
     def microLine(nSlowest: Int): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(headline ++ slowest.take(nSlowest))},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed":$failedMicro,"failed_count":${failed.size},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""full_queries":"$outPath"}"""
+    // last-resort fallback stays valid JSON and bounded: no queries map,
+    // no failed names — never a mid-string truncation
+    val microMinimal =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":${jmap(headline)},"failed_count":${failed.size},""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
       s""""full_queries":"$outPath"}"""
     val microJson = (12 to 0 by -1).map(microLine)
-      .find(_.length <= 1500).getOrElse(microLine(0))
+      .find(_.length <= 1500).getOrElse(microMinimal)
     // stdout (fork + StdoutOutput keep the lines unprefixed): full first,
     // micro LAST — a bounded tail-window scanner always finds the micro
     // line whole, no matter how the summary fields grow.

@@ -3336,9 +3336,9 @@ object ExtQueries {
   // same semantics positionally (mark → islands of consecutive marks →
   // merge odd offsets), so a semantic drift in either engine is a hash
   // diff. Ties on pair count pick the lexicographically smallest (l, r)
-  // on both engines. Assumes a non-degenerate corpus (some word with ≥2
-  // symbols in every round — k = 4 on real text is always far from
-  // exhausting pairs).
+  // on both engines. A degenerate corpus (no word with ≥2 symbols left in
+  // some round) raises an explicit error on the Spark side instead of
+  // silently diverging from the oracle — see the guard in the loop.
   /** The k-round BPE training loop shared by `text_bpe_train` (per-round
     * merge rows) and `text_bpe_encode` (the final encoded vocab state).
     * Every round's vocab state is an OWNED checkpoint (released by the
@@ -3370,6 +3370,19 @@ object ExtQueries {
         .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
         .select(col("m.l").as("l"), col("m.r").as("r"),
           (-col("m.nc")).as("cnt"))
+        // degenerate-corpus guard (r14 ADVICE): on an empty pair table
+        // Spark's global agg yields one all-NULL row (a silent no-op merge
+        // + a NULL merge_l output row) while the DuckDB oracle's empty
+        // cross-join vanishes its corpus and emits NOTHING — a confusing
+        // cross-engine hash diff. m.l is never NULL on real input (syms
+        // elements are substrings of non-empty words), so NULL ⇔ exhausted
+        // pairs: fail LOUDLY and identically-on-both-engines instead
+        // (k = 4 on real text never exhausts pairs; a tiny fixture can).
+        .select(
+          when(col("l").isNotNull, col("l")).otherwise(raise_error(lit(
+            s"text_bpe_train round $t: pair table empty — degenerate " +
+              "corpus (no word has >= 2 symbols left)"))).as("l"),
+          col("r"), col("cnt"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row, read by the output
       val merged = words.crossJoin(broadcast(best))
         .select(TextAnalysis.bpeMerge(col("syms"), col("l"), col("r"))

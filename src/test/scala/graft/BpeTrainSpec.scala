@@ -49,6 +49,25 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(syms == Seq("bba", "ba"))
   }
 
+  test("text_bpe_train: degenerate corpus fails loudly, never a NULL merge") {
+    // r14 ADVICE: an exhausted pair table used to emit a silent all-NULL
+    // merge row on the Spark side while the DuckDB oracle emitted nothing
+    // — a confusing cross-engine hash diff. The guard makes it an explicit
+    // error. Corpus of single-character words = no pairs in round 1.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpedegen").toString
+    Seq("a b c", "d e").toDF("text").withColumn("doc_id", lit(1L))
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("text_bpe_train")(spark, dir).collect()
+    }
+    graft.util.Checkpoints.releaseOwned(spark)
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("degenerate")),
+      s"expected the explicit degenerate-corpus error, got: ${msgs(e)}")
+  }
+
   test("text_bpe_train: 4 iterations, monotone compression, sane merges") {
     val out = SparkEntry.queries("text_bpe_train")(spark, SparkTestBase.sf)
       .orderBy("iter").collect()

@@ -24,24 +24,36 @@ object SparkTestBase {
   // the same leftover class whose 25 GB livepg variant poisoned the r12
   // drain benchmarks. The bench and harness delete their own dirs per
   // trial (HarnessLifecycleSpec gates that); this hook closes the TEST
-  // tier: on test-JVM shutdown, delete /tmp/graft-* entries last modified
-  // more than an hour ago. The age guard means a concurrently running
-  // bench/smoke process's FRESH dirs are never touched — only fossils
-  // from previous runs; this run's own dirs get swept by the next run.
+  // tier: on test-JVM shutdown, delete /tmp/graft-* entries whose ENTIRE
+  // TREE is untouched for more than an hour. Staleness is judged by the
+  // max mtime ACROSS the tree, not the top-level dir's (r14 ADVICE: a
+  // live long-running process — a Postgres data dir, a spool dir — writes
+  // into SUBdirectories without refreshing the top-level mtime, so a
+  // top-level-only check could delete a >1h bench/harness run's live
+  // state mid-run). A dir with any recent write anywhere inside it is
+  // left alone; only full fossils from previous runs are swept.
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
     try {
       val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       val cutoff = System.currentTimeMillis() - 3600L * 1000
+      def treeMaxMtime(root: Path): Long = {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.foldLeft(0L) { (mx, q) =>
+          math.max(mx,
+            try Files.getLastModifiedTime(q).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue })
+          // an unreadable entry reads as "fresh" — never delete on doubt
+        } finally walk.close()
+      }
       val ls = Files.list(tmp)
       try {
         ls.iterator().forEachRemaining { p =>
           val name = p.getFileName.toString
-          if (name.startsWith("graft-") &&
-              Files.getLastModifiedTime(p).toMillis < cutoff) {
+          if (name.startsWith("graft-") && treeMaxMtime(p) < cutoff) {
             val walk = Files.walk(p)
             try {
-              import scala.jdk.CollectionConverters._
               walk.sorted(java.util.Comparator.reverseOrder())
                 .iterator().asScala.foreach(q =>
                   try Files.deleteIfExists(q)
