@@ -2321,6 +2321,435 @@ object ExtQueries {
       |    ORDER BY exact_e8, cid) AS BIGINT) AS rank FROM rer)
       |WHERE rank <= 5""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // TRAINED product quantization (r14 VERDICT #3): the PQ serving tier
+  // above uses `vec_id < 8` slices as its codebook — exactness-correct
+  // (the oracle shares the convention) but an UNTRAINED codebook, while
+  // the k-means trainer already exists (cluster_train_2iter). This block
+  // composes them: a per-subspace Lloyd trainer (the cluster_train_2iter
+  // algorithm run independently in each PQ subspace — which is precisely
+  // how a real PQ codebook is trained, k-means per subspace over the
+  // subvectors), per-round value-exact telemetry in the text_bpe_train
+  // mold, and the serving path re-run against the TRAINED codebook. The
+  // same generalized loop with nSub = 1 trains the full-dim COARSE
+  // quantizer that sim_ivfpq_recall's nprobe curve probes. All distances
+  // are exact integers: vectors quantize once to e6 units (|x| < 0.6 →
+  // |x_e6| < 6.1e5; 64-dim squared distances < 1e14 — long-safe, and the
+  // heap's double round-trips exactly), centroid means are
+  // floor(double(sum)/n) — the division semantics Spark `div` and DuckDB
+  // `//` agree on for the non-negative counts used here.
+  // Reference analog: the engine serves data a training pipeline indexes
+  // (SURVEY §2's training-data operators); the per-round-exact oracle
+  // discipline mirrors src/e2e/cdc_test.zig:12-18's count+structure
+  // principle.
+
+  /** Per-subspace Lloyd trainer shared by `sim_pq_train` (per-round
+    * telemetry), `sim_ivfpq_trained` (the trained serving codebook) and
+    * `sim_ivfpq_recall` (nSub = 1 → the coarse quantizer). Returns the
+    * checkpointed long-form vector frame (vec_id, label, subspace, dim,
+    * x_e6), one ≤(nSub·8)-row telemetry frame per round, and the final
+    * trained centroids (subspace, cid, dim, c_e6). Round state follows
+    * the components-doubling discipline: each round's assignment and the
+    * superseded centroid frame release once the next round's state is
+    * checkpointed, so live state is O(codebook + corpus long-form)
+    * regardless of iteration count. */
+  private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
+      iters: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
+    val subDim = 64 / nSub
+    val ve = emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        expr(s"CAST(i div $subDim AS INT)").as("subspace"),
+        expr(s"CAST(i % $subDim AS INT)").as("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize + explode ONCE, feeds every round
+    var cents = ve.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("subspace"), col("dim"),
+        col("x_e6").as("c_e6"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint)
+    val rows = (1 to iters).map { t =>
+      // assign: nearest trained centroid per (vector, subspace) — the
+      // codebook broadcasts (nSub × 8 × subDim = 512 rows at any corpus
+      // size), the one shuffle is the (vec, subspace, cid) partial sum
+      val asg = ve.join(broadcast(cents), Seq("subspace", "dim"))
+        .select(col("vec_id"), col("subspace"), col("cid"),
+          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+            .as("sq"))
+        .groupBy(col("vec_id"), col("subspace"), col("cid"))
+        .agg(sum(col("sq")).as("d2"))
+        .groupBy(col("vec_id"), col("subspace"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("subspace"), col("m.cid").as("cid"),
+          col("m.d2").as("d2"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds recenter + telemetry
+      val newCents = ve
+        .join(asg.select("vec_id", "subspace", "cid"),
+          Seq("vec_id", "subspace"))
+        .groupBy(col("subspace"), col("cid"), col("dim"))
+        .agg(floor(sum(col("x_e6")).cast("double") / count(lit(1)))
+          .cast("long").as("c_e6"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
+      // telemetry reads BOTH the round's assignment and the centroids it
+      // assigned against — checkpoint it before those release
+      val row = asg.groupBy(col("subspace"), col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+        .join(cents.groupBy(col("subspace"), col("cid"))
+            .agg(sum(col("c_e6")).as("centroid_sum_e6")),
+          Seq("subspace", "cid"))
+        .select(lit(t).cast("long").as("iter"),
+          col("subspace").cast("long").as("subspace"),
+          col("cid").as("cid"), col("n_members"), col("inertia"),
+          col("centroid_sum_e6"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ nSub·8 rows
+      val prev = cents
+      cents = newCents
+      graft.util.Checkpoints.release(prev)
+      graft.util.Checkpoints.release(asg)
+      row
+    }
+    (ve, rows, cents)
+  }
+
+  /** DuckDB twin of [[pqSubTrainLoop]] as a CTE chain (long-form, the
+    * cluster_train_2iter oracle's shape, keyed by subspace). Emits
+    * ve / c0 / d1 / a1 / c1 / d2r / a2 / c2 for two rounds. */
+  private def pqTrainCtes(nSub: Int): String = {
+    val subDim = 64 / nSub
+    s"""WITH ve AS MATERIALIZED (
+       |  SELECT vec_id, label, (i - 1) // $subDim AS subspace,
+       |    (i - 1) % $subDim AS dim,
+       |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x_e6
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+       |c0 AS (
+       |  SELECT vec_id AS cid, subspace, dim, x_e6 AS c_e6
+       |  FROM ve WHERE vec_id < 8),
+       |d1 AS (
+       |  SELECT v.vec_id, v.subspace, c.cid,
+       |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+       |  FROM ve v JOIN c0 c ON v.subspace = c.subspace AND v.dim = c.dim
+       |  GROUP BY 1, 2, 3),
+       |a1 AS MATERIALIZED (
+       |  SELECT vec_id, subspace, cid, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+       |c1 AS MATERIALIZED (
+       |  SELECT v.subspace, a.cid, v.dim,
+       |    CAST(floor(CAST(sum(v.x_e6) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS c_e6
+       |  FROM ve v JOIN a1 a
+       |    ON v.vec_id = a.vec_id AND v.subspace = a.subspace
+       |  GROUP BY 1, 2, 3),
+       |d2r AS (
+       |  SELECT v.vec_id, v.subspace, c.cid,
+       |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+       |  FROM ve v JOIN c1 c ON v.subspace = c.subspace AND v.dim = c.dim
+       |  GROUP BY 1, 2, 3),
+       |a2 AS MATERIALIZED (
+       |  SELECT vec_id, subspace, cid, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d2, cid) AS rn FROM d2r) WHERE rn = 1),
+       |c2 AS MATERIALIZED (
+       |  SELECT v.subspace, a.cid, v.dim,
+       |    CAST(floor(CAST(sum(v.x_e6) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS c_e6
+       |  FROM ve v JOIN a2 a
+       |    ON v.vec_id = a.vec_id AND v.subspace = a.subspace
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  // Per-round PQ-codebook training telemetry (the cluster_train_2iter /
+  // text_bpe_train mold): for each of 2 Lloyd rounds × 4 subspaces × ≤8
+  // codewords, the members assigned, the round's inertia (exact e12-unit
+  // squared distance sum) and a checksum of the centroids the round
+  // assigned AGAINST. Value-exact per round — a drift in any round's
+  // assignment, mean or tie-break is a hash diff, not a converged-state
+  // coincidence.
+  val simPqTrain: (QFn, String) = (
+    (s, dir) => pqSubTrainLoop(s, dir, 4, 2)._2.reduce(_ unionByName _),
+    s"""${pqTrainCtes(4)},
+       |r1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS iter, CAST(a.subspace AS BIGINT)
+       |      AS subspace, a.cid,
+       |    CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(a.d2) AS BIGINT) AS inertia, cs.centroid_sum_e6
+       |  FROM a1 a JOIN (
+       |    SELECT subspace, cid, CAST(sum(c_e6) AS BIGINT)
+       |      AS centroid_sum_e6 FROM c0 GROUP BY 1, 2) cs
+       |    ON a.subspace = cs.subspace AND a.cid = cs.cid
+       |  GROUP BY 1, 2, 3, 6),
+       |r2 AS (
+       |  SELECT CAST(2 AS BIGINT) AS iter, CAST(a.subspace AS BIGINT)
+       |      AS subspace, a.cid,
+       |    CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(a.d2) AS BIGINT) AS inertia, cs.centroid_sum_e6
+       |  FROM a2 a JOIN (
+       |    SELECT subspace, cid, CAST(sum(c_e6) AS BIGINT)
+       |      AS centroid_sum_e6 FROM c1 GROUP BY 1, 2) cs
+       |    ON a.subspace = cs.subspace AND a.cid = cs.cid
+       |  GROUP BY 1, 2, 3, 6)
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin)
+
+  // The IVF-PQ serving path against the TRAINED codebook — train (2
+  // Lloyd rounds per subspace) → encode the corpus → broadcast per-query
+  // LUTs → label-cell pruning → ADC top-5, closing the ANN story
+  // end-to-end: train → encode → index → serve (sim_ivfpq_rerank's
+  // refine and sim_ivfpq_recall's measured recall complete it). The
+  // serving plan is sim_ivfpq_topk's — codebook and LUTs ride
+  // broadcasts, one (qid, cid) partial-agg shuffle, map-side heap — with
+  // the codebook now the trainer's OUTPUT instead of raw vector slices;
+  // PlanShapeSpec pins that the broadcasts survive the trained codebook
+  // (a trained-centroid frame is a checkpointed LogicalRDD whose size
+  // AQE cannot estimate — the same demotion class sim_ivfpq_rerank
+  // measured). Distances are e12-unit exact integers end to end.
+  val simIvfPqTrained: (QFn, String) = (
+    (s, dir) => {
+      val (ve, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
+      val scored = ve.join(broadcast(cents), Seq("subspace", "dim"))
+        .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
+          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+            .as("sq"))
+        .groupBy(col("vec_id"), col("label"), col("subspace"), col("cid"))
+        .agg(sum(col("sq")).as("d2"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds codes + LUTs
+      val codes = scored
+        .groupBy(col("vec_id"), col("label"), col("subspace"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("label"), col("subspace"),
+          col("m.cid").as("code"))
+      val lut = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("subspace").as("l_subspace"), col("cid").as("l_cid"),
+          col("d2"))
+      codes.join(broadcast(lut),
+          col("subspace") === col("l_subspace") &&
+            col("code") === col("l_cid") && col("label") === col("qlabel"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_sq_e12"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("adc_sq_e12")).cast("double"), col("vec_id"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("adc_sq_e12"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+    s"""${pqTrainCtes(4)},
+       |sc2 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.label, v.subspace, c.cid,
+       |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+       |  FROM ve v JOIN c2 c ON v.subspace = c.subspace AND v.dim = c.dim
+       |  GROUP BY 1, 2, 3, 4),
+       |codes AS (
+       |  SELECT vec_id, label, subspace, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d2, cid) AS rn FROM sc2) WHERE rn = 1),
+       |adc AS (
+       |  SELECT l.vec_id AS qid, c.vec_id,
+       |    CAST(sum(l.d2) AS BIGINT) AS adc_sq_e12
+       |  FROM codes c JOIN sc2 l
+       |    ON l.vec_id < 10 AND l.subspace = c.subspace AND l.cid = c.code
+       |      AND l.label = c.label
+       |  WHERE l.vec_id <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id AS cid, adc_sq_e12, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_sq_e12, vec_id) AS BIGINT) AS rank FROM adc)
+       |WHERE rank <= 5""".stripMargin)
+
+  // The IVF path's MEASURED recall contract (r14 VERDICT #4 — the
+  // mm_sim_recall mold applied to the trained coarse quantizer): every
+  // 4th vector below id 2000 (≤500 planted probes, a fixed cap so the
+  // exact-truth leg stays linear in the corpus) gets a deterministic
+  // ±0.05 per-dimension perturbation — small against the ~1.4 unit
+  // inter-vector distance scale (the source stays the probe's exact
+  // top-1) but comparable to Voronoi boundary margins, so SOME probes'
+  // nearest trained centroid is no longer their source's cell: exactly
+  // the cell-miss mode nprobe exists to recover. Truth is the probe's
+  // exact-L2 top-1 over ALL vectors, computed honestly. The retrieval
+  // legs rank the 8 trained cells per probe and scan candidates from the
+  // nprobe nearest — nprobe = 1 / 2 / 4 rungs, each priced by its
+  // candidate volume IN THE SAME partial aggregate (one candidate join
+  // computes all three rungs; a candidate carries its cell_rank). The
+  // PQ-ADC quantization error is priced separately by sim_ivfpq_rerank
+  // (adc next to exact per row); this query isolates what cell PRUNING
+  // costs, which is the number nprobe tuning needs.
+  val simIvfPqRecall: (QFn, String) = (
+    (s, dir) => {
+      // trained coarse quantizer: k = 8 full-dim k-means, 2 Lloyd rounds
+      val (ve, _, cents) = pqSubTrainLoop(s, dir, 1, 2)
+      // corpus cell assignment against the trained centroids
+      val vcell = ve.join(broadcast(cents), Seq("subspace", "dim"))
+        .select(col("vec_id"), col("cid"),
+          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+            .as("sq"))
+        .groupBy(col("vec_id"), col("cid")).agg(sum(col("sq")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("vcid"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
+      // probe cell ranking: ≤500 probes × 8 cells, heap top-4 per probe
+      val pcell = ve.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("pid"), col("dim"),
+          (col("x_e6") +
+            expr("((vec_id * 37 + dim * 11) % 100001) - 50000").as("delta"))
+            .as("p_e6"))
+        .join(broadcast(cents.select(col("cid"), col("dim"), col("c_e6"))),
+          Seq("dim"))
+        .select(col("pid"), col("cid"),
+          ((col("p_e6") - col("c_e6")) * (col("p_e6") - col("c_e6")))
+            .as("sq"))
+        .groupBy(col("pid"), col("cid")).agg(sum(col("sq")).as("d2"))
+        .groupBy(col("pid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("d2")).cast("double"), col("cid"), 4).as("top"))
+        .select(col("pid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("pid"), col("t.id").as("cid"),
+          (col("pos") + 1).as("cell_rank"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ 500 × 4 rows
+      // exact-distance legs work on e6 ARRAYS (array-local codegen math,
+      // one row per pair — never a per-dimension explode on the wide side)
+      val varr = emb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // truth + retrieval corpus side
+      val parr = varr.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("pid"),
+          expr("transform(v, (x, i) -> " +
+            "x + ((vec_id * 37 + i * 11) % 100001) - 50000)").as("pv"))
+      val l2 = expr("aggregate(zip_with(pv, cv, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, d) -> acc + d)")
+      // exact truth: capped probes × corpus, probe side broadcast, the
+      // min(struct) partial aggregate ships one row per probe
+      val truth = varr
+        .select(col("vec_id").as("cdoc"), col("v").as("cv"))
+        .crossJoin(broadcast(parr))
+        .select(col("pid"), col("cdoc"), l2.as("d2"))
+        .groupBy(col("pid"))
+        .agg(min(struct(col("d2"), col("cdoc"))).as("mt"))
+        .select(col("pid"), col("mt.cdoc").as("tdoc"))
+      // ONE candidate join computes all three rungs: corpus rows keep
+      // their cell, probe cell-ranks broadcast, arrays ride the same row
+      val scoredCand = varr.join(vcell, "vec_id") // corpus-keyed, co-partitioned
+        .select(col("vec_id").as("cdoc"), col("v").as("cv"), col("vcid"))
+        .join(broadcast(pcell), col("vcid") === col("cid"))
+        .join(broadcast(parr), "pid")
+        .select(col("pid"), col("cdoc"), col("cell_rank"), l2.as("d2"))
+      val legs = scoredCand.groupBy(col("pid"))
+        .agg(
+          min(when(col("cell_rank") <= 1,
+            struct(col("d2"), col("cdoc")))).as("m1"),
+          min(when(col("cell_rank") <= 2,
+            struct(col("d2"), col("cdoc")))).as("m2"),
+          min(struct(col("d2"), col("cdoc"))).as("m4"),
+          sum(when(col("cell_rank") <= 1, 1L).otherwise(0L)).as("nc1"),
+          sum(when(col("cell_rank") <= 2, 1L).otherwise(0L)).as("nc2"),
+          count(lit(1)).as("nc4"))
+      truth.join(legs, Seq("pid"), "left")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("m1.cdoc") === col("tdoc"), 1L).otherwise(0L))
+            .as("hits_n1"),
+          sum(when(col("m2.cdoc") === col("tdoc"), 1L).otherwise(0L))
+            .as("hits_n2"),
+          sum(when(col("m4.cdoc") === col("tdoc"), 1L).otherwise(0L))
+            .as("hits_n4"),
+          coalesce(sum(col("nc1")), lit(0L)).as("cand_n1"),
+          coalesce(sum(col("nc2")), lit(0L)).as("cand_n2"),
+          coalesce(sum(col("nc4")), lit(0L)).as("cand_n4"))
+        .select(col("n_eval"), col("hits_n1"),
+          expr("IF(n_eval = 0, 0L, hits_n1 * 1000000 div n_eval)")
+            .as("recall_n1_pm"),
+          col("hits_n2"),
+          expr("IF(n_eval = 0, 0L, hits_n2 * 1000000 div n_eval)")
+            .as("recall_n2_pm"),
+          col("hits_n4"),
+          expr("IF(n_eval = 0, 0L, hits_n4 * 1000000 div n_eval)")
+            .as("recall_n4_pm"),
+          col("cand_n1"), col("cand_n2"), col("cand_n4"))
+    },
+    s"""${pqTrainCtes(1)},
+       |vcell AS MATERIALIZED (
+       |  SELECT vec_id, cid AS vcid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT)
+       |        AS d2,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT),
+       |        c.cid) AS rn
+       |    FROM ve v JOIN c2 c ON v.dim = c.dim
+       |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+       |varr AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |parr AS MATERIALIZED (
+       |  SELECT vec_id AS pid,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+       |        + ((vec_id * 37 + (i - 1) * 11) % 100001) - 50000) AS pv
+       |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2000),
+       |pcell AS MATERIALIZED (
+       |  SELECT pid, cid, CAST(rn AS INTEGER) AS cell_rank FROM (
+       |    SELECT p.pid, c.cid,
+       |      row_number() OVER (PARTITION BY p.pid ORDER BY
+       |        CAST(sum((p.pv[c.dim + 1] - c.c_e6) *
+       |                 (p.pv[c.dim + 1] - c.c_e6)) AS BIGINT), c.cid) AS rn
+       |    FROM parr p JOIN c2 c ON true
+       |    GROUP BY p.pid, c.cid) WHERE rn <= 4),
+       |truth AS MATERIALIZED (
+       |  SELECT p.pid,
+       |    (min({'d': CAST(list_sum(list_transform(generate_series(1, 64),
+       |       i -> (p.pv[i] - c.v[i]) * (p.pv[i] - c.v[i]))) AS BIGINT),
+       |       'c': c.vec_id})).c AS tdoc
+       |  FROM parr p, varr c GROUP BY p.pid),
+       |cand AS MATERIALIZED (
+       |  SELECT k.pid, c.vec_id AS cdoc, k.cell_rank,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> (p.pv[i] - c.v[i]) * (p.pv[i] - c.v[i]))) AS BIGINT) AS d2
+       |  FROM pcell k
+       |  JOIN vcell a ON a.vcid = k.cid
+       |  JOIN varr c ON c.vec_id = a.vec_id
+       |  JOIN parr p ON p.pid = k.pid),
+       |legs AS (
+       |  SELECT pid,
+       |    (min(CASE WHEN cell_rank <= 1 THEN {'d': d2, 'c': cdoc} END)).c
+       |      AS r1,
+       |    (min(CASE WHEN cell_rank <= 2 THEN {'d': d2, 'c': cdoc} END)).c
+       |      AS r2,
+       |    (min({'d': d2, 'c': cdoc})).c AS r4,
+       |    CAST(sum(CASE WHEN cell_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc1,
+       |    CAST(sum(CASE WHEN cell_rank <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc2,
+       |    CAST(count(*) AS BIGINT) AS nc4
+       |  FROM cand GROUP BY pid),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |    CAST(sum(CASE WHEN l.r1 = t.tdoc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_n1,
+       |    CAST(sum(CASE WHEN l.r2 = t.tdoc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_n2,
+       |    CAST(sum(CASE WHEN l.r4 = t.tdoc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_n4,
+       |    CAST(coalesce(sum(l.nc1), 0) AS BIGINT) AS cand_n1,
+       |    CAST(coalesce(sum(l.nc2), 0) AS BIGINT) AS cand_n2,
+       |    CAST(coalesce(sum(l.nc4), 0) AS BIGINT) AS cand_n4
+       |  FROM truth t LEFT JOIN legs l ON t.pid = l.pid)
+       |SELECT n_eval, hits_n1,
+       |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n1 * 1000000 // n_eval END
+       |    AS recall_n1_pm,
+       |  hits_n2,
+       |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n2 * 1000000 // n_eval END
+       |    AS recall_n2_pm,
+       |  hits_n4,
+       |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n4 * 1000000 // n_eval END
+       |    AS recall_n4_pm,
+       |  cand_n1, cand_n2, cand_n4
+       |FROM agg""".stripMargin)
+
   // Per-vector symmetric int8 quantization (the storage/serving compression
   // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
   // q_i = floor(x_i/scale + 0.5) — the explicit half-up formula, spelled the
@@ -4712,6 +5141,9 @@ object ExtQueries {
     "sim_pq_adc_topk" -> simPqAdcTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
+    "sim_pq_train" -> simPqTrain,
+    "sim_ivfpq_trained" -> simIvfPqTrained,
+    "sim_ivfpq_recall" -> simIvfPqRecall,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,

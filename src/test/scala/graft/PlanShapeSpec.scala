@@ -434,6 +434,73 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(anyReorder, "rerank never disagreed with ADC order — vacuous refine")
   }
 
+  test("sim_ivfpq_trained: broadcasts survive the trained codebook; training converges") {
+    // the trained centroids are a checkpointed LogicalRDD whose size AQE
+    // cannot estimate — without explicit broadcasts the codebook/LUT joins
+    // would demote to corpus shuffles (the exact regression
+    // sim_ivfpq_rerank measured at the 2M rung); this pins that the
+    // serving plan keeps sim_ivfpq_topk's shape under the TRAINED codebook
+    val p = plan("sim_ivfpq_trained")
+    graft.util.Checkpoints.releaseOwned(spark) // the trainer's checkpoints
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"trained IVF-PQ join fell back to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"trained codebook/LUT sides must broadcast:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected map-side partial top-k in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"codebook or LUT join demoted to a corpus shuffle:\n$p")
+    // and the codebook really is TRAINED: Lloyd's algorithm must strictly
+    // reduce per-subspace inertia on this corpus (measured ~30% per
+    // subspace at both gate SFs — deterministic fixture, not a flake), and
+    // round-2 assigns against MOVED centroids (checksums differ)
+    val rows = SparkEntry.queries("sim_pq_train")(spark, SparkTestBase.sf)
+      .collect()
+    graft.util.Checkpoints.releaseOwned(spark)
+    val bySub = rows.groupBy(r => (r.getLong(0), r.getLong(1))) // (iter, subspace)
+      .view.mapValues(rs => (rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum))
+      .toMap
+    val subspaces = rows.map(_.getLong(1)).distinct
+    assert(subspaces.length == 4, s"expected 4 subspaces, got $subspaces")
+    subspaces.foreach { ss =>
+      val (i1, cs1) = bySub((1L, ss))
+      val (i2, cs2) = bySub((2L, ss))
+      assert(i2 < i1,
+        s"subspace $ss: round-2 inertia $i2 did not drop below round-1 $i1")
+      assert(cs1 != cs2,
+        s"subspace $ss: recentering never moved the centroids (sum $cs1)")
+    }
+  }
+
+  test("sim_ivfpq_recall: capped probes; hits AND candidate costs monotone in nprobe") {
+    // the one all-pairs shape allowed is the broadcast capped-truth side
+    // (≤500 probes × corpus — linear in n with a fixed factor); the
+    // candidate leg must reach the corpus through the trained-cell
+    // equi-join, never a second cartesian
+    val p = plan("sim_ivfpq_recall")
+    graft.util.Checkpoints.releaseOwned(spark)
+    assert(!p.contains("CartesianProduct"),
+      s"truth side lost its broadcast (non-broadcast cartesian):\n$p")
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"the candidate leg fell back to all-pairs ($bnl BNL):\n$p")
+    val r = SparkEntry.queries("sim_ivfpq_recall")(spark, SparkTestBase.sf)
+      .collect().head
+    graft.util.Checkpoints.releaseOwned(spark)
+    val nEval = r.getLong(0)
+    assert(nEval > 0 && nEval <= 500,
+      s"probe cap violated: n_eval=$nEval (must be a fixed ≤500)")
+    val (h1, h2, h4) = (r.getLong(1), r.getLong(3), r.getLong(5))
+    // nprobe rung r+1's candidates are a superset of rung r's (cells are
+    // ranked, rungs are prefixes) and the exact top-1 under the (d2, id)
+    // tie-break is unique — widening can never turn a hit into a miss
+    assert(h1 <= h2 && h2 <= h4,
+      s"recall not monotone in nprobe: $h1, $h2, $h4")
+    assert(h4 >= 0 && h4 <= nEval)
+    val (c1, c2, c4) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    assert(c1 <= c2 && c2 <= c4 && c4 > 0,
+      s"candidate costs not monotone: $c1, $c2, $c4")
+  }
+
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
     val p = plan("olap_nation_share")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
