@@ -30,8 +30,17 @@ import scala.jdk.CollectionConverters._
   * not hold every payload in broker memory.
   */
 final class FakeKafkaBroker(topics: Map[String, Int],
-    retain: Boolean = true) extends AutoCloseable {
-  private val server = new ServerSocket(0)
+    retain: Boolean = true,
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+  // with `tls`, the broker speaks TLS from byte 0 (security.protocol=SSL —
+  // the Kafka protocol has no in-band upgrade); the handshake runs lazily
+  // on the accepted socket's first stream use inside handle(), so a client
+  // the broker's certificate can't satisfy fails ITS side of the handshake
+  // and the per-connection thread just exits
+  private val server: ServerSocket = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
+    case None => new ServerSocket(0)
+  }
   val port: Int = server.getLocalPort
 
   /** (topic, partition, key, value) in arrival order. */

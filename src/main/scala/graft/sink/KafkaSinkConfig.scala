@@ -60,6 +60,70 @@ object KafkaSinkConfig {
     }
     merged
   }
+
+  /** Map validated `security.protocol=SSL` options to the WIRE producer's
+    * TLS config — the point where the SSL enum stops being validate-only
+    * on the wire path (the stock connector path forwards the same options
+    * to its own client). Option names are librdkafka's, as the reference
+    * forwards them (reference: src/sink/kafka/producer.zig TLS options;
+    * producer_test.zig:70-282 verify/reject contract):
+    *
+    *  - `ssl.ca.location` — the CA bundle to verify the broker chain
+    *    against (required unless certificate verification is disabled).
+    *  - `ssl.endpoint.identification.algorithm` — `https` (default) adds
+    *    RFC 6125 hostname verification (verify-full); `none` keeps chain
+    *    verification only (verify-ca).
+    *  - `enable.ssl.certificate.verification=false` — encrypt without
+    *    authenticating the peer (PgTls `require` semantics; loud opt-out).
+    *
+    * Returns None for PLAINTEXT / absent protocol; throws on SASL_* (the
+    * wire producer has no SASL) and on SSL without a usable trust config. */
+  def wireTls(security: Map[String, String])
+      : Option[graft.source.postgres.PgTls.SslConfig] = {
+    val norm = security.map { case (k, v) =>
+      (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v }
+    norm.getOrElse("kafka.security.protocol", "PLAINTEXT") match {
+      case "PLAINTEXT" => None
+      case "SSL" =>
+        val verifyChain = norm
+          .getOrElse("kafka.enable.ssl.certificate.verification", "true")
+          .toBoolean
+        val mode =
+          if (!verifyChain) "require"
+          else norm.getOrElse(
+              "kafka.ssl.endpoint.identification.algorithm", "https") match {
+            case "https" => "verify-full"
+            case "none" => "verify-ca"
+            case other => throw new IllegalArgumentException(
+              s"unknown ssl.endpoint.identification.algorithm '$other' " +
+                "(https, none)")
+          }
+        Some(graft.source.postgres.PgTls.SslConfig(mode,
+          norm.get("kafka.ssl.ca.location")))
+      case other => throw new IllegalArgumentException(
+        s"the wire producer supports PLAINTEXT and SSL; '$other' needs the " +
+          "stock connector (SASL is not modeled on the wire path)")
+    }
+  }
+
+  /** Upgrade a `wire://` bootstrap to `wire+tls://…` per validated SSL
+    * security options (no-op for PLAINTEXT) — the string form every
+    * existing plumbing point (env var, sink option, pool key) carries. */
+  def secureWireBootstrap(bootstrap: String,
+      security: Map[String, String]): String =
+    wireTls(security) match {
+      case None => bootstrap
+      case Some(cfg) =>
+        require(bootstrap.startsWith("wire://"),
+          s"secureWireBootstrap expects a wire:// bootstrap, got '$bootstrap'")
+        val verify = cfg.mode match {
+          case "verify-full" => "full"
+          case "verify-ca" => "ca"
+          case _ => "require"
+        }
+        val ca = cfg.rootCertPath.map(p => s"ca=$p&").getOrElse("")
+        s"wire+tls://${bootstrap.stripPrefix("wire://")}?${ca}verify=$verify"
+    }
 }
 
 /** The seam between a shaped micro-batch and its delivery — what the

@@ -103,12 +103,11 @@ final class FramesTable(options: CaseInsensitiveStringMap)
             new FramesFileStreamingWrite(path, info.schema(),
               options.get("failCommitsToken"))
           else {
-            val hp = bootstrap.stripPrefix("wire://")
-            val i = hp.lastIndexOf(':')
-            require(bootstrap.startsWith("wire://") && i > 0,
-              s"frames sink bootstrap must be wire://host:port, got '$bootstrap'")
-            new FramesWireStreamingWrite(hp.substring(0, i),
-              hp.substring(i + 1).toInt, info.schema())
+            require(graft.sink.kafka.WireEndpoint.accepts(bootstrap),
+              s"frames sink bootstrap must be wire://host:port or " +
+                s"wire+tls://host:port?ca=…, got '$bootstrap'")
+            new FramesWireStreamingWrite(
+              graft.sink.kafka.WireEndpoint.parse(bootstrap), info.schema())
           }
       }
     }
@@ -210,11 +209,11 @@ private final class FramesFileDataWriter(dir: String, schema: StructType)
   override def close(): Unit = ()
 }
 
-private final class FramesWireStreamingWrite(host: String, port: Int,
+private final class FramesWireStreamingWrite(ep: graft.sink.kafka.WireEndpoint.Ep,
     schema: StructType) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new FramesWireWriterFactory(host, port, schema)
+    new FramesWireWriterFactory(ep, schema)
   // delivery already barriered per task by WireProducer.flush; epoch commit
   // is just the checkpoint advance
   override def commit(epochId: Long,
@@ -223,19 +222,19 @@ private final class FramesWireStreamingWrite(host: String, port: Int,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private final class FramesWireWriterFactory(host: String, port: Int,
+private final class FramesWireWriterFactory(ep: graft.sink.kafka.WireEndpoint.Ep,
     schema: StructType) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new FramesWireDataWriter(host, port, schema)
+    new FramesWireDataWriter(ep, schema)
 }
 
-private final class FramesWireDataWriter(host: String, port: Int,
+private final class FramesWireDataWriter(ep: graft.sink.kafka.WireEndpoint.Ep,
     schema: StructType) extends DataWriter[InternalRow] {
   private val (ti, ki, vi, _) = FrameCols(schema)
   // pooled per executor: a real producer keeps its broker sockets for the
   // sink's lifetime instead of dialing per task per epoch (WireProducerPool)
-  private val prod = graft.sink.kafka.WireProducerPool.borrow(host, port)
+  private val prod = graft.sink.kafka.WireProducerPool.borrow(ep)
   private var barriered = false
 
   private var rows = 0L
@@ -256,7 +255,7 @@ private final class FramesWireDataWriter(host: String, port: Int,
     // return to the pool ONLY after a clean barrier; an aborted task's
     // producer may hold disowned records or a mid-frame socket — discard
     if (barriered && prod.deliveryErrorCount == 0)
-      graft.sink.kafka.WireProducerPool.give(host, port, prod)
+      graft.sink.kafka.WireProducerPool.give(ep, prod)
     else graft.sink.kafka.WireProducerPool.discard(prod)
   }
 }

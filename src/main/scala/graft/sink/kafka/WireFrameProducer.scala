@@ -16,15 +16,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * Select the wire path with a `wire://host:port` bootstrap string.
   */
-final class WireFrameProducer(host: String, port: Int)
+final class WireFrameProducer(host: String, port: Int,
+    tls: Option[graft.source.postgres.PgTls.SslConfig] = None)
     extends graft.sink.FrameProducer with Serializable {
 
   override def produce(shaped: DataFrame): Unit = {
-    val (h, p) = (host, port)
+    val (h, p, t) = (host, port, tls)
     shaped.selectExpr("topic", "CAST(key AS STRING) AS key",
         "CAST(value AS STRING) AS value")
       .foreachPartition { rows: Iterator[Row] =>
-        val prod = new WireProducer(h, p)
+        val prod = new WireProducer(h, p, tls = t)
         try {
           rows.foreach { r =>
             val key = if (r.isNullAt(1)) null
@@ -38,13 +39,11 @@ final class WireFrameProducer(host: String, port: Int)
 }
 
 object WireFrameProducer {
-  /** Parse a `wire://host:port` bootstrap; None for any other scheme. */
+  /** Parse a `wire://host:port` or `wire+tls://host:port?ca=…[&verify=…]`
+    * bootstrap (see [[WireEndpoint]]); None for any other scheme. */
   def fromBootstrap(bootstrap: String): Option[WireFrameProducer] =
-    if (bootstrap != null && bootstrap.startsWith("wire://")) {
-      val hp = bootstrap.stripPrefix("wire://")
-      val i = hp.lastIndexOf(':')
-      require(i > 0, s"wire:// bootstrap needs host:port, got '$bootstrap'")
-      Some(new WireFrameProducer(hp.substring(0, i),
-        hp.substring(i + 1).toInt))
+    if (WireEndpoint.accepts(bootstrap)) {
+      val ep = WireEndpoint.parse(bootstrap)
+      Some(new WireFrameProducer(ep.host, ep.port, ep.tls))
     } else None
 }

@@ -42,7 +42,9 @@ final class WireProducer(host: String, port: Int,
     maxQueuedRecords: Int = 100000,
     maxRetries: Int = 5,
     retryBackoffMs: Long = 50L,
-    requestTimeoutMs: Int = 30000) extends AutoCloseable {
+    requestTimeoutMs: Int = 30000,
+    tls: Option[graft.source.postgres.PgTls.SslConfig] = None)
+    extends AutoCloseable {
 
   private var socket: Socket = _
   private var out: DataOutputStream = _
@@ -55,10 +57,27 @@ final class WireProducer(host: String, port: Int,
   private val partitionCounts = mutable.Map.empty[String, Int]
 
   private def ensureConnected(): Unit = if (socket == null || socket.isClosed) {
-    socket = new Socket()
-    socket.setTcpNoDelay(true)
-    socket.setSoTimeout(requestTimeoutMs)
-    socket.connect(new InetSocketAddress(host, port), requestTimeoutMs)
+    val plain = new Socket()
+    plain.setTcpNoDelay(true)
+    plain.setSoTimeout(requestTimeoutMs)
+    plain.connect(new InetSocketAddress(host, port), requestTimeoutMs)
+    // security.protocol=SSL is TLS from byte 0 — wrap BEFORE any Kafka
+    // frame; a handshake/verification failure throws here and the producer
+    // never speaks plaintext to an unauthenticated peer (the reference
+    // producer's TLS verify/reject contract,
+    // src/sink/kafka/producer_test.zig:70-282)
+    socket = tls.filter(_.enabled) match {
+      case Some(cfg) =>
+        try {
+          val ssl = graft.source.postgres.PgTls.wrapClient(plain, host, cfg)
+          ssl.setSoTimeout(requestTimeoutMs)
+          ssl
+        } catch { case e: Throwable =>
+          try plain.close() catch { case _: Throwable => () }
+          throw e
+        }
+      case None => plain
+    }
     out = new DataOutputStream(new java.io.BufferedOutputStream(
       socket.getOutputStream, 1 << 16))
     in = new DataInputStream(new java.io.BufferedInputStream(

@@ -23,22 +23,33 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
   */
 object WireProducerPool {
   private val MaxIdlePerEndpoint = 64
-  private val pools =
-    new ConcurrentHashMap[(String, Int), ConcurrentLinkedQueue[WireProducer]]()
+  // keyed by the endpoint's poolKey, which includes the TLS identity —
+  // producers with different trust configurations must never share a
+  // pooled connection (a verify-full caller handed a plaintext or
+  // trust-all socket would silently lose its authentication)
+  private val pools = new ConcurrentHashMap[(String, Int, String),
+    ConcurrentLinkedQueue[WireProducer]]()
 
-  def borrow(host: String, port: Int): WireProducer = {
-    val q = pools.computeIfAbsent((host, port),
+  def borrow(ep: WireEndpoint.Ep): WireProducer = {
+    val q = pools.computeIfAbsent(ep.poolKey,
       _ => new ConcurrentLinkedQueue[WireProducer]())
-    Option(q.poll()).getOrElse(new WireProducer(host, port))
+    Option(q.poll())
+      .getOrElse(new WireProducer(ep.host, ep.port, tls = ep.tls))
   }
 
+  def borrow(host: String, port: Int): WireProducer =
+    borrow(WireEndpoint.Ep(host, port, None))
+
   /** Return a HEALTHY producer (post-barrier, zero delivery errors). */
-  def give(host: String, port: Int, p: WireProducer): Unit = {
-    val q = pools.computeIfAbsent((host, port),
+  def give(ep: WireEndpoint.Ep, p: WireProducer): Unit = {
+    val q = pools.computeIfAbsent(ep.poolKey,
       _ => new ConcurrentLinkedQueue[WireProducer]())
     if (q.size < MaxIdlePerEndpoint) q.offer(p)
     else discard(p)
   }
+
+  def give(host: String, port: Int, p: WireProducer): Unit =
+    give(WireEndpoint.Ep(host, port, None), p)
 
   /** Close a producer whose state is unknown (abort / delivery failure) —
     * no flush barrier: its queue may hold records the epoch disowned. */

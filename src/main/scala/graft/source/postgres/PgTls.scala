@@ -71,6 +71,15 @@ object PgTls {
     }
   }
 
+  /** Wrap an already-connected socket in CLIENT TLS per `cfg` and complete
+    * the handshake — no protocol preamble. The PG path calls this after its
+    * SSLRequest negotiation; the Kafka wire producer calls it directly
+    * (`security.protocol=SSL` is TLS from byte 0 — there is no in-band
+    * upgrade in the Kafka protocol). `host` is the name the caller dialed;
+    * verify-full checks the peer certificate against it. */
+  def wrapClient(socket: Socket, host: String, cfg: SslConfig): SSLSocket =
+    wrap(socket, host, cfg)
+
   private def wrap(socket: Socket, host: String, cfg: SslConfig): SSLSocket = {
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(null, Array[TrustManager](trustManager(cfg)), null)
