@@ -44,7 +44,13 @@ object ScaleSmoke {
     // is the r14 claim — a rung regression here means the cap broke) and
     // the BPE trainer (vocab-bound after one corpus pass; a super-linear
     // rung means corpus state leaked into the loop)
-    "mm_sim_recall", "text_bpe_train")
+    "mm_sim_recall", "text_bpe_train",
+    // r15 additions: the TRAINED IVF-PQ path — the Lloyd trainer is
+    // corpus-linear per round (assign vs a broadcast ≤8-row centroid
+    // frame), and the trained-recall contract's truth leg is capped at
+    // ≤500 probes; a super-linear rung on either means the broadcast
+    // demoted or the cap broke
+    "sim_pq_train", "sim_ivfpq_trained", "sim_ivfpq_recall")
 
   /** Deterministic ±1e-3 per-(vector, dim) embedding perturbation — the
     * near-dup vector regime (`GRAFT_SMOKE_EMB_JITTER=1`). Derived from the

@@ -31,4 +31,25 @@ object BpePairStream {
           "i -> substring(w, CAST(i AS INT), 2))")).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
+
+  /** The trainer's PICK-BEST step over the CONVERGED state (r14 VERDICT
+    * #7): given the (pair, n) counts the state store holds, produce the
+    * round-1 merge decision — max count, lexicographically smallest pair
+    * on ties — as the same (merge_l, merge_r, pair_count) row the batch
+    * `text_bpe_train` emits for iter = 1. Round 1's pairs are all
+    * single-char (l, r), so ordering by the 2-char pair string IS the
+    * trainer's (l, r) tuple order, and the stream's per-occurrence counts
+    * equal the trainer's tf-weighted word-frequency sums. The argmax is
+    * the same 1-row struct-min the batch trainer uses (no sort, no
+    * window) — on a 100 TB ingest this reads the ~|alphabet|²-row state,
+    * never the corpus. BpeStateStoreSpec pins the readout equal to the
+    * batch row FROM THE STATE STORE FILES themselves (Spark's
+    * `statestore` reader), not from a sink table. */
+  def pickBest(pairCounts: DataFrame): DataFrame =
+    pairCounts
+      .agg(min(struct((-col("n")).as("nc"), col("pair"))).as("m"))
+      .select(
+        substring(col("m.pair"), 1, 1).as("merge_l"),
+        substring(col("m.pair"), 2, 1).as("merge_r"),
+        (-col("m.nc")).as("pair_count"))
 }
