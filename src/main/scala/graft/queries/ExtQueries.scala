@@ -2619,8 +2619,11 @@ object ExtQueries {
         .select(col("vec_id").as("pid"),
           expr("transform(v, (x, i) -> " +
             "x + ((vec_id * 37 + i * 11) % 100001) - 50000)").as("pv"))
-      val l2 = expr("aggregate(zip_with(pv, cv, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (acc, d) -> acc + d)")
+      // codegen'd kernel, not aggregate(zip_with(...)): the interpreted
+      // HOF path cost this query 16 s in-suite at sf0.1 across its ~15M
+      // probe×corpus pair evaluations (r15 measurement); the fused loop
+      // is bit-identical long arithmetic in the same element order
+      val l2 = graft.functions.L2SqLong(col("pv"), col("cv"))
       // exact truth: capped probes × corpus, probe side broadcast, the
       // min(struct) partial aggregate ships one row per probe
       val truth = varr
@@ -3090,8 +3093,10 @@ object ExtQueries {
     a.join(b, col("pfp") === col("bfp") && col("pband") === col("bband") &&
         col("src_doc") =!= col("dst_doc"))
       .select(col("src_doc"), col("dst_doc"),
-        expr("aggregate(zip_with(av, bv, (x, y) -> abs(x - y)), 0L, " +
-          "(acc, d) -> acc + d)").as("l1_dist"))
+        // codegen'd L1 kernel (see L1AbsLong) — bit-identical to the
+        // aggregate(zip_with(...)) form it replaced, minus the
+        // interpreted-HOF per-pair cost
+        graft.functions.L1AbsLong(col("av"), col("bv")).as("l1_dist"))
       .groupBy(col("src_doc"))
       .agg(graft.functions.TopKByScore
         .topK((-col("l1_dist")).cast("double"), col("dst_doc"), 3).as("top"))
@@ -3205,8 +3210,10 @@ object ExtQueries {
         .transform(graft.util.Checkpoints.ownedCheckpoint) // truth + both retrieval legs
       val c = vec.select(col("doc_id").as("cdoc"), col("fp"),
         col("dc_band"), col("v").as("cv"))
-      val l1 = expr("aggregate(zip_with(qv, cv, (x, y) -> abs(x - y)), 0L, " +
-        "(acc, d) -> acc + d)")
+      // codegen'd L1 kernel (see L1AbsLong) — the truth leg is ≤1000
+      // probes × corpus, and the interpreted aggregate(zip_with(...))
+      // form paid per-element evaluator overhead on every pair
+      val l1 = graft.functions.L1AbsLong(col("qv"), col("cv"))
       // map-side partial top-1 heap, not a rank window: the truth leg is
       // sample × corpus wide, and the heap sends ONE row per probe across
       // the shuffle where a window would sort the full candidate frame
