@@ -2343,41 +2343,63 @@ object ExtQueries {
   // discipline mirrors src/e2e/cdc_test.zig:12-18's count+structure
   // principle.
 
+  /** Long-form centroids → one array row per (subspace, cid): the
+    * broadcastable operand of the codegen distance kernel (L2SqLong).
+    * array_sort on (dim, c_e6) structs orders by the unique leading dim,
+    * so element order is exactly dimension order. ≤ nSub×8 rows. */
+  private def centArrays(c: DataFrame): DataFrame =
+    c.groupBy(col("subspace"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c_e6))), " +
+        "p -> p.c_e6)").as("carr"))
+
   /** Per-subspace Lloyd trainer shared by `sim_pq_train` (per-round
     * telemetry), `sim_ivfpq_trained` (the trained serving codebook) and
     * `sim_ivfpq_recall` (nSub = 1 → the coarse quantizer). Returns the
-    * checkpointed long-form vector frame (vec_id, label, subspace, dim,
-    * x_e6), one ≤(nSub·8)-row telemetry frame per round, and the final
-    * trained centroids (subspace, cid, dim, c_e6). Round state follows
-    * the components-doubling discipline: each round's assignment and the
-    * superseded centroid frame release once the next round's state is
-    * checkpointed, so live state is O(codebook + corpus long-form)
-    * regardless of iteration count. */
+    * checkpointed ARRAY-form vector frame (vec_id, label, subspace,
+    * varr: array<long> of the subspace's e6-quantized dims), one
+    * ≤(nSub·8)-row telemetry frame per round, and the final trained
+    * centroids (subspace, cid, dim, c_e6). Assignment distances run
+    * through the fused codegen kernel over the array form (r15: the
+    * per-dimension explode × 8-centroid join put ~10M rows through two
+    * aggregates per round at sf0.1; the kernel computes the same integer
+    * d2 in one pass, so only the nSub-per-vector argmin rows shuffle).
+    * The long form still exists internally — recentering needs per-dim
+    * means — derived from the SAME checkpointed quantization so both
+    * views are bit-identical. Round state follows the components-
+    * doubling discipline: each round's assignment and the superseded
+    * centroid frame release once the next round's state is checkpointed,
+    * so live state is O(codebook + corpus) regardless of iteration
+    * count. */
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
       iters: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
     val subDim = 64 / nSub
-    val ve = emb(s, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("label"),
-        expr(s"CAST(i div $subDim AS INT)").as("subspace"),
-        expr(s"CAST(i % $subDim AS INT)").as("dim"),
-        floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
-      .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize + explode ONCE, feeds every round
+    val vsub = emb(s, dir)
+      .select(col("vec_id"), col("label"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), s0 -> struct(" +
+          "CAST(s0 AS INT) AS subspace, " +
+          s"transform(slice(embedding, s0 * $subDim + 1, $subDim), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
+          "AS varr))")).as("p"))
+      .select(col("vec_id"), col("label"), col("p.subspace").as("subspace"),
+        col("p.varr").as("varr"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize ONCE, feeds every round
+    val ve = vsub
+      .select(col("vec_id"), col("label"), col("subspace"),
+        posexplode(col("varr")).as(Seq("dim", "x_e6")))
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // long form for recentering
     var cents = ve.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("subspace"), col("dim"),
         col("x_e6").as("c_e6"))
       .transform(graft.util.Checkpoints.ownedCheckpoint)
     val rows = (1 to iters).map { t =>
       // assign: nearest trained centroid per (vector, subspace) — the
-      // codebook broadcasts (nSub × 8 × subDim = 512 rows at any corpus
-      // size), the one shuffle is the (vec, subspace, cid) partial sum
-      val asg = ve.join(broadcast(cents), Seq("subspace", "dim"))
+      // codebook broadcasts (≤ nSub × 8 array rows at any corpus size),
+      // each candidate distance is one fused codegen loop, and the one
+      // shuffle is the (vec, subspace) argmin — collapsed to one row per
+      // key by the map-side partial aggregate before anything moves
+      val asg = vsub.join(broadcast(centArrays(cents)), Seq("subspace"))
         .select(col("vec_id"), col("subspace"), col("cid"),
-          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
-            .as("sq"))
-        .groupBy(col("vec_id"), col("subspace"), col("cid"))
-        .agg(sum(col("sq")).as("d2"))
+          graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"), col("subspace"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("subspace"), col("m.cid").as("cid"),
@@ -2408,7 +2430,7 @@ object ExtQueries {
       graft.util.Checkpoints.release(asg)
       row
     }
-    (ve, rows, cents)
+    (vsub, rows, cents)
   }
 
   /** DuckDB twin of [[pqSubTrainLoop]] as a CTE chain (long-form, the
@@ -2505,13 +2527,14 @@ object ExtQueries {
   // measured). Distances are e12-unit exact integers end to end.
   val simIvfPqTrained: (QFn, String) = (
     (s, dir) => {
-      val (ve, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
-      val scored = ve.join(broadcast(cents), Seq("subspace", "dim"))
+      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
+      // every (vector, subspace, codeword) distance in one fused codegen
+      // pass over the array form — no per-dimension explode, no aggregate
+      // at all before the argmin/LUT consumers (r15; was a ~10M-row
+      // two-level groupBy at sf0.1)
+      val scored = vsub.join(broadcast(centArrays(cents)), Seq("subspace"))
         .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
-          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
-            .as("sq"))
-        .groupBy(col("vec_id"), col("label"), col("subspace"), col("cid"))
-        .agg(sum(col("sq")).as("d2"))
+          graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds codes + LUTs
       val codes = scored
         .groupBy(col("vec_id"), col("label"), col("subspace"))
@@ -2578,30 +2601,32 @@ object ExtQueries {
   // costs, which is the number nprobe tuning needs.
   val simIvfPqRecall: (QFn, String) = (
     (s, dir) => {
-      // trained coarse quantizer: k = 8 full-dim k-means, 2 Lloyd rounds
-      val (ve, _, cents) = pqSubTrainLoop(s, dir, 1, 2)
+      // trained coarse quantizer: k = 8 full-dim k-means, 2 Lloyd rounds.
+      // nSub = 1, so the trainer's array form IS the full e6 vector —
+      // every leg below (cell assignment, probe ranking, exact truth)
+      // reads the ONE checkpointed quantization through the codegen
+      // kernel; nothing per-dimension survives outside the trainer
+      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 1, 2)
+      val carr = centArrays(cents)
       // corpus cell assignment against the trained centroids
-      val vcell = ve.join(broadcast(cents), Seq("subspace", "dim"))
+      val vcell = vsub.join(broadcast(carr), Seq("subspace"))
         .select(col("vec_id"), col("cid"),
-          ((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
-            .as("sq"))
-        .groupBy(col("vec_id"), col("cid")).agg(sum(col("sq")).as("d2"))
+          graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("vcid"))
         .transform(graft.util.Checkpoints.ownedCheckpoint)
+      // exact-distance legs work on the same e6 ARRAYS
+      val varr = vsub.select(col("vec_id"), col("varr").as("v"))
+      val parr = varr.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("pid"),
+          expr("transform(v, (x, i) -> " +
+            "x + ((vec_id * 37 + i * 11) % 100001) - 50000)").as("pv"))
       // probe cell ranking: ≤500 probes × 8 cells, heap top-4 per probe
-      val pcell = ve.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
-        .select(col("vec_id").as("pid"), col("dim"),
-          (col("x_e6") +
-            expr("((vec_id * 37 + dim * 11) % 100001) - 50000").as("delta"))
-            .as("p_e6"))
-        .join(broadcast(cents.select(col("cid"), col("dim"), col("c_e6"))),
-          Seq("dim"))
+      val pcell = parr
+        .crossJoin(broadcast(carr.select(col("cid"), col("carr"))))
         .select(col("pid"), col("cid"),
-          ((col("p_e6") - col("c_e6")) * (col("p_e6") - col("c_e6")))
-            .as("sq"))
-        .groupBy(col("pid"), col("cid")).agg(sum(col("sq")).as("d2"))
+          graft.functions.L2SqLong(col("pv"), col("carr")).as("d2"))
         .groupBy(col("pid"))
         .agg(graft.functions.TopKByScore.topK(
           (-col("d2")).cast("double"), col("cid"), 4).as("top"))
@@ -2609,16 +2634,6 @@ object ExtQueries {
         .select(col("pid"), col("t.id").as("cid"),
           (col("pos") + 1).as("cell_rank"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ 500 × 4 rows
-      // exact-distance legs work on e6 ARRAYS (array-local codegen math,
-      // one row per pair — never a per-dimension explode on the wide side)
-      val varr = emb(s, dir).select(col("vec_id"),
-          expr("transform(embedding, x -> " +
-            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // truth + retrieval corpus side
-      val parr = varr.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
-        .select(col("vec_id").as("pid"),
-          expr("transform(v, (x, i) -> " +
-            "x + ((vec_id * 37 + i * 11) % 100001) - 50000)").as("pv"))
       // codegen'd kernel, not aggregate(zip_with(...)): the interpreted
       // HOF path cost this query 16 s in-suite at sf0.1 across its ~15M
       // probe×corpus pair evaluations (r15 measurement); the fused loop
