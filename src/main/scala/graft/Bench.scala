@@ -142,11 +142,65 @@ object Bench {
     // trial end, including per-trial fixture setup/cleanup — the ratio is
     // what discriminates, not the absolute).
     final case class EnvRow(gcMs: Long, load: Double, diskFreeGb: Double,
-        cpuS: Double, wallS: Double) {
+        cpuS: Double, wallS: Double, srvCpuS: Double = -1.0) {
       def json: String =
         s"""{"gc_ms":$gcMs,"load":${fmt3(load)},""" +
         s""""disk_free_gb":${fmt3(diskFreeGb)},"cpu_s":${fmt3(cpuS)},""" +
-        s""""wall_s":${fmt3(wallS)}}"""
+        s""""wall_s":${fmt3(wallS)}""" +
+        (if (srvCpuS >= 0) s""","srv_cpu_s":${fmt3(srvCpuS)}""" else "") +
+        "}"
+    }
+    // SERVER-side CPU clock for the live points (r15): the client cpu_s
+    // sits flat at ~4.3 s while live_drain_10x wall moves 5.4→6.2 s across
+    // rounds — the drain is ~90% read-wait, so the moving part is the
+    // OUT-OF-PROCESS walsender. Per-trial Δcpu of the postmaster's whole
+    // process tree (utime+stime of every live descendant, plus
+    // cutime/cstime so reaped walsenders aren't lost) closes the
+    // attribution triangle: client cpu names the client, server cpu names
+    // the server, and neither moving while wall moves names the box.
+    lazy val clkTck: Double =
+      try {
+        import scala.sys.process._
+        Seq("getconf", "CLK_TCK").!!.trim.toDouble
+      } catch { case _: Throwable => 100.0 }
+    def procTreeCpuTicks(root: Long): Long = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(Paths.get("/proc"))
+      val rows =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .flatMap { p =>
+            try {
+              val stat = Files.readString(p.resolve("stat"))
+              // comm may contain spaces/parens: parse after the LAST ')'
+              val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+              // fields (1-based in proc(5)): 4 ppid, 14 utime, 15 stime,
+              // 16 cutime, 17 cstime → offsets 1, 11, 12, 13, 14 here
+              Some((p.getFileName.toString.toLong, f(1).toLong,
+                f(11).toLong + f(12).toLong + f(13).toLong + f(14).toLong))
+            } catch { case _: Throwable => None }
+          }.toVector
+        finally ls.close()
+      val children = rows.groupBy(_._2)
+      val ticks = rows.map(r => r._1 -> r._3).toMap
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var acc = 0L
+      var frontier = List(root)
+      while (frontier.nonEmpty) {
+        val h = frontier.head; frontier = frontier.tail
+        if (seen.add(h)) {
+          acc += ticks.getOrElse(h, 0L)
+          frontier = children.getOrElse(h, Vector.empty)
+            .map(_._1).toList ::: frontier
+        }
+      }
+      acc
+    }
+    def srvCpuSDelta(pid: Option[Long], before: Long): Double = pid match {
+      case Some(p) =>
+        try (procTreeCpuTicks(p) - before) / clkTck
+        catch { case _: Throwable => -1.0 }
+      case None => -1.0
     }
 
     // -------- live drain: a REAL walsender backlog over the wire ----------
@@ -211,13 +265,17 @@ object Bench {
     // Run one trial under full env accounting. Load is sampled at trial
     // START (the conditions the trial ran under, not the load it induced);
     // gc/cpu/wall are deltas over the trial window.
-    def envTrial(run: => Double): (Double, EnvRow) = {
+    def envTrial(run: => Double, srvPid: Option[Long] = None)
+        : (Double, EnvRow) = {
       val g0 = gcMs(); val l = loadAvg()
+      val s0 = srvPid.map(p =>
+        try procTreeCpuTicks(p) catch { case _: Throwable => 0L })
       val c0 = cpuNanos(); val w0 = System.nanoTime()
       val t = run
       (t, EnvRow(gcMs() - g0, l, diskFreeGb(),
         if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9,
-        (System.nanoTime() - w0) / 1e9))
+        (System.nanoTime() - w0) / 1e9,
+        s0.map(b => srvCpuSDelta(srvPid, b)).getOrElse(-1.0)))
     }
     // Quiet-box gate, shared by the live phase and (since r14, per r13
     // VERDICT #3) the WAL 10× phase: wait up to `budgetS` for 1-min load
@@ -271,6 +329,9 @@ object Bench {
           System.err.println("[bench] live_drain skipped: server boot failed")
           recMsg("live_drain", "server boot failed")
         case Some(h) => try {
+          // sampled around every live trial: Δcpu of the postmaster's
+          // whole process tree, the server leg of the attribution triangle
+          val srvPid = h.serverPid
           val admin = h.session()
           admin.simpleQuery("CREATE TABLE public.bench_records(" +
             "id bigint PRIMARY KEY, account_id bigint, amount double precision, " +
@@ -376,7 +437,7 @@ object Bench {
           // per-qualified-trial env rows (r14 VERDICT #1: this point's
           // 0.425→0.552 band-disjoint drift carried no fields to attribute)
           val trials = Seq.fill(5) {
-            val (t, env) = envTrial(oneTrial(endLsn, n, "live_drain"))
+            val (t, env) = envTrial(oneTrial(endLsn, n, "live_drain"), srvPid)
             if (!t.isNaN) liveEnv += env
             t
           }.filterNot(_.isNaN)
@@ -416,7 +477,8 @@ object Bench {
               // ADVICE: a NaN-disqualified trial got an env row but no
               // trials/read-wait row, so the arrays lost the index
               // alignment that attribution-by-index depends on)
-              val (t, env) = envTrial(oneTrial(end10, total10, "live_drain_10x"))
+              val (t, env) = envTrial(
+                oneTrial(end10, total10, "live_drain_10x"), srvPid)
               if (!t.isNaN) live10Env += env
               t
             }.filterNot(_.isNaN)
@@ -630,7 +692,8 @@ object Bench {
             val ts = Seq.fill(5) {
               val (t, env) = envTrial(
                 try shardTrial()
-                catch { case e: Throwable => recErr(tag, e); Double.NaN })
+                catch { case e: Throwable => recErr(tag, e); Double.NaN },
+                srvPid)
               if (!t.isNaN) envRec += env
               t
             }.filterNot(_.isNaN)
@@ -694,6 +757,13 @@ object Bench {
     // trial records (gc_ms delta, 1-min load avg, tmpdir free GB) so the
     // next swing is attributable from the artifact alone.
     val wal10Env = scala.collection.mutable.Buffer.empty[EnvRow]
+    // r15: one UNTIMED warm-up drain before the recorded 10× trials. The
+    // cpu-vs-wall rows attributed the r14 "outlier" class to client JIT
+    // warm-up — cpu and wall fall TOGETHER across trials (47.7 → 32.1
+    // cpu-s as wall fell 9.6 → 3.6 s in the r15 local run) — so the
+    // warm-up transient belongs OUTSIDE the recorded band; its time is
+    // still an artifact field, nothing hidden.
+    var wal10WarmupS = -1.0
     // r15: the headline wal_drain point gets the same rows (it drifted
     // 0.247→0.270 in the r14 tier-wide shift with nothing to attribute)
     val walEnv = scala.collection.mutable.Buffer.empty[EnvRow]
@@ -1017,6 +1087,18 @@ object Bench {
           System.err.println(
             f"[bench] wal_drain_10x load gate: waited $ww%.0f s, " +
               f"load=$wl%.2f (threshold $loadThresh) → $wv")
+          if (sys.env.getOrElse("GRAFT_BENCH_10X_WARMUP", "1") != "0") {
+            wal10WarmupS =
+              try oneDrain(ev10, min10, max10, min10 + 999, 40,
+                framesHeadline, async = false)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] wal_drain_10x warm-up failed: $e")
+                -1.0
+              }
+            System.err.println(
+              f"[bench] wal_drain_10x warm-up (untimed): $wal10WarmupS%.3f s")
+            waitQuiet(1.0, 90)
+          }
           // 5 trials (r14 VERDICT #2, was 3): r14's trial 3 stalled 2.2×
           // with a benign env row — one unexplained stall in three
           // dominates a min-of-3 narrative; at 5 it's an outlier with
@@ -1312,6 +1394,7 @@ object Bench {
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_env":[${wal10Env.map(_.json).mkString(",")}],""" +
+      s""""wal_drain_10x_warmup_s":${r3(wal10WarmupS)},""" +
       s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
       s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
       s""""live_drain_events":$liveDrainEvents,""" +

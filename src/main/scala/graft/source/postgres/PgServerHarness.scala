@@ -50,6 +50,15 @@ final class PgServerHarness private (
     * verify the on-disk footprint is actually released. */
   def instanceDir: Path = baseDir
 
+  /** The postmaster's PID (first line of `data/postmaster.pid`) — the
+    * bench samples the server process tree's CPU around each live trial
+    * so a drift in the ~90%-read-wait drain points is attributable to
+    * client, server, or box from the artifact alone. */
+  def serverPid: Option[Long] =
+    try Some(Files.readAllLines(
+      baseDir.resolve("data").resolve("postmaster.pid")).get(0).trim.toLong)
+    catch { case _: Throwable => None }
+
   @volatile private var stopped = false
   def stop(): Unit = if (!stopped) {
     stopped = true
