@@ -2363,13 +2363,16 @@ object ExtQueries {
     * per-dimension explode × 8-centroid join put ~10M rows through two
     * aggregates per round at sf0.1; the kernel computes the same integer
     * d2 in one pass, so only the nSub-per-vector argmin rows shuffle).
-    * The long form still exists internally — recentering needs per-dim
-    * means — derived from the SAME checkpointed quantization so both
-    * views are bit-identical. Round state follows the components-
-    * doubling discipline: each round's assignment and the superseded
-    * centroid frame release once the next round's state is checkpointed,
-    * so live state is O(codebook + corpus) regardless of iteration
-    * count. */
+    * No corpus-sized long form exists anywhere: recentering re-joins the
+    * array form against the winner keys (corpus×nSub narrow rows on both
+    * sides) and posexplodes map-side straight into a ≤nSub·8·subDim-key
+    * partial aggregate — per-dimension rows live only inside codegen
+    * pipelines (r15: the 2M-vector rung's dominant cost was
+    * materializing and re-shuffling the corpus×64 long form every
+    * round). Round state follows the components-doubling discipline:
+    * each round's assignment and the superseded centroid frame release
+    * once the next round's state is checkpointed, so live state is
+    * O(codebook + corpus) regardless of iteration count. */
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
       iters: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
     val subDim = 64 / nSub
@@ -2383,13 +2386,18 @@ object ExtQueries {
       .select(col("vec_id"), col("label"), col("p.subspace").as("subspace"),
         col("p.varr").as("varr"))
       .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize ONCE, feeds every round
-    val ve = vsub
-      .select(col("vec_id"), col("label"), col("subspace"),
-        posexplode(col("varr")).as(Seq("dim", "x_e6")))
-      .transform(graft.util.Checkpoints.ownedCheckpoint) // long form for recentering
-    var cents = ve.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("subspace"), col("dim"),
-        col("x_e6").as("c_e6"))
+    // r15: NO corpus-sized long form anywhere in the loop. The previous
+    // shape checkpointed corpus × 64 (vec, subspace, dim, x_e6) rows and
+    // re-shuffled them against the assignment every round for the
+    // recentering means — the dominant cost of the 2M-vector rung. The
+    // assignment below carries the vector's array THROUGH the argmin, so
+    // recentering is a map-side posexplode of the assigned rows straight
+    // into a ≤nSub·8·subDim-key partial aggregate: nothing corpus×64-
+    // sized ever persists or shuffles. Per-dimension rows exist only
+    // transiently inside codegen pipelines.
+    var cents = vsub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("subspace"),
+        posexplode(col("varr")).as(Seq("dim", "c_e6")))
       .transform(graft.util.Checkpoints.ownedCheckpoint)
     val rows = (1 to iters).map { t =>
       // assign: nearest trained centroid per (vector, subspace) — the
@@ -2397,17 +2405,32 @@ object ExtQueries {
       // each candidate distance is one fused codegen loop, and the one
       // shuffle is the (vec, subspace) argmin — collapsed to one row per
       // key by the map-side partial aggregate before anything moves
+      // NOTE the argmin buffer stays array-free: a first(varr) riding
+      // this aggregate demotes it to a SortAggregate (array-typed
+      // buffers can't live in the hash aggregate's UnsafeRow), and so
+      // does min(struct(...)) itself — at the 2M rung BOTH forms sorted
+      // all 64M candidate rows per round. The argmin instead encodes
+      // (d2, cid) into ONE long — d2·8 + cid, exact because cid ∈ [0, 8)
+      // and d2 < 2⁵⁰, with lexicographic (d2, cid) order preserved — so
+      // the aggregate is a plain long min: whole-stage-codegen
+      // HashAggregate, map-side partial, nothing sorted anywhere
       val asg = vsub.join(broadcast(centArrays(cents)), Seq("subspace"))
         .select(col("vec_id"), col("subspace"), col("cid"),
           graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"), col("subspace"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("subspace"), col("m.cid").as("cid"),
-          col("m.d2").as("d2"))
+        .agg(min(col("d2") * 8 + col("cid")).as("m"))
+        .select(col("vec_id"), col("subspace"),
+          pmod(col("m"), lit(8L)).as("cid"),
+          expr("m div 8").as("d2"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds recenter + telemetry
-      val newCents = ve
+      // recenter: re-join the ARRAY form against the winner keys (both
+      // sides corpus×nSub narrow rows — never corpus×64), then explode
+      // map-side straight into the ≤nSub·8·subDim-key partial aggregate
+      val newCents = vsub
         .join(asg.select("vec_id", "subspace", "cid"),
           Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("cid"),
+          posexplode(col("varr")).as(Seq("dim", "x_e6")))
         .groupBy(col("subspace"), col("cid"), col("dim"))
         .agg(floor(sum(col("x_e6")).cast("double") / count(lit(1)))
           .cast("long").as("c_e6"))
@@ -2525,22 +2548,37 @@ object ExtQueries {
   // (a trained-centroid frame is a checkpointed LogicalRDD whose size
   // AQE cannot estimate — the same demotion class sim_ivfpq_rerank
   // measured). Distances are e12-unit exact integers end to end.
+  /** The trained PQ index's pieces, shared by `sim_ivfpq_trained` and the
+    * streaming serving twin (`graft.streaming.AnnServeStream`): the
+    * per-(vector, subspace, codeword) distance frame, the derived codes,
+    * and the broadcastable ≤32-row codebook arrays. Every (vector,
+    * subspace, codeword) distance is one fused codegen pass over the
+    * array form — no per-dimension explode, no aggregate at all before
+    * the argmin/LUT consumers (r15; was a ~10M-row two-level groupBy at
+    * sf0.1). */
+  private[graft] def pqTrainedIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
+    val carr = centArrays(cents)
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤32 rows, read per serve
+    val scored = vsub.join(broadcast(carr), Seq("subspace"))
+      .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
+        graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
+      .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds codes + LUTs
+    val codes = scored
+      .groupBy(col("vec_id"), col("label"), col("subspace"))
+      // d2·8 + cid long-encode (see pqSubTrainLoop) — a struct-min here
+      // is a SortAggregate over corpus×nSub×8 rows; the long min is a
+      // codegen HashAggregate with the same (d2, cid) order
+      .agg(min(col("d2") * 8 + col("cid")).as("m"))
+      .select(col("vec_id"), col("label"), col("subspace"),
+        pmod(col("m"), lit(8L)).as("code"))
+    (scored, codes, carr)
+  }
+
   val simIvfPqTrained: (QFn, String) = (
     (s, dir) => {
-      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
-      // every (vector, subspace, codeword) distance in one fused codegen
-      // pass over the array form — no per-dimension explode, no aggregate
-      // at all before the argmin/LUT consumers (r15; was a ~10M-row
-      // two-level groupBy at sf0.1)
-      val scored = vsub.join(broadcast(centArrays(cents)), Seq("subspace"))
-        .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
-          graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds codes + LUTs
-      val codes = scored
-        .groupBy(col("vec_id"), col("label"), col("subspace"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("label"), col("subspace"),
-          col("m.cid").as("code"))
+      val (scored, codes, _) = pqTrainedIndex(s, dir)
       val lut = scored.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("subspace").as("l_subspace"), col("cid").as("l_cid"),
@@ -2613,8 +2651,10 @@ object ExtQueries {
         .select(col("vec_id"), col("cid"),
           graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("vcid"))
+        // d2·8 + cid long-encode (see pqSubTrainLoop): codegen hash
+        // argmin — a struct-min here SortAggregates corpus×8 rows
+        .agg(min(col("d2") * 8 + col("cid")).as("m"))
+        .select(col("vec_id"), pmod(col("m"), lit(8L)).as("vcid"))
         .transform(graft.util.Checkpoints.ownedCheckpoint)
       // exact-distance legs work on the same e6 ARRAYS
       val varr = vsub.select(col("vec_id"), col("varr").as("v"))
@@ -2640,14 +2680,20 @@ object ExtQueries {
       // is bit-identical long arithmetic in the same element order
       val l2 = graft.functions.L2SqLong(col("pv"), col("cv"))
       // exact truth: capped probes × corpus, probe side broadcast, the
-      // min(struct) partial aggregate ships one row per probe
+      // HEAP partial aggregate ships one row per probe. k=1 top-k, not
+      // min(struct): cdoc is corpus-sized so the long-encode doesn't fit
+      // in 63 bits, and a struct-min SortAggregates the ≤500×corpus
+      // candidate frame — the heap is an ObjectHashAggregate with the
+      // identical (d2 asc, cdoc asc) order (score = −d2, d2 < 2⁵³ exact
+      // in double; heap ties break toward the smaller id)
       val truth = varr
         .select(col("vec_id").as("cdoc"), col("v").as("cv"))
         .crossJoin(broadcast(parr))
         .select(col("pid"), col("cdoc"), l2.as("d2"))
         .groupBy(col("pid"))
-        .agg(min(struct(col("d2"), col("cdoc"))).as("mt"))
-        .select(col("pid"), col("mt.cdoc").as("tdoc"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("d2")).cast("double"), col("cdoc"), 1).as("mt"))
+        .select(col("pid"), col("mt").getItem(0).getField("id").as("tdoc"))
       // ONE candidate join computes all three rungs: corpus rows keep
       // their cell, probe cell-ranks broadcast, arrays ride the same row
       val scoredCand = varr.join(vcell, "vec_id") // corpus-keyed, co-partitioned
@@ -2655,23 +2701,35 @@ object ExtQueries {
         .join(broadcast(pcell), col("vcid") === col("cid"))
         .join(broadcast(parr), "pid")
         .select(col("pid"), col("cdoc"), col("cell_rank"), l2.as("d2"))
+      // per-rung argmins as MASKED k=1 heaps in one ObjectHashAggregate
+      // (rung r's candidates are the cell_rank ≤ r prefix; a null score
+      // is skipped by the heap, so the mask IS the rung) — the struct-min
+      // form SortAggregated the full candidate frame per probe
       val legs = scoredCand.groupBy(col("pid"))
         .agg(
-          min(when(col("cell_rank") <= 1,
-            struct(col("d2"), col("cdoc")))).as("m1"),
-          min(when(col("cell_rank") <= 2,
-            struct(col("d2"), col("cdoc")))).as("m2"),
-          min(struct(col("d2"), col("cdoc"))).as("m4"),
+          graft.functions.TopKByScore.topK(
+            when(col("cell_rank") <= 1, (-col("d2")).cast("double")),
+            col("cdoc"), 1).as("t1"),
+          graft.functions.TopKByScore.topK(
+            when(col("cell_rank") <= 2, (-col("d2")).cast("double")),
+            col("cdoc"), 1).as("t2"),
+          graft.functions.TopKByScore.topK(
+            (-col("d2")).cast("double"), col("cdoc"), 1).as("t4"),
           sum(when(col("cell_rank") <= 1, 1L).otherwise(0L)).as("nc1"),
           sum(when(col("cell_rank") <= 2, 1L).otherwise(0L)).as("nc2"),
           count(lit(1)).as("nc4"))
+        .select(col("pid"),
+          col("t1").getItem(0).getField("id").as("m1"),
+          col("t2").getItem(0).getField("id").as("m2"),
+          col("t4").getItem(0).getField("id").as("m4"),
+          col("nc1"), col("nc2"), col("nc4"))
       truth.join(legs, Seq("pid"), "left")
         .agg(count(lit(1)).as("n_eval"),
-          sum(when(col("m1.cdoc") === col("tdoc"), 1L).otherwise(0L))
+          sum(when(col("m1") === col("tdoc"), 1L).otherwise(0L))
             .as("hits_n1"),
-          sum(when(col("m2.cdoc") === col("tdoc"), 1L).otherwise(0L))
+          sum(when(col("m2") === col("tdoc"), 1L).otherwise(0L))
             .as("hits_n2"),
-          sum(when(col("m4.cdoc") === col("tdoc"), 1L).otherwise(0L))
+          sum(when(col("m4") === col("tdoc"), 1L).otherwise(0L))
             .as("hits_n4"),
           coalesce(sum(col("nc1")), lit(0L)).as("cand_n1"),
           coalesce(sum(col("nc2")), lit(0L)).as("cand_n2"),

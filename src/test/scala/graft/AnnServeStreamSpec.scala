@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.ExtQueries
+import graft.streaming.AnnServeStream
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The streaming ANN serving twin must produce EXACTLY the batch
+  * `sim_ivfpq_trained` rows for the same query set, no matter how the
+  * query stream is chopped into micro-batches: serving is stateless
+  * (each query answered within its own batch against the broadcast
+  * index), so the streamed union is the batch result by construction —
+  * this pins that the twin's from-raw-embedding LUT derivation really is
+  * bit-identical to the batch query's corpus-side derivation. */
+class AnnServeStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streamed top-k equals the batch serving query under 1- and 3-batch splits") {
+    val truth = SparkEntry.queries("sim_ivfpq_trained")(spark, SparkTestBase.sf)
+      .collect().toSet
+    graft.util.Checkpoints.releaseOwned(spark)
+    assert(truth.nonEmpty, "batch serving query returned no rows")
+
+    // the index is built ONCE; every micro-batch serves against it
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val queries = spark.read
+      .parquet(s"${SparkTestBase.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("vec_id") < 10) // the batch query's probe convention
+
+    Seq(1, 3).foreach { nFiles =>
+      val dir = Files.createTempDirectory(s"graft-annserve-$nFiles").toString
+      (0 until nFiles).foreach { i =>
+        queries.filter(col("vec_id") % nFiles === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val got = scala.collection.mutable.Set.empty[Row]
+      var batches = 0
+      val q = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          got ++= AnnServeStream.serve(b, codes, carr).collect()
+          batches += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= nFiles, s"expected ≥$nFiles micro-batches, got $batches")
+      assert(got == truth,
+        s"$nFiles-batch streamed serving diverged from the batch query: " +
+          s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    }
+    graft.util.Checkpoints.releaseOwned(spark)
+  }
+}

@@ -28,6 +28,13 @@ class HarnessLifecycleSpec extends AnyFunSuite {
     val s = h.session()
     try assert(s.simpleQuery("SELECT 1 AS one").single("one").contains("1"))
     finally s.close()
+    // r15: the bench samples the postmaster process tree's CPU around
+    // every live trial (srv_cpu_s) — the PID it samples must be real
+    val pid = h.serverPid
+    assert(pid.nonEmpty, "serverPid unreadable while the server is up")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"/proc/${pid.get}")),
+      s"postmaster.pid names a dead process ${pid.get}")
     h.stop()
     assert(!java.nio.file.Files.exists(dir),
       s"instance dir $dir survived stop() — the r12 leak class is back")
