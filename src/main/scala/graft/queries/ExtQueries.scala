@@ -1916,14 +1916,18 @@ object ExtQueries {
         .select(col("vec_id"), col("subspace"), col("cid"),
           graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
         .groupBy(col("vec_id"), col("subspace"))
-        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
+        // d2-long-encode argmin (see pqSubTrainLoop): struct-min demotes
+        // to a SortAggregate; cid/cluster codes are in [0, 8)
+        .agg(min(col("d2_e8") * 8 + col("cid")).as("m"))
+        .select(col("vec_id"), col("subspace"),
+          pmod(col("m"), lit(8L)).as("cid"), expr("m div 8").as("d2_e8"))
         .groupBy(col("vec_id"))
         .agg(
-          max(when(col("subspace") === 0, col("m.cid"))).as("code0"),
-          max(when(col("subspace") === 1, col("m.cid"))).as("code1"),
-          max(when(col("subspace") === 2, col("m.cid"))).as("code2"),
-          max(when(col("subspace") === 3, col("m.cid"))).as("code3"),
-          sum(col("m.d2_e8")).as("err_sq_e8"))
+          max(when(col("subspace") === 0, col("cid"))).as("code0"),
+          max(when(col("subspace") === 1, col("cid"))).as("code1"),
+          max(when(col("subspace") === 2, col("cid"))).as("code2"),
+          max(when(col("subspace") === 3, col("cid"))).as("code3"),
+          sum(col("d2_e8")).as("err_sq_e8"))
     },
     """WITH sub AS (
       |  SELECT vec_id, j AS subspace, embedding[j * 16 + 1 : j * 16 + 16] AS sv
@@ -1980,9 +1984,11 @@ object ExtQueries {
           .groupBy(col("vec_id"), col("cluster"))
           .agg(sum(col("sq")).as("d2"))
           .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-          .select(col("vec_id"), col("m.cluster").as("cluster"),
-            col("m.d2").as("d2"))
+          // d2-long-encode argmin (see pqSubTrainLoop): struct-min
+          // demotes to a SortAggregate; cluster ids are in [0, 8)
+          .agg(min(col("d2") * 8 + col("cluster")).as("m"))
+          .select(col("vec_id"), pmod(col("m"), lit(8L)).as("cluster"),
+            expr("m div 8").as("d2"))
       def recenter(asg: DataFrame): DataFrame =
         ve.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
           .groupBy(col("cluster"), col("dim"))
@@ -2059,8 +2065,11 @@ object ExtQueries {
         .select(col("vec_id"), col("subspace"), col("cid"),
           graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
       val codes = scored.groupBy(col("vec_id"), col("subspace"))
-        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("subspace"), col("m.cid").as("code"))
+        // d2-long-encode argmin (see pqSubTrainLoop): struct-min demotes
+        // to a SortAggregate; cid/cluster codes are in [0, 8)
+        .agg(min(col("d2_e8") * 8 + col("cid")).as("m"))
+        .select(col("vec_id"), col("subspace"),
+          pmod(col("m"), lit(8L)).as("code"))
       val lut = scored.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("subspace").as("l_subspace"),
           col("cid").as("l_cid"), col("d2_e8"))
@@ -2141,9 +2150,11 @@ object ExtQueries {
         .select(col("vec_id"), col("label"), col("subspace"), col("cid"),
           graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
       val codes = scored.groupBy(col("vec_id"), col("label"), col("subspace"))
-        .agg(min(struct(col("d2_e8"), col("cid"))).as("m"))
+        // d2-long-encode argmin (see pqSubTrainLoop): struct-min demotes
+        // to a SortAggregate; cid/cluster codes are in [0, 8)
+        .agg(min(col("d2_e8") * 8 + col("cid")).as("m"))
         .select(col("vec_id"), col("label"), col("subspace"),
-          col("m.cid").as("code"))
+          pmod(col("m"), lit(8L)).as("code"))
       val lut = scored.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("subspace").as("l_subspace"), col("cid").as("l_cid"),
@@ -2226,9 +2237,11 @@ object ExtQueries {
         .select(col("vec_id"), col("label"), col("subspace"), col("ccid"),
           graft.functions.L2DistanceE8(col("sv"), col("cv")).as("d2_e8"))
       val codes = scored.groupBy(col("vec_id"), col("label"), col("subspace"))
-        .agg(min(struct(col("d2_e8"), col("ccid"))).as("m"))
+        // d2-long-encode argmin (see pqSubTrainLoop): struct-min demotes
+        // to a SortAggregate; cid/cluster codes are in [0, 8)
+        .agg(min(col("d2_e8") * 8 + col("ccid")).as("m"))
         .select(col("vec_id"), col("label"), col("subspace"),
-          col("m.ccid").as("code"))
+          pmod(col("m"), lit(8L)).as("code"))
       val lut = scored.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("subspace").as("l_subspace"), col("ccid").as("l_cid"),
