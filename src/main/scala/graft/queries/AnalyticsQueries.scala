@@ -810,10 +810,17 @@ object AnalyticsQueries {
 
   // Argmin per group — the cheapest line of every order, via the
   // partial-aggregable min(struct(ordering..., payload...)) idiom: struct
-  // comparison is lexicographic, so the minimum carries its payload with it
-  // and merges map-side like any min. The alternative (row_number window
-  // per order) sorts every group; this never sorts. The ordering embeds the
-  // line number so ties on price are deterministic.
+  // comparison is lexicographic, so the minimum carries its payload with
+  // it and merges map-side like any min. Honesty note (r15): a struct
+  // buffer can't live in the hash aggregate's UnsafeRow, so this plans as
+  // a SortAggregate — the input IS sorted by group key. The idiom's real
+  // win over the row_number window is that map-side partial aggregation
+  // ships ONE row per key per partition across the shuffle; where the
+  // payload is a bare small-domain id the long-encode form (see
+  // ExtQueries.pqSubTrainLoop) or the k=1 heap is the hash-agg path —
+  // here the payload (line number + price) rides fine at lineitem's
+  // per-group cardinality. The ordering embeds the line number so ties
+  // on price are deterministic.
   val olapOrderCheapestLine: (QFn, String) = (
     (s, dir) => ChangeLog.table(s, dir, "lineitem")
       .select(col("l_orderkey"),
