@@ -923,8 +923,12 @@ object Bench {
             -1.0
           })
         // pre-suite headline only: wal_drain_insuite is a drift probe whose
-        // cause (suite heap history) is already recorded via suite_pass_gc_ms
-        if (t > 0 && !insuite) walEnv += env
+        // cause (suite heap history) is already recorded via suite_pass_gc_ms.
+        // UNCONDITIONAL like wal10Env (r15 review finding): the trials list
+        // records -1.0 entries too, so env row i must describe trial i even
+        // when trial i failed — a qualified-only append breaks the index
+        // alignment attribution-by-index depends on
+        if (!insuite) walEnv += env
         t
       }
       (if (insuite) walInsuiteTrialsRec else walTrialsRec) ++= hdTrials

@@ -2386,16 +2386,29 @@ object ExtQueries {
     * each round's assignment and the superseded centroid frame release
     * once the next round's state is checkpointed, so live state is
     * O(codebook + corpus) regardless of iteration count. */
+  /** The PQ tier's subspace split + e6 quantization of an `embedding`
+    * column, as ONE expression: `explode(pqSubspaceSplit(n, s, a))`
+    * yields (subspace, e6-long-array) structs. SHARED by the trainer and
+    * the streaming serving twin (`AnnServeStream`) so the two
+    * derivations can never desynchronize — the serving exactness
+    * contract (a corpus-member query's LUT is bit-identical to the batch
+    * derivation) rides on this being the same expression object, not two
+    * hand-maintained copies (r15 review finding). */
+  private[graft] def pqSubspaceSplit(nSub: Int, subField: String,
+      arrField: String): org.apache.spark.sql.Column = {
+    val subDim = 64 / nSub
+    expr(s"transform(sequence(0, ${nSub - 1}), s0 -> struct(" +
+      s"CAST(s0 AS INT) AS $subField, " +
+      s"transform(slice(embedding, s0 * $subDim + 1, $subDim), " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
+      s"AS $arrField))")
+  }
+
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
       iters: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
-    val subDim = 64 / nSub
     val vsub = emb(s, dir)
-      .select(col("vec_id"), col("label"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), s0 -> struct(" +
-          "CAST(s0 AS INT) AS subspace, " +
-          s"transform(slice(embedding, s0 * $subDim + 1, $subDim), " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
-          "AS varr))")).as("p"))
+      .select(col("vec_id"), col("label"),
+        explode(pqSubspaceSplit(nSub, "subspace", "varr")).as("p"))
       .select(col("vec_id"), col("label"), col("p.subspace").as("subspace"),
         col("p.varr").as("varr"))
       .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize ONCE, feeds every round

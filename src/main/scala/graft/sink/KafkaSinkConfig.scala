@@ -121,7 +121,11 @@ object KafkaSinkConfig {
           case "verify-ca" => "ca"
           case _ => "require"
         }
-        val ca = cfg.rootCertPath.map(p => s"ca=$p&").getOrElse("")
+        // percent-encode the path: a CA path containing '&' (legal in a
+        // filename) would otherwise split the query and fail
+        // WireEndpoint.parse (r15 review finding); parse decodes
+        val ca = cfg.rootCertPath.map(p => "ca=" +
+          java.net.URLEncoder.encode(p, "UTF-8") + "&").getOrElse("")
         s"wire+tls://${bootstrap.stripPrefix("wire://")}?${ca}verify=$verify"
     }
 }

@@ -65,7 +65,10 @@ object WireEndpoint {
         case other => throw new IllegalArgumentException(
           s"unknown verify '$other' (allowed: full, ca, require)")
       }
-      Some(PgTls.SslConfig(mode, params.get("ca")))
+      // ca values arrive percent-encoded (secureWireBootstrap encodes so
+      // a path containing '&' survives the query split) — decode here
+      Some(PgTls.SslConfig(mode,
+        params.get("ca").map(java.net.URLDecoder.decode(_, "UTF-8"))))
     }
     Ep(hp.substring(0, ci), hp.substring(ci + 1).toInt, tls)
   }

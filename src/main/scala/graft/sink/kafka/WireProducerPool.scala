@@ -37,9 +37,6 @@ object WireProducerPool {
       .getOrElse(new WireProducer(ep.host, ep.port, tls = ep.tls))
   }
 
-  def borrow(host: String, port: Int): WireProducer =
-    borrow(WireEndpoint.Ep(host, port, None))
-
   /** Return a HEALTHY producer (post-barrier, zero delivery errors). */
   def give(ep: WireEndpoint.Ep, p: WireProducer): Unit = {
     val q = pools.computeIfAbsent(ep.poolKey,
@@ -47,9 +44,10 @@ object WireProducerPool {
     if (q.size < MaxIdlePerEndpoint) q.offer(p)
     else discard(p)
   }
-
-  def give(host: String, port: Int, p: WireProducer): Unit =
-    give(WireEndpoint.Ep(host, port, None), p)
+  // NOTE no (host, port) convenience overloads: they hard-coded a
+  // plaintext Ep, so routing a TLS producer through one would file its
+  // socket under the plaintext pool key — callers always pass the full
+  // endpoint so the TLS identity is part of the key (r15 review finding)
 
   /** Close a producer whose state is unknown (abort / delivery failure) —
     * no flush barrier: its queue may hold records the epoch disowned. */

@@ -34,16 +34,13 @@ object AnnServeStream {
     * batch query's: (qid, cid, adc_sq_e12, rank). */
   def serve(queries: DataFrame, codes: DataFrame, carr: DataFrame,
       k: Int = 5): DataFrame = {
-    val nSub = 4
-    val subDim = 16
-    // identical quantization to the trainer's array form (pqSubTrainLoop)
+    // THE trainer's quantization expression, not a copy (r15 review
+    // finding): the exactness contract rides on both sides deriving
+    // subvectors through the same code path
     val qsub = queries.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), s0 -> struct(" +
-          "CAST(s0 AS INT) AS l_subspace, " +
-          s"transform(slice(embedding, s0 * $subDim + 1, $subDim), " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
-          "AS qarr))")).as("p"))
+        col("label").as("qlabel"),
+        explode(graft.queries.ExtQueries
+          .pqSubspaceSplit(4, "l_subspace", "qarr")).as("p"))
       .select(col("qid"), col("qlabel"), col("p.l_subspace").as("l_subspace"),
         col("p.qarr").as("qarr"))
     // per-query LUT: one fused kernel call per (query, subspace, codeword)

@@ -49,7 +49,15 @@ object BpePairStream {
     pairCounts
       .agg(min(struct((-col("n")).as("nc"), col("pair"))).as("m"))
       .select(
-        substring(col("m.pair"), 1, 1).as("merge_l"),
+        // degenerate-state guard, same contract as the batch trainer's
+        // (ExtQueries.bpeTrainLoop): an EMPTY pair state — no word in the
+        // ingest ever had ≥ 2 symbols — yields one all-NULL global-agg
+        // row; fail loudly instead of emitting a silent NULL merge
+        // decision the consumer would treat as a no-op
+        when(col("m").isNotNull, substring(col("m.pair"), 1, 1))
+          .otherwise(raise_error(lit(
+            "BpePairStream.pickBest: pair state empty — degenerate " +
+              "ingest (no word has >= 2 symbols)"))).as("merge_l"),
         substring(col("m.pair"), 2, 1).as("merge_r"),
         (-col("m.nc")).as("pair_count"))
 }

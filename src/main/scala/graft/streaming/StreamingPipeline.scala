@@ -134,8 +134,13 @@ object StreamingPipeline {
     // the DSv2 sink (per-task producer sockets, flush on task commit);
     // otherwise a wire:// bootstrap selects the in-repo foreachBatch wire
     // producer and any other bootstrap the stock Kafka sink
+    // WireEndpoint.accepts, not a wire:// prefix check: a wire+tls://
+    // bootstrap must route through the SAME DSv2 path (the pool and the
+    // per-task producers are TLS-capable) — a prefix check silently
+    // demoted TLS runs to the foreachBatch producer, which asyncProgress
+    // then rejects at query start (r15 review finding)
     val dsv2Wire = producer.isEmpty && sinkFormat == "frames" &&
-      kafkaBootstrap.exists(_.startsWith("wire://"))
+      kafkaBootstrap.exists(graft.sink.kafka.WireEndpoint.accepts)
     val frameProducer: Option[graft.sink.FrameProducer] =
       if (dsv2Wire) None
       else producer.orElse(kafkaBootstrap.map(b =>

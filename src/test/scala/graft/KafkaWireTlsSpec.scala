@@ -149,4 +149,47 @@ class KafkaWireTlsSpec extends AnyFunSuite {
       } finally p.abortClose()
     } finally broker.close()
   }
+
+  test("wire+tls routes through the DSv2 frames sink (async-capable end to end)") {
+    // r15 review finding: the routing gate used a wire:// PREFIX check, so
+    // a wire+tls:// bootstrap silently fell back to the foreachBatch
+    // producer — losing the pooled per-task DSv2 path the TLS work
+    // targets. Pin the routing by its observable: the running query's
+    // sink is the FramesSink table, not ForeachBatchSink, async progress
+    // is accepted, and delivery still lands on the TLS broker.
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Routing
+    import graft.source.wal.{WalFixture, WalLog}
+    import graft.streaming.StreamingPipeline
+    val spark = SparkTestBase.spark
+    val creds = TlsTestCerts.makeServer()
+    val broker = new FakeKafkaBroker(Map("cdc.click" -> 2,
+      "cdc.purchase" -> 2, "cdc.signup" -> 1, "cdc.view" -> 1),
+      tls = Some(creds.context))
+    try {
+      val walDir = Files.createTempDirectory("graft-tlswal").toString
+      val seen = scala.collection.mutable.Set.empty[String]
+      val events = (1L to 40L).map(i => WalFixture.Ev(i,
+        1700000000000000L + i * 1000000L, i % 5,
+        Seq("click", "purchase", "signup", "view")(i.toInt % 4), i * 0.5, "{}"))
+      WalLog.write(Paths.get(walDir, "00000000.wal"),
+        events.iterator.flatMap(e => WalFixture.frames(e, seen)))
+      val out = Files.createTempDirectory("graft-tlsout").toString
+      val ckpt = Files.createTempDirectory("graft-tlsck").toString
+      val q = StreamingPipeline.start(spark, walDir, Routing.fixtureStreams,
+        ckpt, out,
+        kafkaBootstrap = Some(
+          s"wire+tls://localhost:${broker.port}?ca=${creds.certPath}"),
+        triggerMs = 25L, sinkFormat = "frames", asyncProgress = true)
+      try q.processAllAvailable() finally q.stop()
+      // the DSv2 table renders as graft.sink.frames.FramesTable; the
+      // foreachBatch fallback renders as ForeachBatchSink
+      assert(Option(q.lastProgress).exists(
+        _.sink.description.contains("graft.sink.frames")),
+        "wire+tls did not route through the DSv2 frames sink: " +
+          Option(q.lastProgress).map(_.sink.description))
+      assert(broker.receivedSeq.nonEmpty,
+        "no frames delivered over the TLS wire")
+    } finally broker.close()
+  }
 }
