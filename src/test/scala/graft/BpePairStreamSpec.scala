@@ -51,6 +51,21 @@ class BpePairStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("pickBest fails loudly on an empty pair state (degenerate ingest)") {
+    // same contract as the batch trainer's raise_error guard: an ingest
+    // where no word ever had >= 2 symbols must not yield a silent
+    // all-NULL merge decision
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("pair", "n")
+    val ex = intercept[Exception] {
+      BpePairStream.pickBest(empty).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pair state empty")),
+      s"expected the degenerate-ingest error, got: ${msgs(ex)}")
+  }
+
   test("state is one count per pair, bounded by the pair vocabulary") {
     // the store's key cardinality on this fixture = distinct pairs; assert
     // it is the pair-vocab size (tiny), not anything corpus-proportional
