@@ -268,8 +268,12 @@ object Bench {
     def envTrial(run: => Double, srvPid: Option[Long] = None)
         : (Double, EnvRow) = {
       val g0 = gcMs(); val l = loadAvg()
-      val s0 = srvPid.map(p =>
-        try procTreeCpuTicks(p) catch { case _: Throwable => 0L })
+      // a failed BEFORE sample must yield the -1 "absent" sentinel, not a
+      // 0-tick baseline (r15 ADVICE: baseline 0 + a successful END sample
+      // would report the postmaster tree's lifetime CPU as the trial's
+      // delta, silently poisoning the attribution rows)
+      val s0 = srvPid.flatMap(p =>
+        try Some(procTreeCpuTicks(p)) catch { case _: Throwable => None })
       val c0 = cpuNanos(); val w0 = System.nanoTime()
       val t = run
       (t, EnvRow(gcMs() - g0, l, diskFreeGb(),

@@ -2386,8 +2386,12 @@ object ExtQueries {
     * each round's assignment and the superseded centroid frame release
     * once the next round's state is checkpointed, so live state is
     * O(codebook + corpus) regardless of iteration count. */
-  /** The PQ tier's subspace split + e6 quantization of an `embedding`
-    * column, as ONE expression: `explode(pqSubspaceSplit(n, s, a))`
+  /** The PQ tier's subspace split + e6 quantization of the float-array
+    * column named `srcCol` (default `embedding` — the parameter exists
+    * because the implementation is a SQL-string expression, so the source
+    * column is BY NAME, not a `Column`; callers whose frame uses another
+    * name pass it explicitly rather than renaming to match — r15 ADVICE),
+    * as ONE expression: `explode(pqSubspaceSplit(n, s, a))`
     * yields (subspace, e6-long-array) structs. SHARED by the trainer and
     * the streaming serving twin (`AnnServeStream`) so the two
     * derivations can never desynchronize — the serving exactness
@@ -2395,11 +2399,12 @@ object ExtQueries {
     * derivation) rides on this being the same expression object, not two
     * hand-maintained copies (r15 review finding). */
   private[graft] def pqSubspaceSplit(nSub: Int, subField: String,
-      arrField: String): org.apache.spark.sql.Column = {
+      arrField: String, srcCol: String = "embedding")
+      : org.apache.spark.sql.Column = {
     val subDim = 64 / nSub
     expr(s"transform(sequence(0, ${nSub - 1}), s0 -> struct(" +
       s"CAST(s0 AS INT) AS $subField, " +
-      s"transform(slice(embedding, s0 * $subDim + 1, $subDim), " +
+      s"transform(slice($srcCol, s0 * $subDim + 1, $subDim), " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
       s"AS $arrField))")
   }

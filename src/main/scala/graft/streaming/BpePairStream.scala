@@ -53,11 +53,20 @@ object BpePairStream {
         // (ExtQueries.bpeTrainLoop): an EMPTY pair state — no word in the
         // ingest ever had ≥ 2 symbols — yields one all-NULL global-agg
         // row; fail loudly instead of emitting a silent NULL merge
-        // decision the consumer would treat as a no-op
-        when(col("m").isNotNull, substring(col("m.pair"), 1, 1))
-          .otherwise(raise_error(lit(
-            "BpePairStream.pickBest: pair state empty — degenerate " +
-              "ingest (no word has >= 2 symbols)"))).as("merge_l"),
-        substring(col("m.pair"), 2, 1).as("merge_r"),
-        (-col("m.nc")).as("pair_count"))
+        // decision the consumer would treat as a no-op. EVERY output
+        // column carries the guard (r15 ADVICE): a consumer selecting
+        // only merge_r or pair_count lets column pruning drop the other
+        // projections, so a merge_l-only guard would silently reinstate
+        // the all-NULL decision for exactly those consumers.
+        guarded(substring(col("m.pair"), 1, 1)).as("merge_l"),
+        guarded(substring(col("m.pair"), 2, 1)).as("merge_r"),
+        guarded(-col("m.nc")).as("pair_count"))
+
+  /** NULL-state ⇒ loud error, applied per OUTPUT column so pruning any
+    * subset of the projection cannot bypass the degenerate-ingest guard. */
+  private def guarded(out: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(col("m").isNotNull, out).otherwise(raise_error(lit(
+      "BpePairStream.pickBest: pair state empty — degenerate " +
+        "ingest (no word has >= 2 symbols)")))
 }
