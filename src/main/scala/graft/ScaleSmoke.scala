@@ -230,6 +230,29 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(doneMarker, knobs)
     }
 
+    // r15 ADVICE: the PQ/IVF tier long-encodes its argmins as
+    // min(d2 * k + cid) with k ≤ 64 — exact only while d2 < 2⁶³/64. d2
+    // is an exact integer L2 over 64 e6-quantized dims, so the sound
+    // worst case from the rung's ACTUAL data is 64 · (2·max|x_e6|)²
+    // (trained centroids are floor-means of members, so they stay inside
+    // the member range). Assert the bound here, at the scale rung, so a
+    // future embedding magnitude/dimension change trips a loud failure
+    // instead of silently corrupting every argmin downstream.
+    val embPath = java.nio.file.Paths.get(s"$out/embeddings.parquet")
+    if (java.nio.file.Files.exists(embPath)) {
+      val maxAbs = spark.read.parquet(embPath.toString)
+        .agg(max(expr("array_max(transform(embedding, x -> " +
+          "abs(cast(floor(cast(x as double) * 1000000) as bigint))))")))
+        .head().getLong(0)
+      val d2Bound = BigInt(64) * BigInt(2 * maxAbs).pow(2)
+      require(d2Bound < BigInt(Long.MaxValue) / 64,
+        s"argmin encode headroom exhausted: worst-case d2 $d2Bound >= " +
+          s"2^63/64 (max|x_e6| = $maxAbs) — min(d2*k+cid) would overflow " +
+          "Long and pick wrong centroids; re-scale the quantization")
+      System.err.println(s"[smoke] argmin encode headroom ok: worst-case " +
+        s"d2 $d2Bound < ${Long.MaxValue / 64} (max|x_e6| = $maxAbs)")
+    }
+
     val names = sys.env.get("GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
     val rows = names.map { name =>

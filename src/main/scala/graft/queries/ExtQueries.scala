@@ -2410,7 +2410,8 @@ object ExtQueries {
   }
 
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
-      iters: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
+      iters: Int, k: Int = 8, seedStride: Int = 1)
+      : (DataFrame, Seq[DataFrame], DataFrame) = {
     val vsub = emb(s, dir)
       .select(col("vec_id"), col("label"),
         explode(pqSubspaceSplit(nSub, "subspace", "varr")).as("p"))
@@ -2426,8 +2427,15 @@ object ExtQueries {
     // into a ≤nSub·8·subDim-key partial aggregate: nothing corpus×64-
     // sized ever persists or shuffles. Per-dimension rows exist only
     // transiently inside codegen pipelines.
-    var cents = vsub.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("subspace"),
+    // k seeds, deterministically strided (`vec_id % seedStride == 0`,
+    // cid = vec_id div seedStride): stride 1 reproduces the original
+    // first-k seeding; a wider stride spreads the seeds across the id
+    // range so a wide coarse quantizer (k = 64 for sim_ivfpq_recall)
+    // starts from corpus-spanning cells rather than one id-local clump
+    var cents = vsub
+      .filter(col("vec_id") % seedStride === 0 &&
+        col("vec_id") < seedStride.toLong * k)
+      .select(expr(s"vec_id div $seedStride").as("cid"), col("subspace"),
         posexplode(col("varr")).as(Seq("dim", "c_e6")))
       .transform(graft.util.Checkpoints.ownedCheckpoint)
     val rows = (1 to iters).map { t =>
@@ -2445,14 +2453,20 @@ object ExtQueries {
       // and d2 < 2⁵⁰, with lexicographic (d2, cid) order preserved — so
       // the aggregate is a plain long min: whole-stage-codegen
       // HashAggregate, map-side partial, nothing sorted anywhere
+      // encode factor = k (exact and (d2, cid)-order-preserving for
+      // cid ∈ [0, k)); headroom: d2 < Long.MaxValue / k — at k = 64 and
+      // e6-quantized |x| < 0.6 inputs, d2 < 1e14 ≪ 1.4e17, and the
+      // ScaleSmoke trained rung asserts max(d2) against the bound so a
+      // grown embedding magnitude/dimension trips a loud failure, never
+      // a silently wrong argmin (r15 ADVICE)
       val asg = vsub.join(broadcast(centArrays(cents)), Seq("subspace"))
         .select(col("vec_id"), col("subspace"), col("cid"),
           graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"), col("subspace"))
-        .agg(min(col("d2") * 8 + col("cid")).as("m"))
+        .agg(min(col("d2") * k + col("cid")).as("m"))
         .select(col("vec_id"), col("subspace"),
-          pmod(col("m"), lit(8L)).as("cid"),
-          expr("m div 8").as("d2"))
+          pmod(col("m"), lit(k.toLong)).as("cid"),
+          expr(s"m div $k").as("d2"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // feeds recenter + telemetry
       // recenter: re-join the ARRAY form against the winner keys (both
       // sides corpus×nSub narrow rows — never corpus×64), then explode
@@ -2490,7 +2504,8 @@ object ExtQueries {
   /** DuckDB twin of [[pqSubTrainLoop]] as a CTE chain (long-form, the
     * cluster_train_2iter oracle's shape, keyed by subspace). Emits
     * ve / c0 / d1 / a1 / c1 / d2r / a2 / c2 for two rounds. */
-  private def pqTrainCtes(nSub: Int): String = {
+  private def pqTrainCtes(nSub: Int, k: Int = 8, seedStride: Int = 1)
+      : String = {
     val subDim = 64 / nSub
     s"""WITH ve AS MATERIALIZED (
        |  SELECT vec_id, label, (i - 1) // $subDim AS subspace,
@@ -2499,8 +2514,9 @@ object ExtQueries {
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
        |c0 AS (
-       |  SELECT vec_id AS cid, subspace, dim, x_e6 AS c_e6
-       |  FROM ve WHERE vec_id < 8),
+       |  SELECT vec_id // $seedStride AS cid, subspace, dim, x_e6 AS c_e6
+       |  FROM ve WHERE vec_id % $seedStride = 0
+       |    AND vec_id < ${seedStride.toLong * k}),
        |d1 AS (
        |  SELECT v.vec_id, v.subspace, c.cid,
        |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
@@ -2661,31 +2677,39 @@ object ExtQueries {
   // nearest trained centroid is no longer their source's cell: exactly
   // the cell-miss mode nprobe exists to recover. Truth is the probe's
   // exact-L2 top-1 over ALL vectors, computed honestly. The retrieval
-  // legs rank the 8 trained cells per probe and scan candidates from the
-  // nprobe nearest — nprobe = 1 / 2 / 4 rungs, each priced by its
-  // candidate volume IN THE SAME partial aggregate (one candidate join
-  // computes all three rungs; a candidate carries its cell_rank). The
+  // legs rank the 64 trained cells per probe and scan candidates from
+  // the nprobe nearest — nprobe = 1 / 2 / 4 / 8 rungs, each priced by
+  // its candidate volume IN THE SAME partial aggregate (one candidate
+  // join computes all four rungs; a candidate carries its cell_rank). The
   // PQ-ADC quantization error is priced separately by sim_ivfpq_rerank
   // (adc next to exact per row); this query isolates what cell PRUNING
   // costs, which is the number nprobe tuning needs.
   val simIvfPqRecall: (QFn, String) = (
     (s, dir) => {
-      // trained coarse quantizer: k = 8 full-dim k-means, 2 Lloyd rounds.
-      // nSub = 1, so the trainer's array form IS the full e6 vector —
-      // every leg below (cell assignment, probe ranking, exact truth)
-      // reads the ONE checkpointed quantization through the codegen
-      // kernel; nothing per-dimension survives outside the trainer
-      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 1, 2)
+      // trained coarse quantizer: k = 64 full-dim k-means (2 Lloyd
+      // rounds, seeds strided every 7th vec_id so they span the corpus).
+      // r15 trained k = 8, so nprobe=1 already scanned 12.5 % of the
+      // corpus and 93–100 % recall was nearly guaranteed by geometry; at
+      // k = 64 the cheapest rung scans ~1/64 ≈ 1.6 % and the curve
+      // measures REAL pruning — the number a 100 TB ANN index lives on
+      // (r15 VERDICT #1). nSub = 1, so the trainer's array form IS the
+      // full e6 vector — every leg below (cell assignment, probe
+      // ranking, exact truth) reads the ONE checkpointed quantization
+      // through the codegen kernel; nothing per-dimension survives
+      // outside the trainer. The centroid frame stays ≤64 array rows —
+      // broadcastable at any corpus size.
+      val nCells = 64
+      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 1, 2, nCells, 7)
       val carr = centArrays(cents)
       // corpus cell assignment against the trained centroids
       val vcell = vsub.join(broadcast(carr), Seq("subspace"))
         .select(col("vec_id"), col("cid"),
           graft.functions.L2SqLong(col("varr"), col("carr")).as("d2"))
         .groupBy(col("vec_id"))
-        // d2·8 + cid long-encode (see pqSubTrainLoop): codegen hash
-        // argmin — a struct-min here SortAggregates corpus×8 rows
-        .agg(min(col("d2") * 8 + col("cid")).as("m"))
-        .select(col("vec_id"), pmod(col("m"), lit(8L)).as("vcid"))
+        // d2·k + cid long-encode (see pqSubTrainLoop): codegen hash
+        // argmin — a struct-min here SortAggregates corpus×k rows
+        .agg(min(col("d2") * nCells + col("cid")).as("m"))
+        .select(col("vec_id"), pmod(col("m"), lit(nCells.toLong)).as("vcid"))
         .transform(graft.util.Checkpoints.ownedCheckpoint)
       // exact-distance legs work on the same e6 ARRAYS
       val varr = vsub.select(col("vec_id"), col("varr").as("v"))
@@ -2693,18 +2717,18 @@ object ExtQueries {
         .select(col("vec_id").as("pid"),
           expr("transform(v, (x, i) -> " +
             "x + ((vec_id * 37 + i * 11) % 100001) - 50000)").as("pv"))
-      // probe cell ranking: ≤500 probes × 8 cells, heap top-4 per probe
+      // probe cell ranking: ≤500 probes × 64 cells, heap top-8 per probe
       val pcell = parr
         .crossJoin(broadcast(carr.select(col("cid"), col("carr"))))
         .select(col("pid"), col("cid"),
           graft.functions.L2SqLong(col("pv"), col("carr")).as("d2"))
         .groupBy(col("pid"))
         .agg(graft.functions.TopKByScore.topK(
-          (-col("d2")).cast("double"), col("cid"), 4).as("top"))
+          (-col("d2")).cast("double"), col("cid"), 8).as("top"))
         .select(col("pid"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("pid"), col("t.id").as("cid"),
           (col("pos") + 1).as("cell_rank"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ 500 × 4 rows
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ 500 × 8 rows
       // codegen'd kernel, not aggregate(zip_with(...)): the interpreted
       // HOF path cost this query 16 s in-suite at sf0.1 across its ~15M
       // probe×corpus pair evaluations (r15 measurement); the fused loop
@@ -2725,7 +2749,7 @@ object ExtQueries {
         .agg(graft.functions.TopKByScore.topK(
           (-col("d2")).cast("double"), col("cdoc"), 1).as("mt"))
         .select(col("pid"), col("mt").getItem(0).getField("id").as("tdoc"))
-      // ONE candidate join computes all three rungs: corpus rows keep
+      // ONE candidate join computes all four rungs: corpus rows keep
       // their cell, probe cell-ranks broadcast, arrays ride the same row
       val scoredCand = varr.join(vcell, "vec_id") // corpus-keyed, co-partitioned
         .select(col("vec_id").as("cdoc"), col("v").as("cv"), col("vcid"))
@@ -2735,7 +2759,13 @@ object ExtQueries {
       // per-rung argmins as MASKED k=1 heaps in one ObjectHashAggregate
       // (rung r's candidates are the cell_rank ≤ r prefix; a null score
       // is skipped by the heap, so the mask IS the rung) — the struct-min
-      // form SortAggregated the full candidate frame per probe
+      // form SortAggregated the full candidate frame per probe. Heap
+      // heads come out through try_element_at (r15 ADVICE): with 64
+      // trained cells an empty probed cell is a REAL shape (k-means
+      // leaves cells empty after reassignment), and under ANSI mode a
+      // bare getItem(0) on the empty heap array would crash the query —
+      // try_element_at degrades to NULL, which counts a miss exactly as
+      // the struct-min form did.
       val legs = scoredCand.groupBy(col("pid"))
         .agg(
           graft.functions.TopKByScore.topK(
@@ -2745,15 +2775,20 @@ object ExtQueries {
             when(col("cell_rank") <= 2, (-col("d2")).cast("double")),
             col("cdoc"), 1).as("t2"),
           graft.functions.TopKByScore.topK(
-            (-col("d2")).cast("double"), col("cdoc"), 1).as("t4"),
+            when(col("cell_rank") <= 4, (-col("d2")).cast("double")),
+            col("cdoc"), 1).as("t4"),
+          graft.functions.TopKByScore.topK(
+            (-col("d2")).cast("double"), col("cdoc"), 1).as("t8"),
           sum(when(col("cell_rank") <= 1, 1L).otherwise(0L)).as("nc1"),
           sum(when(col("cell_rank") <= 2, 1L).otherwise(0L)).as("nc2"),
-          count(lit(1)).as("nc4"))
+          sum(when(col("cell_rank") <= 4, 1L).otherwise(0L)).as("nc4"),
+          count(lit(1)).as("nc8"))
         .select(col("pid"),
-          col("t1").getItem(0).getField("id").as("m1"),
-          col("t2").getItem(0).getField("id").as("m2"),
-          col("t4").getItem(0).getField("id").as("m4"),
-          col("nc1"), col("nc2"), col("nc4"))
+          expr("try_element_at(t1, 1).id").as("m1"),
+          expr("try_element_at(t2, 1).id").as("m2"),
+          expr("try_element_at(t4, 1).id").as("m4"),
+          expr("try_element_at(t8, 1).id").as("m8"),
+          col("nc1"), col("nc2"), col("nc4"), col("nc8"))
       truth.join(legs, Seq("pid"), "left")
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("m1") === col("tdoc"), 1L).otherwise(0L))
@@ -2762,9 +2797,12 @@ object ExtQueries {
             .as("hits_n2"),
           sum(when(col("m4") === col("tdoc"), 1L).otherwise(0L))
             .as("hits_n4"),
+          sum(when(col("m8") === col("tdoc"), 1L).otherwise(0L))
+            .as("hits_n8"),
           coalesce(sum(col("nc1")), lit(0L)).as("cand_n1"),
           coalesce(sum(col("nc2")), lit(0L)).as("cand_n2"),
-          coalesce(sum(col("nc4")), lit(0L)).as("cand_n4"))
+          coalesce(sum(col("nc4")), lit(0L)).as("cand_n4"),
+          coalesce(sum(col("nc8")), lit(0L)).as("cand_n8"))
         .select(col("n_eval"), col("hits_n1"),
           expr("IF(n_eval = 0, 0L, hits_n1 * 1000000 div n_eval)")
             .as("recall_n1_pm"),
@@ -2774,9 +2812,12 @@ object ExtQueries {
           col("hits_n4"),
           expr("IF(n_eval = 0, 0L, hits_n4 * 1000000 div n_eval)")
             .as("recall_n4_pm"),
-          col("cand_n1"), col("cand_n2"), col("cand_n4"))
+          col("hits_n8"),
+          expr("IF(n_eval = 0, 0L, hits_n8 * 1000000 div n_eval)")
+            .as("recall_n8_pm"),
+          col("cand_n1"), col("cand_n2"), col("cand_n4"), col("cand_n8"))
     },
-    s"""${pqTrainCtes(1)},
+    s"""${pqTrainCtes(1, 64, 7)},
        |vcell AS MATERIALIZED (
        |  SELECT vec_id, cid AS vcid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -2805,7 +2846,7 @@ object ExtQueries {
        |        CAST(sum((p.pv[c.dim + 1] - c.c_e6) *
        |                 (p.pv[c.dim + 1] - c.c_e6)) AS BIGINT), c.cid) AS rn
        |    FROM parr p JOIN c2 c ON true
-       |    GROUP BY p.pid, c.cid) WHERE rn <= 4),
+       |    GROUP BY p.pid, c.cid) WHERE rn <= 8),
        |truth AS MATERIALIZED (
        |  SELECT p.pid,
        |    (min({'d': CAST(list_sum(list_transform(generate_series(1, 64),
@@ -2826,12 +2867,16 @@ object ExtQueries {
        |      AS r1,
        |    (min(CASE WHEN cell_rank <= 2 THEN {'d': d2, 'c': cdoc} END)).c
        |      AS r2,
-       |    (min({'d': d2, 'c': cdoc})).c AS r4,
+       |    (min(CASE WHEN cell_rank <= 4 THEN {'d': d2, 'c': cdoc} END)).c
+       |      AS r4,
+       |    (min({'d': d2, 'c': cdoc})).c AS r8,
        |    CAST(sum(CASE WHEN cell_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS nc1,
        |    CAST(sum(CASE WHEN cell_rank <= 2 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS nc2,
-       |    CAST(count(*) AS BIGINT) AS nc4
+       |    CAST(sum(CASE WHEN cell_rank <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc4,
+       |    CAST(count(*) AS BIGINT) AS nc8
        |  FROM cand GROUP BY pid),
        |agg AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
@@ -2841,9 +2886,12 @@ object ExtQueries {
        |      AS hits_n2,
        |    CAST(sum(CASE WHEN l.r4 = t.tdoc THEN 1 ELSE 0 END) AS BIGINT)
        |      AS hits_n4,
+       |    CAST(sum(CASE WHEN l.r8 = t.tdoc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_n8,
        |    CAST(coalesce(sum(l.nc1), 0) AS BIGINT) AS cand_n1,
        |    CAST(coalesce(sum(l.nc2), 0) AS BIGINT) AS cand_n2,
-       |    CAST(coalesce(sum(l.nc4), 0) AS BIGINT) AS cand_n4
+       |    CAST(coalesce(sum(l.nc4), 0) AS BIGINT) AS cand_n4,
+       |    CAST(coalesce(sum(l.nc8), 0) AS BIGINT) AS cand_n8
        |  FROM truth t LEFT JOIN legs l ON t.pid = l.pid)
        |SELECT n_eval, hits_n1,
        |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n1 * 1000000 // n_eval END
@@ -2854,8 +2902,115 @@ object ExtQueries {
        |  hits_n4,
        |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n4 * 1000000 // n_eval END
        |    AS recall_n4_pm,
-       |  cand_n1, cand_n2, cand_n4
+       |  hits_n8,
+       |  CASE WHEN n_eval = 0 THEN 0 ELSE hits_n8 * 1000000 // n_eval END
+       |    AS recall_n8_pm,
+       |  cand_n1, cand_n2, cand_n4, cand_n8
        |FROM agg""".stripMargin)
+
+  // The production serving PAIR under the TRAINED codebook (r15 VERDICT
+  // #7): sim_ivfpq_rerank's two-stage refine — ADC over-retrieves a
+  // top-20 shortlist per query (k' = 4k, the standard over-retrieve
+  // factor), then ONLY the shortlist fetches raw vectors for the exact
+  // integer re-rank — composed onto `pqTrainedIndex`'s TRAINED
+  // codes/codebook instead of the `vec_id < 8` fixture slices. Both
+  // distances ride in the output (adc next to exact, e12 units end to
+  // end), so PQ quantization error under the trained codebook is visible
+  // per row. Scale shape is the rerank query's: the ADC scan stays
+  // compressed-domain (broadcast LUT + one (qid, cid) partial-agg
+  // shuffle), the exact stage touches k'×queries rows, and the shortlist
+  // side of the refine join broadcasts EXPLICITLY — it is a checkpointed
+  // LogicalRDD AQE cannot size, the exact demotion class the rerank pin
+  // measured shuffling the whole corpus at the 2M rung.
+  val simIvfPqRerankTrained: (QFn, String) = (
+    (s, dir) => {
+      val (scored, codes, _) = pqTrainedIndex(s, dir)
+      val lut = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("subspace").as("l_subspace"), col("cid").as("l_cid"),
+          col("d2"))
+      val shortlist = codes.join(broadcast(lut),
+          col("subspace") === col("l_subspace") &&
+            col("code") === col("l_cid") && col("label") === col("qlabel"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_sq_e12"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("adc_sq_e12")).cast("double"), col("vec_id"), 20).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("adc_sq_e12"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint) // rerank + adc join-back
+      // exact refine in the SAME e6→e12 integer units as the ADC scores
+      // (the full-dim quantized array is the nSub=1 subspace split, so
+      // exact d2 = Σ over the 4 subspaces of the trained sub-distances'
+      // units); only shortlist rows fetch raw vectors
+      val earr = emb(s, dir)
+        .select(col("vec_id"),
+          explode(pqSubspaceSplit(1, "s1", "v")).as("p"))
+        .select(col("vec_id"), col("p.v").as("v"))
+      val qv = earr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val reranked = broadcast(shortlist.join(broadcast(qv), "qid"))
+        .join(earr.select(col("vec_id").as("cid"), col("v").as("cv")),
+          "cid")
+        .select(col("qid"), col("cid"), col("adc_sq_e12"),
+          graft.functions.L2SqLong(col("qv"), col("cv")).as("exact_sq_e12"))
+        .transform(graft.util.Checkpoints.ownedCheckpoint)
+      reranked
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topK(
+          (-col("exact_sq_e12")).cast("double"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"),
+          (-col("t.score")).cast("long").as("exact_sq_e12"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .join(broadcast(reranked.select(col("qid"), col("cid"),
+          col("adc_sq_e12"))), Seq("qid", "cid")) // k'×queries rows
+        .select(col("qid"), col("cid"), col("adc_sq_e12"),
+          col("exact_sq_e12"), col("rank"))
+    },
+    s"""${pqTrainCtes(4)},
+       |sc2 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.label, v.subspace, c.cid,
+       |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+       |  FROM ve v JOIN c2 c ON v.subspace = c.subspace AND v.dim = c.dim
+       |  GROUP BY 1, 2, 3, 4),
+       |codes AS (
+       |  SELECT vec_id, label, subspace, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d2, cid) AS rn FROM sc2) WHERE rn = 1),
+       |adc AS (
+       |  SELECT l.vec_id AS qid, c.vec_id,
+       |    CAST(sum(l.d2) AS BIGINT) AS adc_sq_e12
+       |  FROM codes c JOIN sc2 l
+       |    ON l.vec_id < 10 AND l.subspace = c.subspace AND l.cid = c.code
+       |      AND l.label = c.label
+       |  WHERE l.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |shortlist AS MATERIALIZED (
+       |  SELECT qid, vec_id AS cid, adc_sq_e12 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_sq_e12, vec_id) AS rn FROM adc)
+       |  WHERE rn <= 20),
+       |fv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |rer AS MATERIALIZED (
+       |  SELECT s.qid, s.cid, s.adc_sq_e12,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)
+       |      AS exact_sq_e12
+       |  FROM shortlist s
+       |  JOIN fv q ON q.vec_id = s.qid
+       |  JOIN fv c ON c.vec_id = s.cid)
+       |SELECT qid, cid, adc_sq_e12, exact_sq_e12, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY exact_sq_e12, cid) AS BIGINT) AS rank FROM rer)
+       |WHERE rank <= 5""".stripMargin)
 
   // Per-vector symmetric int8 quantization (the storage/serving compression
   // for a 100 TB embedding corpus: 4 bytes/dim → 1). scale = max|x|/127;
@@ -5255,6 +5410,7 @@ object ExtQueries {
     "sim_pq_train" -> simPqTrain,
     "sim_ivfpq_trained" -> simIvfPqTrained,
     "sim_ivfpq_recall" -> simIvfPqRecall,
+    "sim_ivfpq_rerank_trained" -> simIvfPqRerankTrained,
     "pii_pseudonymize" -> piiPseudonymize,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_sample_rate" -> pipelineSampleRate,

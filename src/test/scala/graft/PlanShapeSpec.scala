@@ -472,6 +472,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivfpq_rerank_trained: trained shortlist broadcasts into the exact refine") {
+    // the two-stage serving pair under the TRAINED codebook: same pins as
+    // sim_ivfpq_rerank — heap top-k both stages, no rank windows, and the
+    // checkpointed shortlist must BROADCAST into the refine join (AQE
+    // cannot size a LogicalRDD; an un-hinted join demotes to a sort-merge
+    // that shuffles the corpus for a k'×queries probe side)
+    val p = plan("sim_ivfpq_rerank_trained")
+    graft.util.Checkpoints.releaseOwned(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fallback in the trained rerank plan:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"expected the map-side heap for both stages in:\n$p")
+    assert(!p.contains("Window"), s"rank window crept into:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist→corpus refine join demoted to a corpus shuffle:\n$p")
+    val r = SparkEntry.queries("sim_ivfpq_rerank_trained")(
+      spark, SparkTestBase.sf).collect()
+    graft.util.Checkpoints.releaseOwned(spark)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q carries ${rows.length} rows")
+      val ex = rows.sortBy(_.getLong(4)).map(_.getLong(3))
+      assert(ex.zip(ex.drop(1)).forall { case (a, b) => a <= b },
+        s"exact_sq_e12 not ascending with rank for query $q: ${ex.toSeq}")
+      assert(rows.forall(_.getLong(2) >= 0))
+    }
+    // the refine must disagree with trained-ADC order somewhere — a
+    // vacuous refine means the stage tests nothing (deterministic
+    // fixture, so this is an exactness property, not a flake)
+    val anyReorder = byQ.exists { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(4)).map(_.getLong(2))
+      byRank.zip(byRank.drop(1)).exists { case (a, b) => a > b }
+    }
+    assert(anyReorder,
+      "trained rerank never disagreed with ADC order — vacuous refine")
+  }
+
   test("sim_ivfpq_recall: capped probes; hits AND candidate costs monotone in nprobe") {
     // the one all-pairs shape allowed is the broadcast capped-truth side
     // (≤500 probes × corpus — linear in n with a fixed factor); the
@@ -489,16 +526,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val nEval = r.getLong(0)
     assert(nEval > 0 && nEval <= 500,
       s"probe cap violated: n_eval=$nEval (must be a fixed ≤500)")
-    val (h1, h2, h4) = (r.getLong(1), r.getLong(3), r.getLong(5))
+    val (h1, h2, h4, h8) =
+      (r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(7))
     // nprobe rung r+1's candidates are a superset of rung r's (cells are
     // ranked, rungs are prefixes) and the exact top-1 under the (d2, id)
     // tie-break is unique — widening can never turn a hit into a miss
-    assert(h1 <= h2 && h2 <= h4,
-      s"recall not monotone in nprobe: $h1, $h2, $h4")
-    assert(h4 >= 0 && h4 <= nEval)
-    val (c1, c2, c4) = (r.getLong(7), r.getLong(8), r.getLong(9))
-    assert(c1 <= c2 && c2 <= c4 && c4 > 0,
-      s"candidate costs not monotone: $c1, $c2, $c4")
+    assert(h1 <= h2 && h2 <= h4 && h4 <= h8,
+      s"recall not monotone in nprobe: $h1, $h2, $h4, $h8")
+    assert(h8 >= 0 && h8 <= nEval)
+    val (c1, c2, c4, c8) =
+      (r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12))
+    assert(c1 <= c2 && c2 <= c4 && c4 <= c8 && c8 > 0,
+      s"candidate costs not monotone: $c1, $c2, $c4, $c8")
+    // REAL pruning power (r15 VERDICT #1): with the 64-cell trained
+    // quantizer the cheapest rung must scan a small corpus fraction —
+    // ~1/64 ≈ 1.6 % expected, ≤5 % allowed for cell-size skew — and even
+    // nprobe=8 must stay well under the old 8-cell geometry's floor
+    // (12.5 % at nprobe=1). Measured at both gate SFs: rung 1 scans
+    // 1.6–1.7 %, rung 8 12.7–14.3 %.
+    val corpus = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.sf}/embeddings.parquet").count()
+    assert(c1.toDouble / nEval <= corpus * 0.05,
+      s"nprobe=1 scans ${c1.toDouble / nEval / corpus * 100}% of the " +
+        s"corpus — the coarse quantizer is not pruning")
+    assert(c8.toDouble / nEval <= corpus * 0.25,
+      s"nprobe=8 scans ${c8.toDouble / nEval / corpus * 100}% of the corpus")
   }
 
   test("olap_nation_share broadcasts every dimension; facts join hash once") {
