@@ -761,12 +761,18 @@ object Bench {
     // trial records (gc_ms delta, 1-min load avg, tmpdir free GB) so the
     // next swing is attributable from the artifact alone.
     val wal10Env = scala.collection.mutable.Buffer.empty[EnvRow]
-    // r15: one UNTIMED warm-up drain before the recorded 10× trials. The
+    // r15: UNTIMED warm-up drains before the recorded 10× trials. The
     // cpu-vs-wall rows attributed the r14 "outlier" class to client JIT
     // warm-up — cpu and wall fall TOGETHER across trials (47.7 → 32.1
     // cpu-s as wall fell 9.6 → 3.6 s in the r15 local run) — so the
-    // warm-up transient belongs OUTSIDE the recorded band; its time is
-    // still an artifact field, nothing hidden.
+    // warm-up transient belongs OUTSIDE the recorded band; its times are
+    // still artifact fields, nothing hidden. r16 (r15 VERDICT #2): ONE
+    // warm-up demonstrably did not reach steady state — the recorded r15
+    // trials still descended through trial 4 ([17.2, 5.2, 3.7, 2.2, 2.4]
+    // with cpu_s falling 418 → 28 in lockstep) — so the warm-up now
+    // REPEATS until the untimed drain lands within 15 % of its
+    // predecessor (cap 3), and the recorded band starts at steady state.
+    val wal10WarmupTrials = scala.collection.mutable.Buffer.empty[Double]
     var wal10WarmupS = -1.0
     // r15: the headline wal_drain point gets the same rows (it drifted
     // 0.247→0.270 in the r14 tier-wide shift with nothing to attribute)
@@ -1096,16 +1102,32 @@ object Bench {
             f"[bench] wal_drain_10x load gate: waited $ww%.0f s, " +
               f"load=$wl%.2f (threshold $loadThresh) → $wv")
           if (sys.env.getOrElse("GRAFT_BENCH_10X_WARMUP", "1") != "0") {
-            wal10WarmupS =
-              try oneDrain(ev10, min10, max10, min10 + 999, 40,
-                framesHeadline, async = false)
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] wal_drain_10x warm-up failed: $e")
-                -1.0
-              }
-            System.err.println(
-              f"[bench] wal_drain_10x warm-up (untimed): $wal10WarmupS%.3f s")
-            waitQuiet(1.0, 90)
+            // steady-state warm-up (r15 VERDICT #2): repeat the untimed
+            // drain until it lands within 15 % of its predecessor (the
+            // trial-over-trial delta is FLAT, i.e. JIT/codegen has
+            // converged), cap 3 — every warm-up time is recorded in
+            // wal_drain_10x_warmup_trials so "reached steady state" is
+            // artifact data, not a claim
+            var prevWarm = -1.0
+            var steady = false
+            while (!steady && wal10WarmupTrials.size < 3) {
+              val t =
+                try oneDrain(ev10, min10, max10, min10 + 999, 40,
+                  framesHeadline, async = false)
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] wal_drain_10x warm-up failed: $e")
+                  -1.0
+                }
+              wal10WarmupTrials += t
+              System.err.println(
+                f"[bench] wal_drain_10x warm-up ${wal10WarmupTrials.size}/3 " +
+                  f"(untimed): $t%.3f s")
+              steady = t < 0 ||
+                (prevWarm > 0 && math.abs(t - prevWarm) <= 0.15 * prevWarm)
+              prevWarm = t
+              waitQuiet(1.0, 90)
+            }
+            wal10WarmupS = wal10WarmupTrials.lastOption.getOrElse(-1.0)
           }
           // 5 trials (r14 VERDICT #2, was 3): r14's trial 3 stalled 2.2×
           // with a benign env row — one unexplained stall in three
@@ -1169,15 +1191,29 @@ object Bench {
       if (runDrain) "1" else "0") != "0"
     // per-(variant, pass) env rows for all three floor variants
     val floorEnv = scala.collection.mutable.Buffer.empty[(String, Int, EnvRow)]
+    // per-(variant, pass) (p50, p99) — every pass lands in the artifact
+    val floorPassRows =
+      scala.collection.mutable.Buffer.empty[(String, Int, Long, Long)]
+    // committed cross-run async-p50 baseline (ms): recorded r13 34, r15
+    // provisional band 38–56 — drift beyond 1.3× this trips the gate
+    val FloorAsyncP50BaselineMs = 40.0
+    var floorGateVerdict = "unavailable"
     if (runFloor) {
-      // passes > 1 (GRAFT_BENCH_FLOOR_PASSES) report the LAST pass only:
       // pass 1 absorbs JIT/codegen/stream-startup (a cold first micro-batch
       // costs seconds and would swallow the whole arrival window into one
-      // batch). Default is 2 passes in EVERY mode — r8's recorded suite run
-      // used 1 pass and cold-start swallowed the async win (artifact p50
-      // 207 ms async vs 208 sync, vs ~60/~250 warm); the suite's warm-up
-      // runs queries, not streams, so it does not warm the floor path.
-      val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES", "2").toInt
+      // batch) and is never the headline — r8's recorded 1-pass floor read
+      // 207 ms async because cold-start swallowed the win; the suite's
+      // warm-up runs queries, not streams, so it does not warm this path.
+      // r16 (r15 VERDICT #3): the recorded floors ratcheted up three
+      // consecutive rounds (async p50 34 → 46 → 54 ms) while provisional
+      // runs spanned 38–56 — the old last-pass-of-2 policy was a SINGLE
+      // sample of a wide inter-run band that kept drawing the slow edge.
+      // Now: 4 passes default (1 cold + 3 recorded), every pass's
+      // per-variant p50/p99 lands in the artifact, the headline is the
+      // MIN-p50 recorded pass per variant (its p99 from the same pass),
+      // and a committed cross-run baseline gates drift like the live-10×
+      // ceiling does.
+      val passes = sys.env.getOrElse("GRAFT_BENCH_FLOOR_PASSES", "4").toInt
       // Two floor variants per pass:
       //  - async DSv2 frames sink (the headline `latency_floor_ms`): offset
       //    and commit log writes off the critical path — the directive's
@@ -1248,6 +1284,7 @@ object Bench {
             var out = (0L, 0L)
             val (_, env) = envTrial { out = run; 0.0 }
             floorEnv += ((variant, pass, env))
+            floorPassRows += ((variant, pass, out._1, out._2))
             out
           }
           val (sp50, sp99) = floorEnvTrial("sync", floorOnce("parquet", async = false))
@@ -1256,11 +1293,6 @@ object Bench {
             case Some(b) =>
               floorEnvTrial("wire", floorOnce("frames", async = true, wire = Some(b)))
             case None => (0L, 0L)
-          }
-          if (pass == passes) {
-            floorP50 = ap50; floorP99 = ap99
-            floorSyncP50 = sp50; floorSyncP99 = sp99
-            floorWireP50 = wp50; floorWireP99 = wp99
           }
           System.err.println(
             s"[bench] latency_floor pass $pass/$passes (trigger=5ms, " +
@@ -1273,6 +1305,105 @@ object Bench {
           recErr("latency_floor", e)
         }
       } finally floorBroker.foreach(_.close())
+      // headline per variant = the MIN-p50 RECORDED pass (pass ≥ 2 when
+      // more than one pass ran; its p99 rides from the same pass so the
+      // pair stays coherent) — min-of-passes is the drain points' policy
+      // applied to the floors
+      def headlineOf(variant: String): (Long, Long) = {
+        val rec = floorPassRows.filter(r =>
+          r._1 == variant && (passes == 1 || r._2 >= 2) && r._3 > 0)
+        if (rec.isEmpty) (0L, 0L)
+        else { val best = rec.minBy(_._3); (best._3, best._4) }
+      }
+      val (ap, ap9) = headlineOf("async"); floorP50 = ap; floorP99 = ap9
+      val (sp, sp9) = headlineOf("sync"); floorSyncP50 = sp; floorSyncP99 = sp9
+      val (wp, wp9) = headlineOf("wire"); floorWireP50 = wp; floorWireP99 = wp9
+      // committed cross-run baseline gate (the live_drain_10x_ceiling
+      // pattern): recorded async p50 was 34 ms (r13) with same-day
+      // provisional bands 38–56 (r15) — baseline 40 ms, breach at >1.3×.
+      // A breach never hides the number; the artifact carries the verdict
+      // so three silent ratchets (r13→r15) can't happen again.
+      floorGateVerdict =
+        if (floorP50 <= 0) "unavailable"
+        else if (floorP50 <= FloorAsyncP50BaselineMs * 1.3) "pass"
+        else "breach"
+      System.err.println(s"[bench] latency_floor headline (min-p50 " +
+        s"recorded pass): async p50=${floorP50}ms p99=${floorP99}ms, " +
+        s"sync p50=${floorSyncP50}ms, wire p50=${floorWireP50}ms; " +
+        s"gate vs ${FloorAsyncP50BaselineMs} ms × 1.3 → $floorGateVerdict")
+    }
+
+    // -------- ANN streaming serving point (r15 VERDICT #6) --------
+    // `AnnServeStream` (the stateless foreachBatch ANN serving twin) gets
+    // a MEASURED number next to the reference's <10 ms push-latency
+    // design claim: per-batch wall-clock p50/p99 at trigger=5 ms with
+    // 1-query arrivals, plus end-to-end queries/s, served against the
+    // broadcast TRAINED index. The index builds UNTIMED (serving, not
+    // training, is the rung); 2 passes, pass 1 absorbs stream/JIT
+    // cold-start and pass 2 records — the floor protocol.
+    val runAnn = sys.env.getOrElse("GRAFT_BENCH_ANN",
+      if (runFloor) "1" else "0") != "0"
+    var annServeQps = -1.0
+    var annServeP50 = 0L; var annServeP99 = 0L
+    val annServeEnv = scala.collection.mutable.Buffer.empty[(Int, EnvRow)]
+    if (runAnn) {
+      try {
+        val (_, codes, carr) =
+          graft.queries.ExtQueries.pqTrainedIndex(spark, sfDir)
+        codes.count(); carr.count() // materialize the index off the clock
+        val nq = 40
+        val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .filter(col("vec_id") < nq)
+        def annOnce(): (Long, Long, Double) = {
+          val m = new graft.metrics.GraftMetrics
+          val l = new graft.metrics.GraftQueryListener(m)
+          spark.streams.addListener(l)
+          val dir = Files.createTempDirectory("graft-bench-annq").toString
+          val ck = Files.createTempDirectory("graft-bench-annck").toString
+          try {
+            // one file per query, pre-written: maxFilesPerTrigger=1 turns
+            // them into nq 1-query micro-batches served back-to-back
+            (0 until nq).foreach { i =>
+              queries.filter(col("vec_id") === i).coalesce(1)
+                .write.mode("append").parquet(dir)
+            }
+            var served = 0L
+            val q = spark.readStream.schema(queries.schema)
+              .option("maxFilesPerTrigger", "1").parquet(dir)
+              .writeStream
+              .option("checkpointLocation", ck)
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .ProcessingTime(5L))
+              .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                  _: Long) =>
+                served += graft.streaming.AnnServeStream
+                  .serve(b, codes, carr).count()
+              }.start()
+            val t0 = System.nanoTime()
+            try q.processAllAvailable() finally q.stop()
+            val wall = (System.nanoTime() - t0) / 1e9
+            require(served > 0, "ANN serving stream produced zero rows")
+            val (p50, p99) = m.batchLatencyMs
+            (p50, p99, nq / wall)
+          } finally {
+            spark.streams.removeListener(l); rmRf(dir); rmRf(ck)
+          }
+        }
+        (1 to 2).foreach { pass =>
+          var out = (0L, 0L, -1.0)
+          val (_, env) = envTrial { out = annOnce(); 0.0 }
+          annServeEnv += ((pass, env))
+          if (pass == 2) {
+            annServeP50 = out._1; annServeP99 = out._2; annServeQps = out._3
+          }
+          System.err.println(f"[bench] ann_serve pass $pass/2: " +
+            f"p50=${out._1}ms p99=${out._2}ms qps=${out._3}%.1f")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann_serve failed: ${e.getMessage}")
+        recErr("ann_serve", e)
+      } finally graft.util.Checkpoints.releaseOwned(spark)
     }
 
     // ---------------- per-query suite (AFTER the headline drains) ---------
@@ -1403,6 +1534,8 @@ object Bench {
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_env":[${wal10Env.map(_.json).mkString(",")}],""" +
       s""""wal_drain_10x_warmup_s":${r3(wal10WarmupS)},""" +
+      s""""wal_drain_10x_warmup_trials":[${
+        wal10WarmupTrials.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
       s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
       s""""live_drain_events":$liveDrainEvents,""" +
@@ -1431,6 +1564,18 @@ object Bench {
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
       s""""latency_floor_sync_ms":{"p50":$floorSyncP50,"p99":$floorSyncP99},""" +
       s""""latency_floor_wire_ms":{"p50":$floorWireP50,"p99":$floorWireP99},""" +
+      s""""ann_serve_qps":${r3(annServeQps)},""" +
+      s""""ann_serve_batch_ms":{"p50":$annServeP50,"p99":$annServeP99},""" +
+      s""""ann_serve_env":[${annServeEnv.map { case (pass, env) =>
+        s"""{"pass":$pass,${env.json.tail}"""
+      }.mkString(",")}],""" +
+      s""""latency_floor_passes_ms":[${floorPassRows.map {
+        case (variant, pass, p50, p99) =>
+          s"""{"variant":"$variant","pass":$pass,"p50":$p50,"p99":$p99}"""
+      }.mkString(",")}],""" +
+      s""""latency_floor_gate":{"async_p50_baseline_ms":${
+        r3(FloorAsyncP50BaselineMs)},"factor":1.3,""" +
+      s""""recorded_p50":$floorP50,"verdict":"$floorGateVerdict"},""" +
       s""""latency_floor_env":[${floorEnv.map { case (variant, pass, env) =>
         s"""{"variant":"$variant","pass":$pass,${env.json.tail}"""
       }.mkString(",")}],""" +
