@@ -1,6 +1,6 @@
 package graft
 
-import graft.sink.kafka.KafkaWire
+import graft.sink.kafka.{KafkaSasl, KafkaWire}
 import java.io.{DataInputStream, DataOutputStream}
 import java.net.{ServerSocket, Socket}
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   */
 final class FakeKafkaBroker(topics: Map[String, Int],
     retain: Boolean = true,
-    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    sasl: Option[KafkaSasl.ServerConfig] = None) extends AutoCloseable {
   // with `tls`, the broker speaks TLS from byte 0 (security.protocol=SSL —
   // the Kafka protocol has no in-band upgrade); the handshake runs lazily
   // on the accepted socket's first stream use inside handle(), so a client
@@ -84,14 +85,46 @@ final class FakeKafkaBroker(topics: Map[String, Int],
         s.getInputStream))
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
         s.getOutputStream))
+      // per-connection SASL state (when the broker is SASL-configured):
+      // real brokers allow ApiVersions before authentication and nothing
+      // else — a data API on an unauthenticated connection kills it, the
+      // fail-fast twin of the real broker's error-and-close
+      val saslSession = sasl.map(new KafkaSasl.ServerSession(_))
       while (running) {
         val frame = KafkaWire.readFrame(in)
         val req = new KafkaWire.In(frame)
         val apiKey = req.i16(); val version = req.i16()
         val corrId = req.i32(); req.str() // clientId
+        saslSession.foreach { ss =>
+          if (!ss.authenticated &&
+              apiKey != KafkaSasl.ApiSaslHandshake &&
+              apiKey != KafkaSasl.ApiSaslAuthenticate &&
+              apiKey != KafkaWire.ApiVersions)
+            throw new IllegalStateException(
+              s"api key $apiKey before SASL authentication")
+        }
         val body = new KafkaWire.Out
         body.i32(corrId)
         apiKey match {
+          case KafkaSasl.ApiSaslHandshake =>
+            val mech = req.str()
+            val (err, mechs) = saslSession match {
+              case Some(ss) => ss.handshake(mech)
+              case None =>
+                // no SASL configured: a handshake on a plaintext/SSL
+                // broker is a client config error — reject loudly
+                (KafkaSasl.ErrIllegalSaslState, Seq.empty[String])
+            }
+            body.i16(err)
+            body.i32(mechs.size); mechs.foreach(body.str)
+          case KafkaSasl.ApiSaslAuthenticate =>
+            val token = req.bytes()
+            val (err, msg, data) = saslSession match {
+              case Some(ss) => ss.authenticateStep(token)
+              case None => (KafkaSasl.ErrIllegalSaslState,
+                "broker has no SASL configured", null)
+            }
+            body.i16(err); body.str(msg); body.bytes(data)
           case KafkaWire.ApiVersions =>
             body.i16(0) // error
             body.i32(3)

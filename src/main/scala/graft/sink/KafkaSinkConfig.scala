@@ -76,15 +76,18 @@ object KafkaSinkConfig {
     *  - `enable.ssl.certificate.verification=false` — encrypt without
     *    authenticating the peer (PgTls `require` semantics; loud opt-out).
     *
-    * Returns None for PLAINTEXT / absent protocol; throws on SASL_* (the
-    * wire producer has no SASL) and on SSL without a usable trust config. */
+    * Returns None for PLAINTEXT / SASL_PLAINTEXT / absent protocol (the
+    * SASL half routes through [[wireSasl]]); SASL_SSL derives the same
+    * TLS config as SSL — the reference's tls×sasl axis composition
+    * (config.zig:194-198: security.protocol = sasl_ssl when both are on).
+    * Throws on SSL without a usable trust config. */
   def wireTls(security: Map[String, String])
       : Option[graft.source.postgres.PgTls.SslConfig] = {
     val norm = security.map { case (k, v) =>
       (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v }
     norm.getOrElse("kafka.security.protocol", "PLAINTEXT") match {
-      case "PLAINTEXT" => None
-      case "SSL" =>
+      case "PLAINTEXT" | "SASL_PLAINTEXT" => None
+      case "SSL" | "SASL_SSL" =>
         val verifyChain = norm
           .getOrElse("kafka.enable.ssl.certificate.verification", "true")
           .toBoolean
@@ -101,33 +104,107 @@ object KafkaSinkConfig {
         Some(graft.source.postgres.PgTls.SslConfig(mode,
           norm.get("kafka.ssl.ca.location")))
       case other => throw new IllegalArgumentException(
-        s"the wire producer supports PLAINTEXT and SSL; '$other' needs the " +
-          "stock connector (SASL is not modeled on the wire path)")
+        s"unknown kafka security.protocol '$other' " +
+          s"(allowed: ${SecurityProtocols.mkString(", ")})")
     }
   }
 
-  /** Upgrade a `wire://` bootstrap to `wire+tls://…` per validated SSL
-    * security options (no-op for PLAINTEXT) — the string form every
-    * existing plumbing point (env var, sink option, pool key) carries. */
-  def secureWireBootstrap(bootstrap: String,
-      security: Map[String, String]): String =
-    wireTls(security) match {
-      case None => bootstrap
-      case Some(cfg) =>
-        require(bootstrap.startsWith("wire://"),
-          s"secureWireBootstrap expects a wire:// bootstrap, got '$bootstrap'")
-        val verify = cfg.mode match {
-          case "verify-full" => "full"
-          case "verify-ca" => "ca"
-          case _ => "require"
+  /** Map validated `security.protocol=SASL_*` options to the wire
+    * producer's SASL config (r15 VERDICT #4 — the last sink-parity
+    * sliver; every managed Kafka requires SASL). Option names are
+    * librdkafka's (`sasl.mechanism`, `sasl.username`), as the reference
+    * forwards them; the password comes from exactly one of:
+    *
+    *  - `sasl.password.env` — the NAME of an environment variable holding
+    *    the secret, the reference's discipline (config.zig:61-85:
+    *    `password_env` — the password never lands in a config file, and
+    *    never in a bootstrap/pool-key string here), or
+    *  - `sasl.password` — the secret directly (test/dev convenience;
+    *    cannot ride the string-plumbed bootstrap, see
+    *    [[secureWireBootstrap]]).
+    *
+    * Returns None for non-SASL protocols; SASL options present WITHOUT a
+    * SASL_* protocol throw (a silently-ignored credential config is the
+    * downgrade class the validators exist to prevent). `env` is
+    * injectable for tests. */
+  def wireSasl(security: Map[String, String],
+      env: String => Option[String] = sys.env.get)
+      : Option[graft.sink.kafka.KafkaSasl.Config] = {
+    val norm = security.map { case (k, v) =>
+      (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v }
+    def opt(k: String) = norm.get(s"kafka.$k")
+    norm.getOrElse("kafka.security.protocol", "PLAINTEXT") match {
+      case "SASL_PLAINTEXT" | "SASL_SSL" =>
+        val mech = opt("sasl.mechanism").getOrElse(throw
+          new IllegalArgumentException(
+            "SASL_* security.protocol requires sasl.mechanism"))
+        val user = opt("sasl.username").getOrElse(throw
+          new IllegalArgumentException(
+            "SASL_* security.protocol requires sasl.username"))
+        val direct = opt("sasl.password")
+        val fromEnv = opt("sasl.password.env")
+        require(direct.isDefined != fromEnv.isDefined,
+          "exactly one of sasl.password / sasl.password.env must be set")
+        val pw = direct.getOrElse {
+          val name = fromEnv.get
+          env(name).getOrElse(throw new IllegalArgumentException(
+            s"sasl.password.env names '$name' but it is not set in the " +
+              "environment"))
         }
-        // percent-encode the path: a CA path containing '&' (legal in a
-        // filename) would otherwise split the query and fail
-        // WireEndpoint.parse (r15 review finding); parse decodes
-        val ca = cfg.rootCertPath.map(p => "ca=" +
-          java.net.URLEncoder.encode(p, "UTF-8") + "&").getOrElse("")
-        s"wire+tls://${bootstrap.stripPrefix("wire://")}?${ca}verify=$verify"
+        Some(graft.sink.kafka.KafkaSasl.Config(mech, user, pw))
+      case _ =>
+        require(opt("sasl.mechanism").isEmpty &&
+            opt("sasl.username").isEmpty && opt("sasl.password").isEmpty &&
+            opt("sasl.password.env").isEmpty,
+          "sasl.* options set but security.protocol is not SASL_* — " +
+            "credentials would be silently ignored; set SASL_PLAINTEXT " +
+            "or SASL_SSL")
+        None
     }
+  }
+
+  /** Upgrade a `wire://` bootstrap to its secured form per validated
+    * security options (no-op for PLAINTEXT) — the string form every
+    * existing plumbing point (env var, sink option, pool key) carries:
+    * `wire+tls://` for SSL, SASL params appended for SASL_* (the string
+    * carries the password's env NAME, never the secret — so the direct
+    * `sasl.password` option cannot ride this path and fails loudly;
+    * resolve-at-parse is WireEndpoint's job). */
+  def secureWireBootstrap(bootstrap: String,
+      security: Map[String, String],
+      env: String => Option[String] = sys.env.get): String = {
+    val tls = wireTls(security)
+    val saslCfg = wireSasl(security, env) // validates mechanism + env presence
+    if (tls.isEmpty && saslCfg.isEmpty) return bootstrap
+    require(bootstrap.startsWith("wire://"),
+      s"secureWireBootstrap expects a wire:// bootstrap, got '$bootstrap'")
+    // percent-encode values: a CA path containing '&' (legal in a
+    // filename) — or a username with URL metacharacters — would
+    // otherwise split the query and fail WireEndpoint.parse; parse decodes
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val tlsParams = tls.toSeq.flatMap { cfg =>
+      val verify = cfg.mode match {
+        case "verify-full" => "full"
+        case "verify-ca" => "ca"
+        case _ => "require"
+      }
+      cfg.rootCertPath.map(p => s"ca=${enc(p)}").toSeq :+ s"verify=$verify"
+    }
+    val saslParams = saslCfg.toSeq.flatMap { c =>
+      val norm = security.map { case (k, v) =>
+        (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v }
+      val envName = norm.getOrElse("kafka.sasl.password.env", throw
+        new IllegalArgumentException(
+          "the string-plumbed wire bootstrap carries the password's env " +
+            "NAME, never the secret — use sasl.password.env (not " +
+            "sasl.password) with a wire:// bootstrap"))
+      Seq(s"saslmech=${enc(c.mechanism)}", s"sasluser=${enc(c.username)}",
+        s"saslpassenv=${enc(envName)}")
+    }
+    val scheme = if (tls.isDefined) "wire+tls://" else "wire://"
+    s"$scheme${bootstrap.stripPrefix("wire://")}?" +
+      (tlsParams ++ saslParams).mkString("&")
+  }
 }
 
 /** The seam between a shaped micro-batch and its delivery — what the

@@ -2,10 +2,11 @@ package graft.sink.kafka
 
 import graft.source.postgres.PgTls
 
-/** Bootstrap-string form of the wire producer's endpoint, TLS included, so
-  * the TLS decision flows through every existing string plumbing point (the
-  * `GRAFT_KAFKA_BOOTSTRAP` env, the frames sink's `bootstrap` option, the
-  * producer pool key) without threading new parameters through DSv2:
+/** Bootstrap-string form of the wire producer's endpoint, TLS and SASL
+  * included, so both security axes flow through every existing string
+  * plumbing point (the `GRAFT_KAFKA_BOOTSTRAP` env, the frames sink's
+  * `bootstrap` option, the producer pool key) without threading new
+  * parameters through DSv2:
   *
   *   - `wire://host:port` — plaintext (unchanged).
   *   - `wire+tls://host:port?ca=<path>[&verify=full|ca|require]` — TLS
@@ -16,22 +17,39 @@ import graft.source.postgres.PgTls
   *       require → encrypt-only, peer NOT authenticated (libpq
   *                 sslmode=require semantics — see PgTls's loud caveat)
   *     `ca` is required for full/ca, ignored for require.
+  *   - either scheme may carry SASL params
+  *     `saslmech=<PLAIN|SCRAM-SHA-256|SCRAM-SHA-512>&sasluser=<user>&
+  *     saslpassenv=<ENV_NAME>` — `security.protocol=SASL_PLAINTEXT` /
+  *     `SASL_SSL` per the scheme. The string carries the NAME of the
+  *     environment variable holding the password, NEVER the secret
+  *     itself (the reference's password_env discipline,
+  *     src/config/config.zig:61-85); the variable resolves at parse
+  *     time and an unset variable fails loudly.
   *
-  * Validation (mode spelling, readable CA file) happens in
-  * [[PgTls.SslConfig]]'s constructor — a bad TLS bootstrap fails at parse
-  * time, before any socket opens, never downgrading to plaintext.
-  * Reference contract: the producer's TLS connect / verify-full accept /
-  * reject-on-bad-cert tests, src/sink/kafka/producer_test.zig:70-282.
+  * Validation (mode spelling, readable CA file, known mechanism, env
+  * presence) happens at parse time — a bad security bootstrap fails
+  * before any socket opens, never downgrading to plaintext/unauthed.
+  * Reference contract: the producer's TLS verify tests plus the SASL
+  * mechanism axis, src/sink/kafka/producer_test.zig:70-282 and
+  * src/config/config.zig:28,194-198.
   */
 object WireEndpoint {
 
+  /** Environment lookup for `saslpassenv` resolution. A `var` ONLY so
+    * tests can inject credentials (the JVM cannot set real process env);
+    * production leaves it at `sys.env.get`. */
+  @volatile var envReader: String => Option[String] = sys.env.get
+
   final case class Ep(host: String, port: Int,
-      tls: Option[PgTls.SslConfig]) {
-    /** Pool-key form: producers with different TLS identities must never
-      * share a pooled connection. */
+      tls: Option[PgTls.SslConfig],
+      sasl: Option[KafkaSasl.Config] = None) {
+    /** Pool-key form: producers with different TLS trust or SASL
+      * principal identities must never share a pooled connection. The
+      * password is deliberately NOT part of the key. */
     def poolKey: (String, Int, String) = (host, port,
       tls.map(t => t.mode + "@" + t.rootCertPath.getOrElse(""))
-        .getOrElse("plaintext"))
+        .getOrElse("plaintext") + "|" +
+        sasl.map(_.poolId).getOrElse("nosasl"))
   }
 
   def accepts(bootstrap: String): Boolean =
@@ -49,15 +67,18 @@ object WireEndpoint {
     }
     val ci = hp.lastIndexOf(':')
     require(ci > 0, s"wire bootstrap needs host:port, got '$bootstrap'")
+    val params = query.split('&').iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"malformed wire bootstrap param '$kv' (expected k=v)")
+      (kv.substring(0, i), kv.substring(i + 1))
+    }.toMap
+    val saslKeys = Set("saslmech", "sasluser", "saslpassenv")
+    val allowed = saslKeys ++ (if (tlsScheme) Set("ca", "verify") else Set.empty)
+    val unknown = params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"unknown wire bootstrap params ${unknown.mkString(", ")} " +
+        s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
     val tls = if (!tlsScheme) None else {
-      val params = query.split('&').iterator.filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"malformed wire+tls param '$kv' (expected k=v)")
-        (kv.substring(0, i), kv.substring(i + 1))
-      }.toMap
-      val unknown = params.keySet -- Set("ca", "verify")
-      require(unknown.isEmpty,
-        s"unknown wire+tls params ${unknown.mkString(", ")} (ca, verify)")
       val mode = params.getOrElse("verify", "full") match {
         case "full" => "verify-full"
         case "ca" => "verify-ca"
@@ -65,11 +86,27 @@ object WireEndpoint {
         case other => throw new IllegalArgumentException(
           s"unknown verify '$other' (allowed: full, ca, require)")
       }
-      // ca values arrive percent-encoded (secureWireBootstrap encodes so
-      // a path containing '&' survives the query split) — decode here
+      // values arrive percent-encoded (secureWireBootstrap encodes so a
+      // path containing '&' survives the query split) — decode here
       Some(PgTls.SslConfig(mode,
         params.get("ca").map(java.net.URLDecoder.decode(_, "UTF-8"))))
     }
-    Ep(hp.substring(0, ci), hp.substring(ci + 1).toInt, tls)
+    val sasl = params.get("saslmech").map { mechEnc =>
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      val user = params.getOrElse("sasluser", throw
+        new IllegalArgumentException("saslmech without sasluser"))
+      val envName = params.getOrElse("saslpassenv", throw
+        new IllegalArgumentException("saslmech without saslpassenv — the " +
+          "bootstrap carries the password's env NAME, never the secret"))
+      val pw = envReader(dec(envName)).getOrElse(throw
+        new IllegalArgumentException(
+          s"saslpassenv names '${dec(envName)}' but it is not set in the " +
+            "environment"))
+      KafkaSasl.Config(dec(mechEnc), dec(user), pw)
+    }
+    require(sasl.isDefined || !params.contains("sasluser") &&
+        !params.contains("saslpassenv"),
+      "sasluser/saslpassenv without saslmech")
+    Ep(hp.substring(0, ci), hp.substring(ci + 1).toInt, tls, sasl)
   }
 }

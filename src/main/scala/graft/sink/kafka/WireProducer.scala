@@ -43,7 +43,8 @@ final class WireProducer(host: String, port: Int,
     maxRetries: Int = 5,
     retryBackoffMs: Long = 50L,
     requestTimeoutMs: Int = 30000,
-    tls: Option[graft.source.postgres.PgTls.SslConfig] = None)
+    tls: Option[graft.source.postgres.PgTls.SslConfig] = None,
+    sasl: Option[KafkaSasl.Config] = None)
     extends AutoCloseable {
 
   private var socket: Socket = _
@@ -82,6 +83,26 @@ final class WireProducer(host: String, port: Int,
       socket.getOutputStream, 1 << 16))
     in = new DataInputStream(new java.io.BufferedInputStream(
       socket.getInputStream, 1 << 16))
+    // SASL runs immediately after the transport is up (and AFTER the TLS
+    // wrap for SASL_SSL — credentials never cross an unencrypted socket
+    // unless the config explicitly chose SASL_PLAINTEXT), before any
+    // other API call; a rejected exchange tears the connection down and
+    // the producer never proceeds half-authenticated
+    sasl.foreach { cfg =>
+      try KafkaSasl.authenticate(cfg, (key, ver, body) => {
+        corr += 1
+        val sent = corr
+        KafkaWire.writeFrame(out, key, ver, sent, clientId, body)
+        val resp = new KafkaWire.In(KafkaWire.readFrame(in))
+        val got = resp.i32()
+        require(got == sent, s"correlation mismatch: sent $sent got $got")
+        resp
+      }) catch { case e: Throwable =>
+        try socket.close() catch { case _: Throwable => () }
+        socket = null
+        throw e
+      }
+    }
   }
 
   private def roundTrip(apiKey: Short, version: Short,

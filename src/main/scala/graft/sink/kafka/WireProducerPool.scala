@@ -34,7 +34,8 @@ object WireProducerPool {
     val q = pools.computeIfAbsent(ep.poolKey,
       _ => new ConcurrentLinkedQueue[WireProducer]())
     Option(q.poll())
-      .getOrElse(new WireProducer(ep.host, ep.port, tls = ep.tls))
+      .getOrElse(new WireProducer(ep.host, ep.port, tls = ep.tls,
+        sasl = ep.sasl))
   }
 
   /** Return a HEALTHY producer (post-barrier, zero delivery errors). */

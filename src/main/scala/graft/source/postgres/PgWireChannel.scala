@@ -183,53 +183,66 @@ object PgWire {
   }
 }
 
-/** SCRAM-SHA-256 client (RFC 5802/7677, the PostgreSQL default auth since
-  * v14's `password_encryption = scram-sha-256`). No channel binding
-  * (`n,,` gs2 header — the plain `SCRAM-SHA-256` mechanism, not `-PLUS`).
-  * Crypto primitives exposed so a test-side verifier can share them. */
-object ScramSha256 {
+/** Hash-parameterized SCRAM client core (RFC 5802): SHA-256 for the
+  * PostgreSQL handshake (via [[ScramSha256]]) and SHA-256/SHA-512 for the
+  * Kafka SaslAuthenticate exchange (`graft.sink.kafka.KafkaSasl`). One
+  * exchange implementation, two wire carriages — the mechanism bytes are
+  * transport-independent by design (RFC 5802 §5). */
+object Scram {
   import javax.crypto.Mac
   import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-  val Mechanism = "SCRAM-SHA-256"
+  /** Hash algorithm triple: digest, HMAC and PBKDF2 JCA names + key bits. */
+  final case class HashAlg(digest: String, mac: String, pbkdf2: String,
+      bits: Int)
+  val Sha256: HashAlg =
+    HashAlg("SHA-256", "HmacSHA256", "PBKDF2WithHmacSHA256", 256)
+  val Sha512: HashAlg =
+    HashAlg("SHA-512", "HmacSHA512", "PBKDF2WithHmacSHA512", 512)
 
-  def h(data: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("SHA-256").digest(data)
+  def h(alg: HashAlg, data: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance(alg.digest).digest(data)
 
-  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val mac = Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+  def hmac(alg: HashAlg, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = Mac.getInstance(alg.mac)
+    mac.init(new SecretKeySpec(key, alg.mac))
     mac.doFinal(data)
   }
 
-  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32-byte output. */
-  def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
-    val f = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-    f.generateSecret(new PBEKeySpec(password.toCharArray, salt, iterations, 256))
+  /** Hi(password, salt, i) = PBKDF2-HMAC, `alg.bits`-bit output. */
+  def hi(alg: HashAlg, password: String, salt: Array[Byte],
+      iterations: Int): Array[Byte] = {
+    val f = javax.crypto.SecretKeyFactory.getInstance(alg.pbkdf2)
+    f.generateSecret(
+        new PBEKeySpec(password.toCharArray, salt, iterations, alg.bits))
       .getEncoded
   }
 
   def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     a.zip(b).map { case (x, y) => (x ^ y).toByte }
 
+  /** RFC 5802 saslname escaping for the n= attribute. */
+  def saslName(user: String): String =
+    user.replace("=", "=3D").replace(",", "=2C")
+
   private def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
   private def unb64(s: String) = java.util.Base64.getDecoder.decode(s)
 
-  private def attrs(msg: String): Map[Char, String] =
+  private[graft] def attrs(msg: String): Map[Char, String] =
     msg.split(",").iterator.filter(_.length >= 2)
       .map(p => p.charAt(0) -> p.substring(2)).toMap
 
-  /** One client exchange. `nonce` is injectable for deterministic tests;
-    * production uses SecureRandom. */
-  final class Client(password: String,
+  /** One client exchange. `username` rides the n= attribute (Kafka needs
+    * it; Postgres ignores it — the username comes from the startup
+    * message, so the PG path sends an empty n= like libpq). `nonce` is
+    * injectable for deterministic tests; production uses SecureRandom. */
+  class Client(alg: HashAlg, password: String, username: String = "",
       nonce: String = {
         val r = new Array[Byte](18)
         new java.security.SecureRandom().nextBytes(r)
         java.util.Base64.getEncoder.encodeToString(r)
       }) {
-    // Postgres ignores the SCRAM username (it comes from the startup
-    // message), so clients send an empty n= — same as libpq.
-    private val clientFirstBare = s"n=,r=$nonce"
+    private val clientFirstBare = s"n=${saslName(username)},r=$nonce"
     private var serverFirst: String = _
     private var saltedPassword: Array[Byte] = _
     private var authMessage: String = _
@@ -244,12 +257,12 @@ object ScramSha256 {
       require(combined.startsWith(nonce), "server nonce does not extend client nonce")
       val salt = unb64(a('s'))
       val iters = a('i').toInt
-      saltedPassword = hi(password, salt, iters)
+      saltedPassword = hi(alg, password, salt, iters)
       val withoutProof = s"c=${b64("n,,".getBytes(UTF_8))},r=$combined"
       authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
-      val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
-      val storedKey = h(clientKey)
-      val proof = xor(clientKey, hmac(storedKey, authMessage.getBytes(UTF_8)))
+      val clientKey = hmac(alg, saltedPassword, "Client Key".getBytes(UTF_8))
+      val storedKey = h(alg, clientKey)
+      val proof = xor(clientKey, hmac(alg, storedKey, authMessage.getBytes(UTF_8)))
       s"$withoutProof,p=${b64(proof)}".getBytes(UTF_8)
     }
 
@@ -257,11 +270,39 @@ object ScramSha256 {
     def verifyServerFinal(serverFinalMsg: Array[Byte]): Unit = {
       val a = attrs(new String(serverFinalMsg, UTF_8))
       a.get('e').foreach(e => throw new IllegalStateException(s"SCRAM server error: $e"))
-      val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
-      val expected = b64(hmac(serverKey, authMessage.getBytes(UTF_8)))
+      val serverKey = hmac(alg, saltedPassword, "Server Key".getBytes(UTF_8))
+      val expected = b64(hmac(alg, serverKey, authMessage.getBytes(UTF_8)))
       require(a.get('v').contains(expected), "SCRAM server signature mismatch")
     }
   }
+}
+
+/** SCRAM-SHA-256 surface (RFC 5802/7677, the PostgreSQL default auth since
+  * v14's `password_encryption = scram-sha-256`). No channel binding
+  * (`n,,` gs2 header — the plain `SCRAM-SHA-256` mechanism, not `-PLUS`).
+  * Thin instantiation of [[Scram]]'s hash-parameterized core; crypto
+  * primitives re-exposed so the test-side verifier can share them. */
+object ScramSha256 {
+  val Mechanism = "SCRAM-SHA-256"
+
+  def h(data: Array[Byte]): Array[Byte] = Scram.h(Scram.Sha256, data)
+
+  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    Scram.hmac(Scram.Sha256, key, data)
+
+  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32-byte output. */
+  def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
+    Scram.hi(Scram.Sha256, password, salt, iterations)
+
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = Scram.xor(a, b)
+
+  /** One client exchange (empty n= — the PG convention). */
+  final class Client(password: String,
+      nonce: String = {
+        val r = new Array[Byte](18)
+        new java.security.SecureRandom().nextBytes(r)
+        java.util.Base64.getEncoder.encodeToString(r)
+      }) extends Scram.Client(Scram.Sha256, password, "", nonce)
 }
 
 /** A [[CopyBothChannel]] over a real TCP socket: performs the startup/auth
