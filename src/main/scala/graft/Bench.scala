@@ -1443,6 +1443,20 @@ object Bench {
     // of a post-hoc hypothesis.
     val passTotals = scala.collection.mutable.Buffer.empty[Double]
     val passGcMs = scala.collection.mutable.Buffer.empty[Long]
+    // r16 (r15 VERDICT #5): per-pass heap + cached-block gauges next to
+    // the pass totals — the r15 in-suite mm_video_stream +38 % band shift
+    // (no code diff, suite gc 3×) could only be HYPOTHESIZED to be
+    // checkpoint-traffic heap history; these make it attributable from
+    // the artifact (storage climbing across passes = leaked/lingering
+    // checkpoint blocks; heap climbing with flat storage = plain heap
+    // history)
+    val passHeapMb = scala.collection.mutable.Buffer.empty[Long]
+    val passStorageMb = scala.collection.mutable.Buffer.empty[Long]
+    def usedHeapMb: Long =
+      ((Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory)
+        / 1e6).toLong
+    def cachedBlockMb: Long =
+      (spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6).toLong
     if (runSuite) (1 to 3).foreach { _ =>
       val p0 = System.nanoTime(); val g0 = gcMs()
       ordered.foreach { case (name, fn) =>
@@ -1461,6 +1475,8 @@ object Bench {
       }
       passTotals += (System.nanoTime() - p0) / 1e9
       passGcMs += gcMs() - g0
+      passHeapMb += usedHeapMb
+      passStorageMb += cachedBlockMb
     }
     if (runSuite && passTotals.nonEmpty) System.err.println(
       f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
@@ -1581,6 +1597,8 @@ object Bench {
       }.mkString(",")}],""" +
       s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
       s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
+      s""""suite_pass_heap_mb":[${passHeapMb.mkString(",")}],""" +
+      s""""suite_pass_storage_mb":[${passStorageMb.mkString(",")}],""" +
       s""""suite_slowest_trials":${slowestTrials.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
       }.mkString("{", ",", "}")},""" +
