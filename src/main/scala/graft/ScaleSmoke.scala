@@ -50,7 +50,11 @@ object ScaleSmoke {
     // frame), and the trained-recall contract's truth leg is capped at
     // ≤500 probes; a super-linear rung on either means the broadcast
     // demoted or the cap broke
-    "sim_pq_train", "sim_ivfpq_trained", "sim_ivfpq_recall")
+    "sim_pq_train", "sim_ivfpq_trained", "sim_ivfpq_recall",
+    // r16: the trained serving PAIR (ADC shortlist → exact refine) — the
+    // rung probes that the explicit shortlist broadcast keeps holding
+    // where AQE cannot size the checkpointed frame
+    "sim_ivfpq_rerank_trained")
 
   /** Deterministic ±1e-3 per-(vector, dim) embedding perturbation — the
     * near-dup vector regime (`GRAFT_SMOKE_EMB_JITTER=1`). Derived from the
