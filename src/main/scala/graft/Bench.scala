@@ -1122,8 +1122,12 @@ object Bench {
               System.err.println(
                 f"[bench] wal_drain_10x warm-up ${wal10WarmupTrials.size}/3 " +
                   f"(untimed): $t%.3f s")
-              steady = t < 0 ||
-                (prevWarm > 0 && math.abs(t - prevWarm) <= 0.15 * prevWarm)
+              // a FAILED warm-up (t = -1) is NOT steady state (r16 review
+              // finding: treating it as steady started the recorded
+              // trials cold after one transient hiccup) — keep retrying
+              // within the cap
+              steady = t > 0 && prevWarm > 0 &&
+                math.abs(t - prevWarm) <= 0.15 * prevWarm
               prevWarm = t
               waitQuiet(1.0, 90)
             }

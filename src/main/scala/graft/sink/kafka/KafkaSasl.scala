@@ -48,6 +48,11 @@ object KafkaSasl {
       * different principals must never share a pooled connection. The
       * PASSWORD is deliberately not part of the key (or any string form). */
     def poolId: String = s"$mechanism:$username"
+    /** Redacted — a case class's generated toString would print the live
+      * secret into any log line, exception message or failed test
+      * assertion that renders a Config or an endpoint holding one (r16
+      * review finding). */
+    override def toString: String = s"KafkaSasl.Config($poolId,<redacted>)"
   }
 
   /** RFC 4616 PLAIN initial response: NUL authzid NUL authcid NUL passwd

@@ -17,15 +17,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Select the wire path with a `wire://host:port` bootstrap string.
   */
 final class WireFrameProducer(host: String, port: Int,
-    tls: Option[graft.source.postgres.PgTls.SslConfig] = None)
+    tls: Option[graft.source.postgres.PgTls.SslConfig] = None,
+    sasl: Option[KafkaSasl.Config] = None)
     extends graft.sink.FrameProducer with Serializable {
 
   override def produce(shaped: DataFrame): Unit = {
-    val (h, p, t) = (host, port, tls)
+    val (h, p, t, sa) = (host, port, tls, sasl)
     shaped.selectExpr("topic", "CAST(key AS STRING) AS key",
         "CAST(value AS STRING) AS value")
       .foreachPartition { rows: Iterator[Row] =>
-        val prod = new WireProducer(h, p, tls = t)
+        val prod = new WireProducer(h, p, tls = t, sasl = sa)
         try {
           rows.foreach { r =>
             val key = if (r.isNullAt(1)) null
@@ -44,6 +45,10 @@ object WireFrameProducer {
   def fromBootstrap(bootstrap: String): Option[WireFrameProducer] =
     if (WireEndpoint.accepts(bootstrap)) {
       val ep = WireEndpoint.parse(bootstrap)
-      Some(new WireFrameProducer(ep.host, ep.port, ep.tls))
+      // the SASL config MUST ride along (r16 review finding): dropping it
+      // here silently downgraded the Main/foreachBatch path to an
+      // unauthenticated connect — the exact class the endpoint's
+      // validators exist to prevent
+      Some(new WireFrameProducer(ep.host, ep.port, ep.tls, ep.sasl))
     } else None
 }

@@ -110,6 +110,35 @@ class KafkaWireSaslSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("fromBootstrap carries SASL through the foreachBatch wire path") {
+    // r16 review finding: fromBootstrap dropped ep.sasl, silently
+    // downgrading the Main/StreamingPipeline foreachBatch path to an
+    // unauthenticated connect — this drives the REAL Spark-task produce
+    // through a SASL bootstrap string end to end
+    val broker = saslBroker()
+    val prevEnv = WireEndpoint.envReader
+    WireEndpoint.envReader =
+      n => if (n == "GRAFT_TEST_SASL_PW") Some("s3cret") else None
+    try {
+      val boot = s"wire://localhost:${broker.port}" +
+        "?saslmech=PLAIN&sasluser=svc&saslpassenv=GRAFT_TEST_SASL_PW"
+      val wfp = graft.sink.kafka.WireFrameProducer.fromBootstrap(boot).get
+      val spark = SparkTestBase.spark
+      import spark.implicits._
+      wfp.produce(Seq(("t", "k1", "v1"), ("t", "k2", "v2"))
+        .toDF("topic", "key", "value"))
+      assert(broker.receivedSeq.size == 2)
+    } finally { WireEndpoint.envReader = prevEnv; broker.close() }
+  }
+
+  test("Config.toString and anything embedding it never print the secret") {
+    val c = KafkaSasl.Config("PLAIN", "svc", "s3cret")
+    assert(!c.toString.contains("s3cret"), c.toString)
+    val ep = WireEndpoint.Ep("h", 1, None, Some(c))
+    assert(!ep.toString.contains("s3cret"), ep.toString)
+    assert(!ep.poolKey.toString.contains("s3cret"))
+  }
+
   // ---- config routing (KafkaSinkConfig.wireSasl / secureWireBootstrap) ----
 
   test("wireSasl: SASL_* routes to a config; password resolves from env") {
