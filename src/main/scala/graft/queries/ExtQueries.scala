@@ -2409,8 +2409,16 @@ object ExtQueries {
       s"AS $arrField))")
   }
 
+  /** `telemetry = false` skips building the per-round telemetry rows
+    * entirely (r16): `sim_ivfpq_trained` / `sim_ivfpq_recall` /
+    * `sim_ivfpq_rerank_trained` discard them, and each row is a
+    * corpus-sized groupBy + a join + an eager checkpoint PER ROUND —
+    * pure waste on the serving paths (the returned Seq is empty). The
+    * trained centroids are bit-identical either way; only
+    * `sim_pq_train` consumes the telemetry. */
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
-      iters: Int, k: Int = 8, seedStride: Int = 1)
+      iters: Int, k: Int = 8, seedStride: Int = 1,
+      telemetry: Boolean = true)
       : (DataFrame, Seq[DataFrame], DataFrame) = {
     val vsub = emb(s, dir)
       .select(col("vec_id"), col("label"),
@@ -2481,24 +2489,27 @@ object ExtQueries {
           .cast("long").as("c_e6"))
         .transform(graft.util.Checkpoints.ownedCheckpoint)
       // telemetry reads BOTH the round's assignment and the centroids it
-      // assigned against — checkpoint it before those release
-      val row = asg.groupBy(col("subspace"), col("cid"))
-        .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
-        .join(cents.groupBy(col("subspace"), col("cid"))
-            .agg(sum(col("c_e6")).as("centroid_sum_e6")),
-          Seq("subspace", "cid"))
-        .select(lit(t).cast("long").as("iter"),
-          col("subspace").cast("long").as("subspace"),
-          col("cid").as("cid"), col("n_members"), col("inertia"),
-          col("centroid_sum_e6"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤ nSub·8 rows
+      // assigned against — checkpoint it before those release; skipped
+      // entirely for the serving-path callers that discard it (the
+      // groupBy over the corpus-sized assignment is per-round work)
+      val row = if (!telemetry) None else Some(
+        asg.groupBy(col("subspace"), col("cid"))
+          .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+          .join(cents.groupBy(col("subspace"), col("cid"))
+              .agg(sum(col("c_e6")).as("centroid_sum_e6")),
+            Seq("subspace", "cid"))
+          .select(lit(t).cast("long").as("iter"),
+            col("subspace").cast("long").as("subspace"),
+            col("cid").as("cid"), col("n_members"), col("inertia"),
+            col("centroid_sum_e6"))
+          .transform(graft.util.Checkpoints.ownedCheckpoint)) // ≤ nSub·8 rows
       val prev = cents
       cents = newCents
       graft.util.Checkpoints.release(prev)
       graft.util.Checkpoints.release(asg)
       row
     }
-    (vsub, rows, cents)
+    (vsub, rows.flatten, cents)
   }
 
   /** DuckDB twin of [[pqSubTrainLoop]] as a CTE chain (long-form, the
@@ -2605,7 +2616,7 @@ object ExtQueries {
     * sf0.1). */
   private[graft] def pqTrainedIndex(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2)
+    val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2, telemetry = false)
     val carr = centArrays(cents)
       .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤32 rows, read per serve
     val scored = vsub.join(broadcast(carr), Seq("subspace"))
@@ -2699,7 +2710,8 @@ object ExtQueries {
       // outside the trainer. The centroid frame stays ≤64 array rows —
       // broadcastable at any corpus size.
       val nCells = 64
-      val (vsub, _, cents) = pqSubTrainLoop(s, dir, 1, 2, nCells, 7)
+      val (vsub, _, cents) =
+        pqSubTrainLoop(s, dir, 1, 2, nCells, 7, telemetry = false)
       val carr = centArrays(cents)
       // corpus cell assignment against the trained centroids
       val vcell = vsub.join(broadcast(carr), Seq("subspace"))
