@@ -178,6 +178,13 @@ object KafkaSinkConfig {
     if (tls.isEmpty && saslCfg.isEmpty) return bootstrap
     require(bootstrap.startsWith("wire://"),
       s"secureWireBootstrap expects a wire:// bootstrap, got '$bootstrap'")
+    // a bootstrap already carrying a query string (including this
+    // function's own output fed back in) would yield two '?' whose
+    // first-?-split leaves '?' inside a param value (r16 advice)
+    require(!bootstrap.contains('?'),
+      s"secureWireBootstrap expects a bare wire://host:port bootstrap " +
+        s"(no query string — security params are derived from the " +
+        s"validated options, not merged), got '$bootstrap'")
     // percent-encode values: a CA path containing '&' (legal in a
     // filename) — or a username with URL metacharacters — would
     // otherwise split the query and fail WireEndpoint.parse; parse decodes

@@ -44,6 +44,14 @@ object KafkaSasl {
       password: String) {
     require(Mechanisms(mechanism),
       s"unknown SASL mechanism '$mechanism' (allowed: ${Mechanisms.mkString(", ")})")
+    // RFC 4616 forbids NUL in authcid/passwd: an embedded NUL would shift
+    // the PLAIN token's field boundaries and authenticate as a DIFFERENT
+    // identity instead of failing loudly (r16 advice) — reject at config
+    // time for every mechanism (SCRAM forbids it in saslname too)
+    require(!username.contains('\u0000'),
+      "SASL username must not contain NUL (RFC 4616/5802)")
+    require(!password.contains('\u0000'),
+      "SASL password must not contain NUL (RFC 4616/5802)")
     /** Identity for the producer-pool key: producers authenticated as
       * different principals must never share a pooled connection. The
       * PASSWORD is deliberately not part of the key (or any string form). */
@@ -174,9 +182,14 @@ object KafkaSasl {
         scramUser = unSaslName(attrs.getOrElse('n', ""))
         if (!cfg.users.contains(scramUser))
           return (ErrAuthenticationFailed, s"unknown user $scramUser", null)
+        val clientNonce = attrs.get('r').getOrElse(
+          // a malformed client-first must answer a protocol error, not
+          // kill the connection thread with NoSuchElementException
+          return (ErrAuthenticationFailed,
+            "malformed client-first: missing r= nonce", null))
         scramSalt = new Array[Byte](16)
         new java.security.SecureRandom().nextBytes(scramSalt)
-        scramNonce = attrs('r') + b64({
+        scramNonce = clientNonce + b64({
           val ext = new Array[Byte](12)
           new java.security.SecureRandom().nextBytes(ext); ext
         })
@@ -188,7 +201,17 @@ object KafkaSasl {
         val attrs = Scram.attrs(msg)
         if (!attrs.get('r').contains(scramNonce))
           return (ErrAuthenticationFailed, "nonce mismatch", null)
-        val withoutProof = msg.substring(0, msg.lastIndexOf(",p="))
+        // a client-final missing p= answers a protocol error instead of
+        // throwing (NoSuchElementException / substring(0,-1)) and killing
+        // the connection thread (r16 advice)
+        val proofIdx = msg.lastIndexOf(",p=")
+        val proofB64 = attrs.get('p').getOrElse(
+          return (ErrAuthenticationFailed,
+            "malformed client-final: missing p= proof", null))
+        if (proofIdx < 0)
+          return (ErrAuthenticationFailed,
+            "malformed client-final: missing p= proof", null)
+        val withoutProof = msg.substring(0, proofIdx)
         val authMessage =
           s"$scramClientFirstBare,$scramServerFirst,$withoutProof"
         val salted = Scram.hi(a, cfg.users(scramUser), scramSalt, 4096)
@@ -196,9 +219,19 @@ object KafkaSasl {
         val storedKey = Scram.h(a, clientKey)
         val clientSig =
           Scram.hmac(a, storedKey, authMessage.getBytes(UTF_8))
-        val proof = java.util.Base64.getDecoder.decode(attrs('p'))
+        val proof = try java.util.Base64.getDecoder.decode(proofB64) catch {
+          case _: IllegalArgumentException =>
+            return (ErrAuthenticationFailed,
+              "malformed client-final: p= is not base64", null)
+        }
+        if (proof.length != clientSig.length)
+          return (ErrAuthenticationFailed,
+            "malformed client-final: proof length", null)
         val recovered = Scram.xor(proof, clientSig)
-        if (!java.util.Arrays.equals(Scram.h(a, recovered), storedKey)) {
+        // constant-time comparison (MessageDigest.isEqual) — the class
+        // lives in src/main even though only the scripted broker uses it
+        if (!java.security.MessageDigest.isEqual(
+            Scram.h(a, recovered), storedKey)) {
           // reset so a retry restarts the exchange cleanly
           scramServerFirst = null
           return (ErrAuthenticationFailed,

@@ -35,10 +35,14 @@ import graft.source.postgres.PgTls
   */
 object WireEndpoint {
 
-  /** Environment lookup for `saslpassenv` resolution. A `var` ONLY so
-    * tests can inject credentials (the JVM cannot set real process env);
-    * production leaves it at `sys.env.get`. */
-  @volatile var envReader: String => Option[String] = sys.env.get
+  /** Pool key: the STRUCTURED security identity, never a string join.
+    * (tlsMode, caPath) and (mechanism, username) stay separate tuple
+    * components — a joined string over free-form values (a CA path
+    * containing '|', a username containing ':') could collide keys
+    * across distinct principals (r16 advice, medium). */
+  type PoolKey = (String, Int,
+    Option[(String, Option[String])], // TLS: (mode, rootCertPath)
+    Option[(String, String)]) // SASL: (mechanism, username) — never the password
 
   final case class Ep(host: String, port: Int,
       tls: Option[PgTls.SslConfig],
@@ -46,17 +50,23 @@ object WireEndpoint {
     /** Pool-key form: producers with different TLS trust or SASL
       * principal identities must never share a pooled connection. The
       * password is deliberately NOT part of the key. */
-    def poolKey: (String, Int, String) = (host, port,
-      tls.map(t => t.mode + "@" + t.rootCertPath.getOrElse(""))
-        .getOrElse("plaintext") + "|" +
-        sasl.map(_.poolId).getOrElse("nosasl"))
+    def poolKey: PoolKey = (host, port,
+      tls.map(t => (t.mode, t.rootCertPath)),
+      sasl.map(c => (c.mechanism, c.username)))
   }
 
   def accepts(bootstrap: String): Boolean =
     bootstrap != null &&
       (bootstrap.startsWith("wire://") || bootstrap.startsWith("wire+tls://"))
 
-  def parse(bootstrap: String): Ep = {
+  /** @param env environment lookup for `saslpassenv` resolution —
+    *   injectable so tests can supply credentials (the JVM cannot set
+    *   real process env); production uses the default `sys.env.get`.
+    *   A threaded parameter, not a process-global hook, so one caller's
+    *   override can never change how another caller resolves secrets
+    *   (r16 advice). */
+  def parse(bootstrap: String,
+      env: String => Option[String] = sys.env.get): Ep = {
     require(accepts(bootstrap), s"not a wire bootstrap: '$bootstrap'")
     val tlsScheme = bootstrap.startsWith("wire+tls://")
     val rest =
@@ -98,7 +108,7 @@ object WireEndpoint {
       val envName = params.getOrElse("saslpassenv", throw
         new IllegalArgumentException("saslmech without saslpassenv — the " +
           "bootstrap carries the password's env NAME, never the secret"))
-      val pw = envReader(dec(envName)).getOrElse(throw
+      val pw = env(dec(envName)).getOrElse(throw
         new IllegalArgumentException(
           s"saslpassenv names '${dec(envName)}' but it is not set in the " +
             "environment"))

@@ -42,9 +42,11 @@ final class WireFrameProducer(host: String, port: Int,
 object WireFrameProducer {
   /** Parse a `wire://host:port` or `wire+tls://host:port?ca=…[&verify=…]`
     * bootstrap (see [[WireEndpoint]]); None for any other scheme. */
-  def fromBootstrap(bootstrap: String): Option[WireFrameProducer] =
+  def fromBootstrap(bootstrap: String,
+      env: String => Option[String] = sys.env.get)
+      : Option[WireFrameProducer] =
     if (WireEndpoint.accepts(bootstrap)) {
-      val ep = WireEndpoint.parse(bootstrap)
+      val ep = WireEndpoint.parse(bootstrap, env)
       // the SASL config MUST ride along (r16 review finding): dropping it
       // here silently downgraded the Main/foreachBatch path to an
       // unauthenticated connect — the exact class the endpoint's

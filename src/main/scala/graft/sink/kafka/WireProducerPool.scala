@@ -27,7 +27,7 @@ object WireProducerPool {
   // producers with different trust configurations must never share a
   // pooled connection (a verify-full caller handed a plaintext or
   // trust-all socket would silently lose its authentication)
-  private val pools = new ConcurrentHashMap[(String, Int, String),
+  private val pools = new ConcurrentHashMap[WireEndpoint.PoolKey,
     ConcurrentLinkedQueue[WireProducer]]()
 
   def borrow(ep: WireEndpoint.Ep): WireProducer = {

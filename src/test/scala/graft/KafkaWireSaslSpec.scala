@@ -116,19 +116,17 @@ class KafkaWireSaslSpec extends AnyFunSuite {
     // unauthenticated connect — this drives the REAL Spark-task produce
     // through a SASL bootstrap string end to end
     val broker = saslBroker()
-    val prevEnv = WireEndpoint.envReader
-    WireEndpoint.envReader =
-      n => if (n == "GRAFT_TEST_SASL_PW") Some("s3cret") else None
     try {
       val boot = s"wire://localhost:${broker.port}" +
         "?saslmech=PLAIN&sasluser=svc&saslpassenv=GRAFT_TEST_SASL_PW"
-      val wfp = graft.sink.kafka.WireFrameProducer.fromBootstrap(boot).get
+      val wfp = graft.sink.kafka.WireFrameProducer.fromBootstrap(boot,
+        env = n => if (n == "GRAFT_TEST_SASL_PW") Some("s3cret") else None).get
       val spark = SparkTestBase.spark
       import spark.implicits._
       wfp.produce(Seq(("t", "k1", "v1"), ("t", "k2", "v2"))
         .toDF("topic", "key", "value"))
       assert(broker.receivedSeq.size == 2)
-    } finally { WireEndpoint.envReader = prevEnv; broker.close() }
+    } finally broker.close()
   }
 
   test("Config.toString and anything embedding it never print the secret") {
@@ -189,24 +187,93 @@ class KafkaWireSaslSpec extends AnyFunSuite {
     assert(!boot.contains("oddpw"),
       s"the secret leaked into the bootstrap string: $boot")
     assert(boot.startsWith("wire://h:9092?"))
-    val prevEnv = WireEndpoint.envReader
-    WireEndpoint.envReader =
-      n => if (n == "GRAFT_TEST_SASL_PW") Some("oddpw") else None
+    val ep = WireEndpoint.parse(boot, fakeEnv)
+    assert(ep.sasl.contains(KafkaSasl.Config("SCRAM-SHA-256", "u=2,",
+      "oddpw")))
+    // the pool key carries the STRUCTURED principal identity — never a
+    // string join free-form values could collide (r16 advice)
+    assert(ep.poolKey._4.contains(("SCRAM-SHA-256", "u=2,")))
+    assert(!ep.poolKey.toString.contains("oddpw"),
+      "the secret leaked into the pool key")
+    // the direct-password form cannot ride the string path
+    intercept[IllegalArgumentException] {
+      KafkaSinkConfig.secureWireBootstrap("wire://h:9092", Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "PLAIN", "sasl.username" -> "svc",
+        "sasl.password" -> "direct"), fakeEnv)
+    }
+    // re-securing an already-secured bootstrap fails loudly instead of
+    // yielding a two-'?' endpoint (r16 advice)
+    intercept[IllegalArgumentException] {
+      KafkaSinkConfig.secureWireBootstrap(boot, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "PLAIN", "sasl.username" -> "svc",
+        "sasl.password.env" -> "GRAFT_TEST_SASL_PW"), fakeEnv)
+    }
+  }
+
+  test("pool keys cannot collide across principals via crafted values") {
+    // ca path 'p|PLAIN:u|nosasl' with no SASL vs ca path 'p' with SASL
+    // user 'u|nosasl' — the old '|'-joined string key collided these
+    // ('|' and ':' are legal in Linux filenames; SslConfig requires the
+    // CA file to exist, so create both)
+    val dir = java.nio.file.Files.createTempDirectory("graft-poolkey")
+    val pa = dir.resolve("p|PLAIN:u|nosasl"); val pb = dir.resolve("p")
+    java.nio.file.Files.createFile(pa); java.nio.file.Files.createFile(pb)
     try {
-      val ep = WireEndpoint.parse(boot)
-      assert(ep.sasl.contains(KafkaSasl.Config("SCRAM-SHA-256", "u=2,",
-        "oddpw")))
-      assert(ep.poolKey._3.contains("SCRAM-SHA-256:u=2,"))
-      assert(!ep.poolKey._3.contains("oddpw"),
-        "the secret leaked into the pool key")
-      // the direct-password form cannot ride the string path
-      intercept[IllegalArgumentException] {
-        KafkaSinkConfig.secureWireBootstrap("wire://h:9092", Map(
-          "security.protocol" -> "SASL_PLAINTEXT",
-          "sasl.mechanism" -> "PLAIN", "sasl.username" -> "svc",
-          "sasl.password" -> "direct"), fakeEnv)
-      }
-    } finally WireEndpoint.envReader = prevEnv
+      val a = WireEndpoint.Ep("h", 1,
+        Some(PgTls.SslConfig("verify-full", Some(pa.toString))), None)
+      val b = WireEndpoint.Ep("h", 1,
+        Some(PgTls.SslConfig("verify-full", Some(pb.toString))),
+        Some(KafkaSasl.Config("PLAIN", "u|nosasl", "pw")))
+      // align the crafted suffix exactly as the old string join saw it:
+      // a's ca path == b's ca path + "|PLAIN:" + b's user + "|nosasl"
+      assert(pa.toString == pb.toString + "|PLAIN:u|nosasl")
+      assert(a.poolKey != b.poolKey,
+        "distinct security identities must never share a pool key")
+    } finally {
+      java.nio.file.Files.deleteIfExists(pa)
+      java.nio.file.Files.deleteIfExists(pb)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  test("NUL in SASL credentials is rejected at config time (RFC 4616)") {
+    intercept[IllegalArgumentException](
+      KafkaSasl.Config("PLAIN", "svc\u0000x", "pw"))
+    intercept[IllegalArgumentException](
+      KafkaSasl.Config("PLAIN", "svc", "pw\u0000x"))
+  }
+
+  test("malformed SCRAM client messages answer a protocol error, not a crash") {
+    val server = new KafkaSasl.ServerSession(KafkaSasl.ServerConfig(users))
+    assert(server.handshake("SCRAM-SHA-256")._1 == 0)
+    // client-first missing r=
+    val (e1, m1, _) = server.authenticateStep(
+      "n,,n=svc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(e1 == KafkaSasl.ErrAuthenticationFailed && m1.contains("r="))
+    // fresh session: valid client-first, then client-final missing p=
+    val s2 = new KafkaSasl.ServerSession(KafkaSasl.ServerConfig(users))
+    assert(s2.handshake("SCRAM-SHA-256")._1 == 0)
+    val (e2a, _, first) = s2.authenticateStep(
+      "n,,n=svc,r=abc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(e2a == 0)
+    val nonce = new String(first,
+      java.nio.charset.StandardCharsets.UTF_8).split(",")(0).drop(2)
+    val (e2b, m2b, _) = s2.authenticateStep(
+      s"c=biws,r=$nonce".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(e2b == KafkaSasl.ErrAuthenticationFailed && m2b.contains("p="))
+    // and a non-base64 proof
+    val s3 = new KafkaSasl.ServerSession(KafkaSasl.ServerConfig(users))
+    assert(s3.handshake("SCRAM-SHA-256")._1 == 0)
+    val (_, _, f3) = s3.authenticateStep(
+      "n,,n=svc,r=abc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val n3 = new String(f3,
+      java.nio.charset.StandardCharsets.UTF_8).split(",")(0).drop(2)
+    val (e3, m3, _) = s3.authenticateStep(
+      s"c=biws,r=$n3,p=!!notb64!!".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(e3 == KafkaSasl.ErrAuthenticationFailed && m3.contains("base64"))
   }
 
   test("secureWireBootstrap composes SASL_SSL: wire+tls scheme plus sasl params") {
@@ -220,13 +287,9 @@ class KafkaWireSaslSpec extends AnyFunSuite {
         "sasl.password.env" -> "GRAFT_TEST_SASL_PW"), _ => Some("pw"))
       assert(boot.startsWith("wire+tls://h:9092?"))
       assert(boot.contains("verify=full") && boot.contains("saslmech=PLAIN"))
-      val prevEnv = WireEndpoint.envReader
-      WireEndpoint.envReader = _ => Some("pw")
-      try {
-        val ep = WireEndpoint.parse(boot)
-        assert(ep.tls.exists(_.mode == "verify-full"))
-        assert(ep.sasl.exists(_.mechanism == "PLAIN"))
-      } finally WireEndpoint.envReader = prevEnv
+      val ep = WireEndpoint.parse(boot, _ => Some("pw"))
+      assert(ep.tls.exists(_.mode == "verify-full"))
+      assert(ep.sasl.exists(_.mechanism == "PLAIN"))
     } finally java.nio.file.Files.deleteIfExists(ca)
   }
 }
