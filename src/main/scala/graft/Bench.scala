@@ -302,6 +302,81 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_LOAD_THRESH", "0.5").toDouble
     val loadWaitBudgetS =
       sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_S", "180").toInt
+    // ---- per-phase contamination audit (r16 VERDICT #1/#2) ----
+    // The recorded BENCH_r16 landed on a box under external load 6–9 and
+    // every drain point regressed vs three same-tree clean runs; the load
+    // guards only gate phase START, so mid-run contamination was priced by
+    // the env rows but gated nothing. Each drain phase now carries a
+    // verdict and ONE bounded retry. Two clauses, both calibrated against
+    // the recorded-r16 (contaminated) vs r16_full1-3 (clean) artifacts:
+    //  - LOAD: any trial starting at 1-min load > contamLoadBar. The bar
+    //    is NOT 2× the 0.5 guard threshold — a phase's own 32-core trials
+    //    leave 1.5–3.6 of SELF-induced load in the 1-min average on
+    //    provably clean runs (wal_drain env 2.8–3.6, 8db 1.5–3.2, floors
+    //    up to 3.5), so a 1.0 bar would flag every clean run. Observed
+    //    separation: clean maxima ≤3.64, contaminated rows 5.5–9.2 —
+    //    bar 4.5 splits them with margin on both sides.
+    //  - SCATTER: any trial AFTER the first (the 99k headline's first
+    //    trial is legitimately JIT-cold at ~3× min) with wall > 3× the
+    //    phase min. Clean-run worst ratios: 2.7 (wal 10×), 1.5 (99k);
+    //    contaminated: 5.9–21.7 (10× trials [2.53, 14.9, 9.4, 54.8,
+    //    25.1]).
+    // A contaminated attempt re-runs ONCE after the quiet gate; headline
+    // policy: a clean retry stands alone, both-contaminated keeps the
+    // min over all trials WITH the verdict labeling it. Every attempt's
+    // trials/env rows stay in the artifact.
+    val contamLoadBar =
+      sys.env.getOrElse("GRAFT_BENCH_CONTAM_LOAD_BAR", "4.5").toDouble
+    // (phase, verdict, attempts): verdict ∈ clean | clean_after_retry |
+    // contaminated | audit_error; verdict-only phases (no retry) append
+    // directly with attempts=1
+    val phaseAudits =
+      scala.collection.mutable.Buffer.empty[(String, String, Int)]
+    def phaseContaminated(trials: Seq[Double], envs: Seq[EnvRow]): Boolean = {
+      val ok = trials.filter(_ > 0)
+      ok.nonEmpty && {
+        val mn = ok.min
+        ok.drop(1).exists(_ > 3.0 * mn) ||
+          envs.exists(_.load > contamLoadBar)
+      }
+    }
+    // Runs one phase attempt (the closure records its own trials/env rows
+    // and sets results(tag) from ITS trials); `dirty` from the closure
+    // forces the retry for phase-specific reasons (a non-converged
+    // warm-up). Exceptions inside trial loops are already per-trial
+    // isolated; a whole-attempt throw records audit_error and rethrows to
+    // the phase's existing outer handler.
+    def auditPhase(tag: String)(
+        attempt: () => (Seq[Double], Seq[EnvRow], Boolean)): Unit = {
+      val (t1, e1, d1) =
+        try attempt()
+        catch { case e: Throwable =>
+          phaseAudits += ((tag, "audit_error", 1)); throw e }
+      if (!(d1 || phaseContaminated(t1, e1))) {
+        phaseAudits += ((tag, "clean", 1))
+        return
+      }
+      System.err.println(s"[bench] $tag attempt 1 CONTAMINATED " +
+        s"(load bar $contamLoadBar / wall >3× min / dirty=$d1) — " +
+        "one bounded retry after the quiet gate")
+      waitQuiet(loadThresh, loadWaitBudgetS)
+      val (t2, e2, d2) =
+        try attempt()
+        catch { case e: Throwable =>
+          phaseAudits += ((tag, "audit_error", 2)); throw e }
+      val c2 = d2 || phaseContaminated(t2, e2)
+      phaseAudits += ((tag, if (c2) "contaminated" else "clean_after_retry", 2))
+      if (c2) {
+        // both attempts contaminated: rescue the min over ALL trials —
+        // the verdict labels the number, nothing is hidden. Only phases
+        // whose tag IS a results entry (the drains); the floor/ann
+        // phases keep their own last-attempt headline vars.
+        val all = (t1 ++ t2).filter(_ > 0)
+        if (all.nonEmpty && results.contains(tag)) results(tag) = all.min
+      }
+      System.err.println(s"[bench] $tag retry verdict: " +
+        s"${phaseAudits.last._2}")
+    }
     var wal10LoadWaitS = 0.0; var wal10LoadBefore = -1.0
     var wal10LoadVerdict = "skipped"
     // run-level disk accounting: the r12 wal_drain_10x regression was
@@ -440,22 +515,26 @@ object Bench {
           }
           // per-qualified-trial env rows (r14 VERDICT #1: this point's
           // 0.425→0.552 band-disjoint drift carried no fields to attribute)
-          val trials = Seq.fill(5) {
-            val (t, env) = envTrial(oneTrial(endLsn, n, "live_drain"), srvPid)
-            if (!t.isNaN) liveEnv += env
-            t
-          }.filterNot(_.isNaN)
-          if (trials.nonEmpty) {
-            liveTrialsRec ++= trials
-            val secs = trials.min
-            val med = trials.sorted.apply(trials.size / 2)
-            results("live_drain") = secs
-            liveDrainEvents = n
-            System.err.println(
-              f"[bench] live_drain: $n events over the real wire in " +
-                f"$secs%.2f s min / $med%.2f s median = ${n / secs}%.0f " +
-                f"ev/s min of ${trials.size} trials " +
-                f"[${trials.map(t => f"$t%.3f").mkString(", ")}]")
+          auditPhase("live_drain") { () =>
+            val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+            val trials = Seq.fill(5) {
+              val (t, env) = envTrial(oneTrial(endLsn, n, "live_drain"), srvPid)
+              if (!t.isNaN) { liveEnv += env; envA += env }
+              t
+            }.filterNot(_.isNaN)
+            if (trials.nonEmpty) {
+              liveTrialsRec ++= trials
+              val secs = trials.min
+              val med = trials.sorted.apply(trials.size / 2)
+              results("live_drain") = secs
+              liveDrainEvents = n
+              System.err.println(
+                f"[bench] live_drain: $n events over the real wire in " +
+                  f"$secs%.2f s min / $med%.2f s median = ${n / secs}%.0f " +
+                  f"ev/s min of ${trials.size} trials " +
+                  f"[${trials.map(t => f"$t%.3f").mkString(", ")}]")
+            }
+            (trials, envA.toSeq, false)
           }
           // ---- 10× live point: ~1M-row backlog through the same wire ----
           // FIXED 5 trials (was 1 — the single r7 trial is what made the
@@ -476,6 +555,12 @@ object Bench {
             val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
               "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
             val total10 = n + n10
+            auditPhase("live_drain_10x") { () =>
+            val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+            // read-wait rows from THIS attempt only: oneTrialIn appends to
+            // the global live10ReadWaitPct, so the ceiling index math
+            // below slices from this base
+            val rwBase = live10ReadWaitPct.size
             val t10 = Seq.fill(5) {
               // env rows are recorded for QUALIFIED trials only (r13
               // ADVICE: a NaN-disqualified trial got an env row but no
@@ -483,9 +568,10 @@ object Bench {
               // alignment that attribution-by-index depends on)
               val (t, env) = envTrial(
                 oneTrial(end10, total10, "live_drain_10x"), srvPid)
-              if (!t.isNaN) live10Env += env
+              if (!t.isNaN) { live10Env += env; envA += env }
               t
             }.filterNot(_.isNaN)
+            val rwAttempt = live10ReadWaitPct.drop(rwBase).toIndexedSeq
             if (t10.nonEmpty) {
               live10TrialsRec ++= t10
               val secs10 = t10.min
@@ -535,9 +621,9 @@ object Bench {
               // recorded next to the shares and the baseline is in the
               // artifact, so a future bar change is itself auditable.
               live10BestPct =
-                if (live10ReadWaitPct.isEmpty) -1.0
-                else live10ReadWaitPct(t10.indexOf(secs10))
-              val clientAbs = t10.zip(live10ReadWaitPct)
+                if (rwAttempt.isEmpty) -1.0
+                else rwAttempt(t10.indexOf(secs10))
+              val clientAbs = t10.zip(rwAttempt)
                 .map { case (w, p) => w * (1.0 - p / 100.0) }
               live10BestClientS =
                 if (clientAbs.isEmpty) -1.0 else clientAbs(t10.indexOf(secs10))
@@ -545,7 +631,7 @@ object Bench {
                 if (clientAbs.isEmpty) -1.0
                 else clientAbs.sorted.apply(clientAbs.size / 2)
               live10Ceiling =
-                if (live10ReadWaitPct.isEmpty) "no_trials"
+                if (rwAttempt.isEmpty) "no_trials"
                 else if (live10BestPct >= 85.0 ||
                   live10BestClientS <= 1.5 * Live10ClientBaselineS) "pass"
                 else "miss"
@@ -562,6 +648,8 @@ object Bench {
                   f"${Live10ClientBaselineS}%.2f s baseline; naive " +
                   f"99k-extrapolated $live10Predicted%.2f s recorded as " +
                   f"informational)")
+            }
+            (t10, envA.toSeq, false)
             }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] live_drain_10x failed: ${e.getMessage}")
@@ -693,12 +781,14 @@ object Bench {
             // reason and the next trial still runs. Env rows (gc delta,
             // load at trial START, disk free) only for QUALIFIED trials so
             // the env array stays index-aligned with the trials array.
+            auditPhase(tag) { () =>
+            val envA = scala.collection.mutable.Buffer.empty[EnvRow]
             val ts = Seq.fill(5) {
               val (t, env) = envTrial(
                 try shardTrial()
                 catch { case e: Throwable => recErr(tag, e); Double.NaN },
                 srvPid)
-              if (!t.isNaN) envRec += env
+              if (!t.isNaN) { envRec += env; envA += env }
               t
             }.filterNot(_.isNaN)
             if (ts.nonEmpty) {
@@ -712,6 +802,8 @@ object Bench {
                   f"median = ${nShards * perShard / best}%.0f ev/s aggregate, " +
                   f"min of ${ts.size} trials " +
                   f"[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+            }
+            (ts, envA.toSeq, false)
             }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $tag failed: ${e.getMessage}")
@@ -774,6 +866,10 @@ object Bench {
     // predecessor (cap 3), and the recorded band starts at steady state.
     val wal10WarmupTrials = scala.collection.mutable.Buffer.empty[Double]
     var wal10WarmupS = -1.0
+    // r17 (r16 VERDICT #2): the warm-up loop's outcome is a recorded
+    // verdict (the r16 loop exhausted its cap without converging and the
+    // phase recorded anyway); reflects the LAST attempt when retried
+    var wal10WarmupConverged = false
     // r15: the headline wal_drain point gets the same rows (it drifted
     // 0.247→0.270 in the r14 tier-wide shift with nothing to attribute)
     val walEnv = scala.collection.mutable.Buffer.empty[EnvRow]
@@ -923,34 +1019,42 @@ object Bench {
       // fault isolation: a thrown trial (including a delivered-set
       // disqualification) records -1.0 in the trial list and the next trial
       // still runs.
-      val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
-        val (t, env) = envTrial(
-          try headlineDrain(framesHeadline)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $hdLabel trial $i failed: $e")
-            e.printStackTrace()
-            recErr(hdLabel, e)
-            -1.0
-          })
-        // pre-suite headline only: wal_drain_insuite is a drift probe whose
-        // cause (suite heap history) is already recorded via suite_pass_gc_ms.
-        // UNCONDITIONAL like wal10Env (r15 review finding): the trials list
-        // records -1.0 entries too, so env row i must describe trial i even
-        // when trial i failed — a qualified-only append breaks the index
-        // alignment attribution-by-index depends on
-        if (!insuite) walEnv += env
-        t
+      def hdAttempt(): (Seq[Double], Seq[EnvRow], Boolean) = {
+        val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+        val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
+          val (t, env) = envTrial(
+            try headlineDrain(framesHeadline)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $hdLabel trial $i failed: $e")
+              e.printStackTrace()
+              recErr(hdLabel, e)
+              -1.0
+            })
+          // pre-suite headline only: wal_drain_insuite is a drift probe whose
+          // cause (suite heap history) is already recorded via suite_pass_gc_ms.
+          // UNCONDITIONAL like wal10Env (r15 review finding): the trials list
+          // records -1.0 entries too, so env row i must describe trial i even
+          // when trial i failed — a qualified-only append breaks the index
+          // alignment attribution-by-index depends on
+          if (!insuite) { walEnv += env; envA += env }
+          t
+        }
+        (if (insuite) walInsuiteTrialsRec else walTrialsRec) ++= hdTrials
+        val hdOk = hdTrials.filter(_ > 0)
+        val secs = if (hdOk.nonEmpty) hdOk.min else -1.0
+        results(hdLabel) = secs
+        val (p50, p99) = metrics.batchLatencyMs
+        if (!insuite) { latencyP50 = p50; latencyP99 = p99 }
+        if (hdOk.nonEmpty) System.err.println(
+          f"[bench] $hdLabel: $drainEvents events in $secs%.2f s = " +
+            f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
+        (hdTrials, envA.toSeq, false)
       }
-      (if (insuite) walInsuiteTrialsRec else walTrialsRec) ++= hdTrials
-      val hdOk = hdTrials.filter(_ > 0)
-      val secs = if (hdOk.nonEmpty) hdOk.min else -1.0
-      results(hdLabel) = secs
-      val (p50, p99) = metrics.batchLatencyMs
-      if (!insuite) { latencyP50 = p50; latencyP99 = p99 }
+      // the insuite probe is a drift measurement, not a headline — it gets
+      // no contamination retry (its cause, suite heap history, is already
+      // recorded via suite_pass_gc_ms)
+      if (insuite) hdAttempt() else auditPhase("wal_drain")(() => hdAttempt())
       spark.streams.removeListener(listener)
-      if (hdOk.nonEmpty) System.err.println(
-        f"[bench] $hdLabel: $drainEvents events in $secs%.2f s = " +
-          f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
       if (insuite) return // the drift point needs only the headline
       if (framesHeadline) {
         // the pre-r8 parquet-stand-in series, kept for cross-round
@@ -1101,6 +1205,11 @@ object Bench {
           System.err.println(
             f"[bench] wal_drain_10x load gate: waited $ww%.0f s, " +
               f"load=$wl%.2f (threshold $loadThresh) → $wv")
+          auditPhase("wal_drain_10x") { () =>
+          // warm-up + trials form ONE attempt: a contaminated (or
+          // non-converged) attempt re-runs the warm-up loop too, so the
+          // retry's recorded band starts at steady state again
+          var converged = true // vacuously, when the warm-up is disabled
           if (sys.env.getOrElse("GRAFT_BENCH_10X_WARMUP", "1") != "0") {
             // steady-state warm-up (r15 VERDICT #2): repeat the untimed
             // drain until it lands within 15 % of its predecessor (the
@@ -1110,7 +1219,8 @@ object Bench {
             // artifact data, not a claim
             var prevWarm = -1.0
             var steady = false
-            while (!steady && wal10WarmupTrials.size < 3) {
+            val warmBase = wal10WarmupTrials.size // attempt-relative cap
+            while (!steady && wal10WarmupTrials.size - warmBase < 3) {
               val t =
                 try oneDrain(ev10, min10, max10, min10 + 999, 40,
                   framesHeadline, async = false)
@@ -1120,8 +1230,8 @@ object Bench {
                 }
               wal10WarmupTrials += t
               System.err.println(
-                f"[bench] wal_drain_10x warm-up ${wal10WarmupTrials.size}/3 " +
-                  f"(untimed): $t%.3f s")
+                f"[bench] wal_drain_10x warm-up " +
+                  f"${wal10WarmupTrials.size - warmBase}/3 (untimed): $t%.3f s")
               // a FAILED warm-up (t = -1) is NOT steady state (r16 review
               // finding: treating it as steady started the recorded
               // trials cold after one transient hiccup) — keep retrying
@@ -1132,12 +1242,22 @@ object Bench {
               waitQuiet(1.0, 90)
             }
             wal10WarmupS = wal10WarmupTrials.lastOption.getOrElse(-1.0)
+            // r17 (r16 VERDICT #2): cap-exhaustion is now a RECORDED
+            // verdict, and a non-converged warm-up dirties the attempt —
+            // the phase retries once instead of recording a cold band as
+            // steady state (the r16 recorded run's [3.38, 18.75, -1])
+            converged = steady
+            wal10WarmupConverged = steady
+            if (!steady) System.err.println(
+              "[bench] wal_drain_10x warm-up exhausted its cap WITHOUT " +
+                "converging — attempt marked dirty")
           }
           // 5 trials (r14 VERDICT #2, was 3): r14's trial 3 stalled 2.2×
           // with a benign env row — one unexplained stall in three
           // dominates a min-of-3 narrative; at 5 it's an outlier with
           // company or it isn't. The cpu_s/wall_s pair in the env row is
           // the new discriminator for exactly that stall class.
+          val envA = scala.collection.mutable.Buffer.empty[EnvRow]
           val t10 = (1 to 5).map { i =>
             if (i > 1) waitQuiet(1.0, 90)
             val (t, env) = envTrial(
@@ -1151,7 +1271,7 @@ object Bench {
               })
             // env rows stay UNCONDITIONAL here: the trials list records
             // -1.0 entries too, so index alignment holds either way
-            wal10Env += env
+            wal10Env += env; envA += env
             t
           }
           wal10TrialsRec ++= t10
@@ -1164,6 +1284,8 @@ object Bench {
                 f" min of ${ok.size} = ${drainEvents10 / secs10}%.0f events/s " +
                 f"[${t10.map(t => f"$t%.3f").mkString(", ")}]")
           } else results("wal_drain_10x") = -1.0
+          (t10, envA.toSeq, !converged)
+          }
         } catch { case e: Throwable => // setup (mkEv/count) failed outright
           System.err.println(s"[bench] wal_drain_10x setup failed: $e")
           e.printStackTrace()
@@ -1278,6 +1400,15 @@ object Bench {
             "cdc.click" -> 4, "cdc.purchase" -> 4, "cdc.signup" -> 4,
             "cdc.view" -> 4), retain = false))
         else None
+      // the whole floor phase (passes + headline + gate) is ONE auditable
+      // attempt: the r16 recorded floors ran at load 6.2–9.2 (r15: ~1.0) —
+      // the loudest contamination signal in that artifact — and the gate,
+      // while honest, priced a loaded box into the committed-baseline
+      // comparison. A contaminated attempt re-runs once; headline vars are
+      // recomputed from the retry's rows only.
+      def floorAttempt(): (Seq[Double], Seq[EnvRow], Boolean) = {
+      val prBase = floorPassRows.size
+      val envA = scala.collection.mutable.Buffer.empty[EnvRow]
       try (1 to passes).foreach { pass =>
         try {
           // one env row per variant per pass (r14 VERDICT #1: all three
@@ -1288,6 +1419,7 @@ object Bench {
             var out = (0L, 0L)
             val (_, env) = envTrial { out = run; 0.0 }
             floorEnv += ((variant, pass, env))
+            envA += env
             floorPassRows += ((variant, pass, out._1, out._2))
             out
           }
@@ -1308,13 +1440,17 @@ object Bench {
           System.err.println(s"[bench] latency_floor failed: ${e.getMessage}")
           recErr("latency_floor", e)
         }
-      } finally floorBroker.foreach(_.close())
-      // headline per variant = the MIN-p50 RECORDED pass (pass ≥ 2 when
-      // more than one pass ran; its p99 rides from the same pass so the
-      // pair stays coherent) — min-of-passes is the drain points' policy
-      // applied to the floors
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] latency_floor pass loop failed: $e")
+        recErr("latency_floor", e)
+      }
+      // headline per variant = the MIN-p50 RECORDED pass of THIS attempt
+      // (pass ≥ 2 when more than one pass ran; its p99 rides from the same
+      // pass so the pair stays coherent) — min-of-passes is the drain
+      // points' policy applied to the floors
+      val attemptRows = floorPassRows.drop(prBase)
       def headlineOf(variant: String): (Long, Long) = {
-        val rec = floorPassRows.filter(r =>
+        val rec = attemptRows.filter(r =>
           r._1 == variant && (passes == 1 || r._2 >= 2) && r._3 > 0)
         if (rec.isEmpty) (0L, 0L)
         else { val best = rec.minBy(_._3); (best._3, best._4) }
@@ -1335,6 +1471,12 @@ object Bench {
         s"recorded pass): async p50=${floorP50}ms p99=${floorP99}ms, " +
         s"sync p50=${floorSyncP50}ms, wire p50=${floorWireP50}ms; " +
         s"gate vs ${FloorAsyncP50BaselineMs} ms × 1.3 → $floorGateVerdict")
+      // scatter clause input: this attempt's RECORDED async-p50 passes
+      (attemptRows.filter(r => r._1 == "async" && r._3 > 0)
+        .map(_._3.toDouble).toSeq, envA.toSeq, false)
+      }
+      try auditPhase("latency_floor")(() => floorAttempt())
+      finally floorBroker.foreach(_.close())
     }
 
     // -------- ANN streaming serving point (r15 VERDICT #6) --------
@@ -1355,33 +1497,63 @@ object Bench {
     // as recorded data instead of a claim
     var annServeQpsB8 = -1.0
     var annServeB8P50 = 0L; var annServeB8P99 = 0L
+    // batch-64 rung (r16 VERDICT #5): completes the amortization curve
+    var annServeQpsB64 = -1.0
+    var annServeB64P50 = 0L; var annServeB64P99 = 0L
+    // machinery floor: the same stream served by a no-op count
+    var annServeNoopP50 = 0L; var annServeNoopP99 = 0L
     val annServeEnv = scala.collection.mutable.Buffer.empty[(Int, EnvRow)]
     if (runAnn) {
       try {
         val (_, codes, carr) =
           graft.queries.ExtQueries.pqTrainedIndex(spark, sfDir)
-        codes.count(); carr.count() // materialize the index off the clock
+        // r17 (r16 VERDICT #5): the invariant side builds ONCE, off the
+        // clock — the prepared index persists the pre-partitioned codes
+        // frame and collects the ≤32-row codebook, so a batch no longer
+        // re-derives the corpus codes (a corpus groupBy + exchange per
+        // batch) or rebuilds the codebook broadcast
+        val idx = graft.streaming.AnnServeStream.prepare(codes, carr)
         val nq = 40
-        val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val allQueries = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("label"), col("embedding"))
-          .filter(col("vec_id") < nq)
-        def annOnce(perFile: Int = 1): (Long, Long, Double) = {
+        val queries = allQueries.filter(col("vec_id") < nq)
+        // noop = the micro-batch MACHINERY floor: identical stream, file
+        // source, trigger and checkpoint bookkeeping, but the batch is
+        // only counted, never served — p50(serve) − p50(noop) is the
+        // serving plan's own per-batch cost, so the artifact NAMES the
+        // irreducible foreachBatch residual instead of leaving the
+        // batch-1 floor unattributed (r16 VERDICT #5)
+        def annOnce(perFile: Int = 1, n: Int = nq, noop: Boolean = false)
+            : (Long, Long, Double) = {
+          val qset = if (n == nq) queries
+            else allQueries.filter(col("vec_id") < n)
           val m = new graft.metrics.GraftMetrics
           val l = new graft.metrics.GraftQueryListener(m)
           spark.streams.addListener(l)
+          // serving-shaped session tuning (r16 VERDICT #5): a per-batch
+          // plan over ≤64 query rows gains nothing from AQE — each
+          // adaptive QueryStage materializes sequentially, adding
+          // scheduler round-trips to a fixed-shape 3-stage plan — and a
+          // 32-partition shuffle for an ≤64-row top-k is 32 near-empty
+          // tasks. A real serving deployment pins both; restored in the
+          // finally so every other phase keeps the defaults.
+          val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+          val shufPrev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
           val dir = Files.createTempDirectory("graft-bench-annq").toString
           val ck = Files.createTempDirectory("graft-bench-annck").toString
           try {
             // one file per ARRIVAL, pre-written: maxFilesPerTrigger=1
-            // turns them into nq/perFile micro-batches of perFile
+            // turns them into n/perFile micro-batches of perFile
             // queries each, served back-to-back
-            (0 until nq by perFile).foreach { i =>
-              queries.filter(col("vec_id") >= i &&
+            (0 until n by perFile).foreach { i =>
+              qset.filter(col("vec_id") >= i &&
                   col("vec_id") < i + perFile).coalesce(1)
                 .write.mode("append").parquet(dir)
             }
             var served = 0L
-            val q = spark.readStream.schema(queries.schema)
+            val q = spark.readStream.schema(qset.schema)
               .option("maxFilesPerTrigger", "1").parquet(dir)
               .writeStream
               .option("checkpointLocation", ck)
@@ -1389,35 +1561,59 @@ object Bench {
                 .ProcessingTime(5L))
               .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
                   _: Long) =>
-                served += graft.streaming.AnnServeStream
-                  .serve(b, codes, carr).count()
+                served += (if (noop) b.count()
+                  else graft.streaming.AnnServeStream
+                    .serveFast(b, idx).count())
               }.start()
             val t0 = System.nanoTime()
             try q.processAllAvailable() finally q.stop()
             val wall = (System.nanoTime() - t0) / 1e9
             require(served > 0, "ANN serving stream produced zero rows")
             val (p50, p99) = m.batchLatencyMs
-            (p50, p99, nq / wall)
+            (p50, p99, n / wall)
           } finally {
+            spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+            spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
             spark.streams.removeListener(l); rmRf(dir); rmRf(ck)
           }
         }
-        (1 to 2).foreach { pass =>
-          var out = (0L, 0L, -1.0)
-          val (_, env) = envTrial { out = annOnce(); 0.0 }
-          annServeEnv += ((pass, env))
-          if (pass == 2) {
-            annServeP50 = out._1; annServeP99 = out._2; annServeQps = out._3
+        auditPhase("ann_serve") { () =>
+          val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+          (1 to 2).foreach { pass =>
+            var out = (0L, 0L, -1.0)
+            val (_, env) = envTrial { out = annOnce(); 0.0 }
+            annServeEnv += ((pass, env)); envA += env
+            if (pass == 2) {
+              annServeP50 = out._1; annServeP99 = out._2; annServeQps = out._3
+            }
+            System.err.println(f"[bench] ann_serve pass $pass/2: " +
+              f"p50=${out._1}ms p99=${out._2}ms qps=${out._3}%.1f")
           }
-          System.err.println(f"[bench] ann_serve pass $pass/2: " +
-            f"p50=${out._1}ms p99=${out._2}ms qps=${out._3}%.1f")
+          // the amortization points ride the already-warm serving path —
+          // one recorded pass each is the floor protocol's pass-2
+          // equivalent. batch=64 (r16 VERDICT #5) completes the curve:
+          // 1 → 8 → 64 queries per micro-batch over the same prepared
+          // index (128 queries = two 64-query batches, so the p50 is a
+          // real sample, not a single batch)
+          val b8 = annOnce(perFile = 8)
+          annServeB8P50 = b8._1; annServeB8P99 = b8._2; annServeQpsB8 = b8._3
+          System.err.println(f"[bench] ann_serve batch=8: " +
+            f"p50=${b8._1}ms p99=${b8._2}ms qps=${b8._3}%.1f")
+          val b64 = annOnce(perFile = 64, n = 128)
+          annServeB64P50 = b64._1; annServeB64P99 = b64._2
+          annServeQpsB64 = b64._3
+          System.err.println(f"[bench] ann_serve batch=64: " +
+            f"p50=${b64._1}ms p99=${b64._2}ms qps=${b64._3}%.1f")
+          val noop = annOnce(noop = true)
+          annServeNoopP50 = noop._1; annServeNoopP99 = noop._2
+          System.err.println(f"[bench] ann_serve noop (machinery floor): " +
+            f"p50=${noop._1}ms p99=${noop._2}ms — serve minus noop is the " +
+            "serving plan's own per-batch cost")
+          // pass-1 is the cold stream/JIT pass (dropped by the scatter
+          // clause's first-trial exemption); the load clause does the work
+          (envA.map(_.wallS).toSeq, envA.toSeq, false)
         }
-        // the amortization point rides the already-warm serving path —
-        // one recorded pass is the floor protocol's pass-2 equivalent
-        val b8 = annOnce(perFile = 8)
-        annServeB8P50 = b8._1; annServeB8P99 = b8._2; annServeQpsB8 = b8._3
-        System.err.println(f"[bench] ann_serve batch=8: " +
-          f"p50=${b8._1}ms p99=${b8._2}ms qps=${b8._3}%.1f")
+        idx.release()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann_serve failed: ${e.getMessage}")
         recErr("ann_serve", e)
@@ -1470,12 +1666,29 @@ object Bench {
     // history)
     val passHeapMb = scala.collection.mutable.Buffer.empty[Long]
     val passStorageMb = scala.collection.mutable.Buffer.empty[Long]
-    def usedHeapMb: Long =
-      ((Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory)
-        / 1e6).toLong
+    // r17 (r16 VERDICT #3): the gauge measures RETENTION, not uncollected
+    // allocation — the raw totalMemory−freeMemory read 8.5→11.4 GB
+    // "growth" on the loaded recorded run vs ~350 MB flat on clean runs of
+    // identical code (GC timing under load, not a leak), i.e. the raw
+    // gauge can manufacture leak narratives. Force a full collection and
+    // read the post-GC MemoryMXBean figure; the System.gc() sits BETWEEN
+    // passes, off every timed window. The storage gauge is unchanged
+    // (cached blocks flat at 7 MB per pass is the genuinely useful
+    // signal; it disconfirmed the r15 checkpoint-leak hypothesis).
+    def usedHeapMb: Long = {
+      System.gc()
+      (java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / 1e6).toLong
+    }
     def cachedBlockMb: Long =
       (spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6).toLong
+    // per-pass 1-min load at pass START (r16 VERDICT #1: the recorded
+    // suite ran at load 6.2–7.0 with pass-1 177.9 s vs 112–118 clean, and
+    // only the floor env rows nearby priced it) — the suite's own
+    // contamination verdict derives from these
+    val passLoad = scala.collection.mutable.Buffer.empty[Double]
     if (runSuite) (1 to 3).foreach { _ =>
+      passLoad += loadAvg()
       val p0 = System.nanoTime(); val g0 = gcMs()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -1499,6 +1712,22 @@ object Bench {
     if (runSuite && passTotals.nonEmpty) System.err.println(
       f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
         f"gc [${passGcMs.mkString(", ")}] ms")
+    // suite contamination verdict (label-only, no retry: re-running ~190
+    // points × 3 passes doubles the bench, and the interleaved min-of-3
+    // already defends each query's min). The load clause does NOT apply
+    // here — the suite keeps all 32 cores busy continuously, so load at
+    // pass start prices the suite itself; the discriminator is pass-total
+    // scatter: clean runs read max/min ≤1.27 (r16_full1-3: [136,138,133],
+    // [133,124,122], [152,119,139]) while the contaminated recorded run
+    // read 1.50 ([178,119,119]) — bar 1.45.
+    if (runSuite && passTotals.nonEmpty) {
+      val scatter = passTotals.max / passTotals.min
+      phaseAudits += (("suite",
+        if (scatter > 1.45) "contaminated" else "clean", 1))
+      if (scatter > 1.45) System.err.println(
+        f"[bench] suite pass scatter $scatter%.2f > 1.45 — verdict " +
+          "contaminated (per-query mins stand, labeled)")
+    }
     if (runSuite) ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
       results(name) = if (failedQ(name)) -1.0 else trials(name).min
@@ -1570,6 +1799,7 @@ object Bench {
       s""""wal_drain_10x_warmup_s":${r3(wal10WarmupS)},""" +
       s""""wal_drain_10x_warmup_trials":[${
         wal10WarmupTrials.map(r3).mkString(",")}],""" +
+      s""""wal_drain_10x_warmup_converged":$wal10WarmupConverged,""" +
       s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
       s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
       s""""live_drain_events":$liveDrainEvents,""" +
@@ -1602,6 +1832,9 @@ object Bench {
       s""""ann_serve_batch_ms":{"p50":$annServeP50,"p99":$annServeP99},""" +
       s""""ann_serve_qps_b8":${r3(annServeQpsB8)},""" +
       s""""ann_serve_batch_ms_b8":{"p50":$annServeB8P50,"p99":$annServeB8P99},""" +
+      s""""ann_serve_qps_b64":${r3(annServeQpsB64)},""" +
+      s""""ann_serve_batch_ms_b64":{"p50":$annServeB64P50,"p99":$annServeB64P99},""" +
+      s""""ann_serve_noop_ms":{"p50":$annServeNoopP50,"p99":$annServeNoopP99},""" +
       s""""ann_serve_env":[${annServeEnv.map { case (pass, env) =>
         s"""{"pass":$pass,${env.json.tail}"""
       }.mkString(",")}],""" +
@@ -1616,6 +1849,7 @@ object Bench {
         s"""{"variant":"$variant","pass":$pass,${env.json.tail}"""
       }.mkString(",")}],""" +
       s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
+      s""""suite_pass_load":[${passLoad.map(r3).mkString(",")}],""" +
       s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
       s""""suite_pass_heap_mb":[${passHeapMb.mkString(",")}],""" +
       s""""suite_pass_storage_mb":[${passStorageMb.mkString(",")}],""" +
@@ -1623,6 +1857,18 @@ object Bench {
         "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
       }.mkString("{", ",", "}")},""" +
       s""""disk_free_gb":{"start":${r3(diskFreeStart)},"end":${r3(diskFreeGb())}},""" +
+      // r17 (r16 VERDICT #1): the run's numbers carry their own
+      // credibility — per-phase contamination verdicts (each phase's
+      // trials/env rows stay recorded across retries) and the run-level
+      // roll-up: clean ⟺ no phase ended contaminated or audit_error
+      s""""contam_load_bar":${r3(contamLoadBar)},""" +
+      s""""phase_audits":[${phaseAudits.map { case (p, v, a) =>
+        s"""{"phase":"$p","verdict":"$v","attempts":$a}"""
+      }.mkString(",")}],""" +
+      s""""run_env_verdict":"${
+        if (phaseAudits.exists(pa =>
+          pa._2 == "contaminated" || pa._2 == "audit_error"))
+          "contaminated" else "clean"}",""" +
       s""""sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
@@ -1664,10 +1910,17 @@ object Bench {
         (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"")
          else Nil)
       ).mkString("[", ",", "]")
+    // the run-level env verdict rides even the micro line: a reader of
+    // the 2000-char tail learns whether the numbers are clean or labeled
+    val runEnvVerdict =
+      if (phaseAudits.exists(pa =>
+        pa._2 == "contaminated" || pa._2 == "audit_error"))
+        "contaminated" else "clean"
     def microLine(nSlowest: Int): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(headline ++ slowest.take(nSlowest))},""" +
       s""""failed":$failedMicro,"failed_count":${failed.size},""" +
+      s""""run_env_verdict":"$runEnvVerdict",""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
       s""""full_queries":"$outPath"}"""
     // last-resort fallback stays valid JSON and bounded: no queries map,
@@ -1675,6 +1928,7 @@ object Bench {
     val microMinimal =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(headline)},"failed_count":${failed.size},""" +
+      s""""run_env_verdict":"$runEnvVerdict",""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
       s""""full_queries":"$outPath"}"""
     val microJson = (12 to 0 by -1).map(microLine)

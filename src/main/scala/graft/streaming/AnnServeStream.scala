@@ -27,6 +27,87 @@ import org.apache.spark.sql.functions._
   */
 object AnnServeStream {
 
+  /** Invariant serving state, built ONCE per trained index (r16 VERDICT
+    * #5: the batch-1 serving floor was dominated by per-batch rebuild of
+    * frames that do not change per batch).
+    *
+    *  - `codes`: the corpus codes frame, pre-partitioned by `vec_id` and
+    *    locally checkpointed. Two per-batch costs die here: (a) the codes
+    *    derivation (a corpus-sized groupBy + exchange over the scored
+    *    checkpoint) re-ran EVERY batch in [[serve]]; (b) the per-query ADC
+    *    sum's groupBy(qid, vec_id) needed a corpus-sized exchange —
+    *    HashPartitioning(vec_id) satisfies ClusteredDistribution(qid,
+    *    vec_id), so the aggregate now runs in place on the cached blocks.
+    *  - `carrBySub`: the collected codebook (≤ nSub×8 rows — bounded by
+    *    construction, never corpus-sized), as a driver-side map baked into
+    *    a LITERAL per batch. Kills the per-batch BroadcastExchange build
+    *    of the codebook join; the one remaining broadcast per batch is
+    *    the query LUT, which is irreducibly query-dependent.
+    */
+  final class TrainedServeIndex(
+      val codes: DataFrame,
+      val carrBySub: Map[Int, Seq[(Long, Seq[Long])]]) {
+    /** Drop the cached corpus blocks (serving teardown). */
+    def release(): Unit = codes.unpersist()
+  }
+
+  /** Materialize the invariant side of the serving plan. Call OUTSIDE
+    * foreachBatch, once per index (re-train ⇒ re-prepare). The collect is
+    * the ≤32-row codebook, not data. The codes frame is persist()ed, not
+    * checkpointed: an InMemoryRelation PRESERVES the repartition's
+    * HashPartitioning(vec_id) so the per-batch aggregate plans without an
+    * exchange, where a LogicalRDD under AQE reports unknown partitioning
+    * and every batch re-shuffles the corpus (measured: 4 exchanges/batch
+    * vs 1). Call [[TrainedServeIndex.release]] when serving ends. */
+  def prepare(codes: DataFrame, carr: DataFrame): TrainedServeIndex = {
+    val byS = carr.collect().map { r =>
+      (r.getAs[Number]("subspace").intValue(),
+        r.getAs[Number]("cid").longValue(),
+        r.getSeq[Long](r.fieldIndex("carr")).toIndexedSeq)
+    }.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.sortBy(_._2).map(t => (t._2, t._3: Seq[Long])).toSeq
+    }
+    val codesPart = codes.repartition(col("vec_id")).persist()
+    codesPart.count() // materialize off the serving clock
+    new TrainedServeIndex(codesPart, byS)
+  }
+
+  /** [[serve]] against a prepared index: per-batch work is the query-side
+    * LUT (subspace split + literal-codebook distances — the SAME
+    * `pqSubspaceSplit` / `L2SqLong` kernels, so exactness is unchanged;
+    * `AnnServeStreamSpec` pins this path to `sim_ivfpq_trained` too), ONE
+    * broadcast (the LUT), an exchange-free ADC sum on the pre-partitioned
+    * codes, and the small per-query top-k exchange. */
+  def serveFast(queries: DataFrame, idx: TrainedServeIndex, k: Int = 5)
+      : DataFrame = {
+    val qsub = queries.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"),
+        explode(graft.queries.ExtQueries
+          .pqSubspaceSplit(4, "l_subspace", "qarr")).as("p"))
+      .select(col("qid"), col("qlabel"), col("p.l_subspace").as("l_subspace"),
+        col("p.qarr").as("qarr"))
+    val carrLit = typedLit(idx.carrBySub)
+    val lut = qsub
+      .select(col("qid"), col("qlabel"), col("l_subspace"), col("qarr"),
+        explode(element_at(carrLit, col("l_subspace"))).as("ce"))
+      .select(col("qid"), col("qlabel"), col("l_subspace"),
+        col("ce._1").as("l_cid"),
+        graft.functions.L2SqLong(col("qarr"), col("ce._2")).as("d2"))
+    idx.codes.join(broadcast(lut),
+        col("subspace") === col("l_subspace") &&
+          col("code") === col("l_cid") && col("label") === col("qlabel"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_sq_e12"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(
+        (-col("adc_sq_e12")).cast("double"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("cid"),
+        (-col("t.score")).cast("long").as("adc_sq_e12"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Serve one (micro-)batch of raw query vectors `(vec_id, label,
     * embedding)` against the trained index: per-query LUT from the
     * broadcast codebook arrays, label-matched ADC scoring over the codes

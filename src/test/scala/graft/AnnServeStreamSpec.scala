@@ -54,4 +54,65 @@ class AnnServeStreamSpec extends AnyFunSuite {
     }
     graft.util.Checkpoints.releaseOwned(spark)
   }
+
+  test("serveFast (prepared index) equals the batch serving query") {
+    // the amortized path (r16 VERDICT #5): invariant side prepared once —
+    // pre-partitioned codes + collected literal codebook — must stay
+    // bit-identical to the reference serve()/batch query, per micro-batch
+    val truth = SparkEntry.queries("sim_ivfpq_trained")(spark, SparkTestBase.sf)
+      .collect().toSet
+    graft.util.Checkpoints.releaseOwned(spark)
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val idx = AnnServeStream.prepare(codes, carr)
+    val queries = spark.read
+      .parquet(s"${SparkTestBase.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("vec_id") < 10)
+    val dir = Files.createTempDirectory("graft-annserve-fast").toString
+    (0 until 3).foreach { i =>
+      queries.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val got = scala.collection.mutable.Set.empty[Row]
+    val q = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        got ++= AnnServeStream.serveFast(b, idx).collect(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got == truth,
+      s"serveFast diverged from the batch query: " +
+        s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    // the per-batch ADC sum must NOT re-shuffle the corpus: the prepared
+    // codes frame is hash-partitioned by vec_id (LogicalRDD preserves the
+    // partitioning through the checkpoint), which satisfies the
+    // groupBy(qid, vec_id) distribution — so the ONLY shuffle in the
+    // serving plan is the small per-query top-k groupBy(qid)
+    val served = AnnServeStream.serveFast(queries, idx)
+    served.collect() // finalize the adaptive plan
+    // tree walk, NOT a plan-string grep: the string embeds the cached
+    // InMemoryRelation's one-time BUILD plan (whose exchanges already ran
+    // at prepare() time); InMemoryTableScan is a leaf here, so the walk
+    // counts only per-batch shuffles
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(shuffles).sum
+    }
+    val n = shuffles(served.queryExecution.executedPlan)
+    assert(n <= 1,
+      s"serveFast must shuffle only the per-query top-k, found $n:\n" +
+        served.queryExecution.executedPlan)
+    idx.release()
+    graft.util.Checkpoints.releaseOwned(spark)
+  }
 }
