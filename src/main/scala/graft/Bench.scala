@@ -225,6 +225,9 @@ object Bench {
     val live2dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val live4dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
     val live8dbTrialsRec = scala.collection.mutable.Buffer.empty[Double]
+    // r17 (r16 VERDICT #6): split-CLUSTER rung — 2 independent clusters
+    // × 4 databases, the single-cluster shared-WAL ceiling's answer
+    val live2x4TrialsRec = scala.collection.mutable.Buffer.empty[Double]
     // server-ceiling accounting for the 10× point (r11 VERDICT #1): the
     // drain is ~90% blocked in walsender decode, so the honest bar is the
     // MEASURED ceiling, not a fixed constant — predicted = events ÷ the
@@ -245,6 +248,7 @@ object Bench {
     val live2dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
     val live4dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
     val live8dbEnv = scala.collection.mutable.Buffer.empty[EnvRow]
+    val live2x4Env = scala.collection.mutable.Buffer.empty[EnvRow]
     val liveEnv = scala.collection.mutable.Buffer.empty[EnvRow]
     var live10Predicted = -1.0
     var live10BestPct = -1.0
@@ -825,6 +829,158 @@ object Bench {
           if (sys.env.getOrElse("GRAFT_BENCH_LIVE_8DB", "1") != "0")
             dbShardDrain(8, 137250, "live_drain_8db", live8dbTrialsRec,
               live8dbEnv)
+          // r17 (r16 VERDICT #6): the split-CLUSTER rung. The 2db→4db→8db
+          // curve measured shared-WAL-scan saturation (4→8 buys only
+          // 1.17–1.4×: every walsender still reads the WHOLE cluster WAL
+          // and fast-skips other databases' records); the README's
+          // conclusion — ">4 shards should split CLUSTERS" — becomes
+          // recorded data here: the SAME 1.098M-event backlog split across
+          // TWO independent PG clusters × 4 databases each, drained by 8
+          // concurrent wire sessions. Each cluster's WAL holds only HALF
+          // the backlog, so its 4 walsenders scan half as many bytes — the
+          // headroom the single-cluster 8db rung cannot have. This is the
+          // >4-shard deployment shape: shard by database within a cluster,
+          // then split clusters.
+          if (sys.env.getOrElse("GRAFT_BENCH_LIVE_2X4", "1") != "0")
+            PgServerHarness.start() match {
+              case None =>
+                System.err.println(
+                  "[bench] live_drain_2x4 skipped: second cluster boot failed")
+                recMsg("live_drain_2x4", "second cluster boot failed")
+              case Some(h2) => try {
+                val tag = "live_drain_2x4"
+                val perShard = 137250
+                val admin2 = h2.session()
+                try {
+                  val clusters = IndexedSeq((h, admin), (h2, admin2))
+                  val shards = clusters.zipWithIndex.flatMap {
+                    case ((hc, adm), c) => (0 until 4).map { i =>
+                      val db = s"graft_x4c${c}_$i"
+                      adm.simpleQuery(s"CREATE DATABASE $db")
+                      val a2 = hc.session(db)
+                      a2.simpleQuery("CREATE TABLE public.bench_records(" +
+                        "id bigint PRIMARY KEY, account_id bigint, " +
+                        "amount double precision, status text, payload text, " +
+                        "created_at timestamptz)")
+                      a2.simpleQuery(
+                        "ALTER TABLE public.bench_records REPLICA IDENTITY FULL")
+                      val bs = hc.session(db)
+                      val boot2 = WireBootstrap.bootstrap(bs,
+                        s"graft_x4c${c}_slot_$i", s"graft_x4c${c}_pub_$i",
+                        Seq(StreamDef("bench_records", "public.bench_records",
+                          Seq("insert"), "cdc.bench")),
+                        confirmedLsn = 0L, emit = _ => (),
+                        flushDelivery = () => ())
+                      (0 until perShard by 111000).foreach { lo =>
+                        a2.simpleQuery("INSERT INTO public.bench_records " +
+                          "SELECT i, i % 1000, (i % 100000) / 100.0, " +
+                          "'active', repeat('x', 100), now() FROM " +
+                          s"generate_series(${lo + 1}, " +
+                          s"${math.min(lo + 111000, perShard)}) AS g(i)")
+                      }
+                      bs.close(); a2.close()
+                      (c, db, s"graft_x4c${c}_slot_$i",
+                        s"graft_x4c${c}_pub_$i", boot2.startLsn)
+                    }
+                  }
+                  // end pointers are per CLUSTER — LSNs are cluster-local
+                  val ends = clusters.map { case (_, adm) =>
+                    ChangeEvent.lsnValue(adm.simpleQuery(
+                      "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
+                  }
+                  def openX(c: Int, db: String, slot: String, pub: String,
+                      startLsn: Long, attempt: Int = 0)
+                      : graft.source.postgres.SocketCopyBothChannel = {
+                    val sess = clusters(c)._1.session(db)
+                    try sess.startReplication(slot, pub,
+                      ChangeEvent.lsnText(startLsn), readTimeoutMs = 1000)
+                    catch {
+                      case e: Exception if attempt < 50 &&
+                          e.getMessage != null &&
+                          e.getMessage.contains("is active for") =>
+                        try sess.close() catch { case _: Throwable => () }
+                        Thread.sleep(100)
+                        openX(c, db, slot, pub, startLsn, attempt + 1)
+                      case e: Throwable =>
+                        try sess.close() catch { case _: Throwable => () }
+                        throw e
+                    }
+                  }
+                  def x4Trial(): Double = {
+                    val pumps = scala.collection.mutable.Buffer
+                      .empty[(ReplicationSpooler, String, Int)]
+                    try {
+                      shards.foreach { case (c, db, slot, pub, startLsn) =>
+                        val walDir = Files
+                          .createTempDirectory(s"graft-bench-$tag").toString
+                        pumps += ((new ReplicationSpooler(
+                          openX(c, db, slot, pub, startLsn), walDir),
+                          walDir, c))
+                      }
+                      val t0 = System.nanoTime()
+                      val deadline = t0 + 300L * 1000000000L
+                      val threads = pumps.map { case (sp, _, c) =>
+                        val t = new Thread(() => {
+                          while ((sp.insertFrames < perShard ||
+                              sp.lastReceivedLsn < ends(c)) &&
+                              System.nanoTime() < deadline)
+                            sp.pumpOnce()
+                        }, s"$tag-pump")
+                        t.start(); t
+                      }
+                      threads.foreach(_.join())
+                      val secs = (System.nanoTime() - t0) / 1e9
+                      val shorts = pumps.map { case (sp, walDir, _) =>
+                        sp.flush()
+                        val nIns = WalLog.read(walDir, 0L, Long.MaxValue)
+                          .count(f => f.payload.nonEmpty && f.payload(0) == 'I')
+                        if (nIns < perShard) {
+                          recMsg(tag, s"trial disqualified: shard spooled " +
+                            s"$nIns of $perShard")
+                          true
+                        } else false
+                      }
+                      if (shorts.contains(true)) Double.NaN else secs
+                    } finally pumps.foreach { case (sp, walDir, _) =>
+                      try sp.close() catch { case _: Throwable => () }
+                      rmRf(walDir)
+                    }
+                  }
+                  auditPhase(tag) { () =>
+                    val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+                    // srv_cpu_s tracks cluster A's postmaster tree only
+                    // (envTrial takes one pid); cluster B's decode cost is
+                    // the same backlog shape on an identical server
+                    val ts = Seq.fill(5) {
+                      val (t, env) = envTrial(
+                        try x4Trial()
+                        catch { case e: Throwable =>
+                          recErr(tag, e); Double.NaN },
+                        srvPid)
+                      if (!t.isNaN) { live2x4Env += env; envA += env }
+                      t
+                    }.filterNot(_.isNaN)
+                    if (ts.nonEmpty) {
+                      live2x4TrialsRec ++= ts
+                      val best = ts.min
+                      val med = ts.sorted.apply(ts.size / 2)
+                      results(tag) = best
+                      System.err.println(
+                        f"[bench] $tag: ${8 * perShard} events over 2 " +
+                          f"clusters × 4 db-sharded walsenders in $best%.2f s" +
+                          f" min / $med%.2f s median = " +
+                          f"${8 * perShard / best}%.0f ev/s aggregate, min " +
+                          f"of ${ts.size} trials " +
+                          f"[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+                    }
+                    (ts, envA.toSeq, false)
+                  }
+                } finally admin2.close()
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] live_drain_2x4 failed: ${e.getMessage}")
+                recErr("live_drain_2x4", e)
+              } finally h2.stop()
+            }
           admin.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] live_drain failed: ${e.getMessage}")
@@ -1766,7 +1922,7 @@ object Bench {
     // (recorded as -1.0) must not be summed either: they'd subtract from the
     // total and corrupt it — list them separately instead.
     val nonComparable = Set("wal_drain_10x", "live_drain_10x", "live_drain",
-      "live_drain_2db", "live_drain_4db", "live_drain_8db",
+      "live_drain_2db", "live_drain_4db", "live_drain_8db", "live_drain_2x4",
       "wal_drain_insuite") // a re-measurement, not a new workload
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results
@@ -1823,6 +1979,8 @@ object Bench {
       s""""live_drain_4db_env":[${live4dbEnv.map(_.json).mkString(",")}],""" +
       s""""live_drain_8db_trials":[${live8dbTrialsRec.map(r3).mkString(",")}],""" +
       s""""live_drain_8db_env":[${live8dbEnv.map(_.json).mkString(",")}],""" +
+      s""""live_drain_2x4_trials":[${live2x4TrialsRec.map(r3).mkString(",")}],""" +
+      s""""live_drain_2x4_env":[${live2x4Env.map(_.json).mkString(",")}],""" +
       s""""live_load_avg":{"before":${r3(liveLoadBefore)},"after":${r3(liveLoadAfter)}},""" +
       s""""live_load_guard":{"wait_s":${r3(liveLoadWaitS)},"verdict":"$liveLoadVerdict"},""" +
       s""""latency_floor_ms":{"p50":$floorP50,"p99":$floorP99},""" +
@@ -1877,7 +2035,7 @@ object Bench {
     // suite queries (the ones worth comparing round-over-round by eye).
     val headline = Seq("wal_drain", "wal_drain_wire", "wal_drain_2slot",
       "wal_drain_4slot", "wal_drain_10x", "live_drain", "live_drain_10x",
-      "live_drain_2db", "live_drain_4db", "live_drain_8db")
+      "live_drain_2db", "live_drain_4db", "live_drain_8db", "live_drain_2x4")
       .flatMap(k => results.get(k).map(k -> _))
     val compactJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

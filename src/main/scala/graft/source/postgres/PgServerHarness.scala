@@ -189,11 +189,12 @@ object PgServerHarness {
       s"-c listen_addresses=$host",
       "-c wal_level=logical",
       // a full bench run creates slots it never drops (the headline slot
-      // plus 2+4+8 shard slots = 15) and the 8db rung runs 8 concurrent
-      // walsenders — 20 leaves headroom for a retried open racing a
-      // not-yet-released sender
-      "-c max_wal_senders=20",
-      "-c max_replication_slots=20",
+      // plus 2+4+8 shard slots = 15, plus the split-cluster rung's 4 on
+      // cluster A = 19) and the 8db rung runs 8 concurrent walsenders —
+      // 24 leaves headroom for a retried open racing a not-yet-released
+      // sender
+      "-c max_wal_senders=24",
+      "-c max_replication_slots=24",
       // Throwaway-server durability/WAL tuning. Beyond speed, this makes the
       // live-drain bench DETERMINISTIC: with stock settings a checkpoint
       // landing mid-generation (max_wal_size 1 GB, timeout 5 min — both
