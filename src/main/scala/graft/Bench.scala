@@ -336,14 +336,9 @@ object Bench {
     // directly with attempts=1
     val phaseAudits =
       scala.collection.mutable.Buffer.empty[(String, String, Int)]
-    def phaseContaminated(trials: Seq[Double], envs: Seq[EnvRow]): Boolean = {
-      val ok = trials.filter(_ > 0)
-      ok.nonEmpty && {
-        val mn = ok.min
-        ok.drop(1).exists(_ > 3.0 * mn) ||
-          envs.exists(_.load > contamLoadBar)
-      }
-    }
+    def phaseContaminated(trials: Seq[Double], envs: Seq[EnvRow]): Boolean =
+      graft.metrics.PhaseAudit.contaminated(
+        trials, envs.map(_.load), contamLoadBar)
     // Runs one phase attempt (the closure records its own trials/env rows
     // and sets results(tag) from ITS trials); `dirty` from the closure
     // forces the retry for phase-specific reasons (a non-converged
@@ -1403,11 +1398,11 @@ object Bench {
             // the phase retries once instead of recording a cold band as
             // steady state (the r16 recorded run's [3.38, 18.75, -1])
             converged = steady
-            wal10WarmupConverged = steady
             if (!steady) System.err.println(
               "[bench] wal_drain_10x warm-up exhausted its cap WITHOUT " +
                 "converging — attempt marked dirty")
           }
+          wal10WarmupConverged = converged // vacuously true when disabled
           // 5 trials (r14 VERDICT #2, was 3): r14's trial 3 stalled 2.2×
           // with a benign env row — one unexplained stall in three
           // dominates a min-of-3 narrative; at 5 it's an outlier with

@@ -1,0 +1,33 @@
+package graft.metrics
+
+/** The bench's per-phase contamination predicate (r16 VERDICT #1), kept
+  * here — not inline in the Bench main — so the calibration is pinned by
+  * `PhaseAuditSpec` against the actual r16 artifact pair (the recorded
+  * contaminated run vs the three same-tree clean runs).
+  *
+  * Two clauses, OR'd:
+  *  - LOAD: any qualified trial started at 1-min load above `loadBar`.
+  *    The bar is NOT the 0.5 quiet-gate threshold: a phase's own 32-core
+  *    trials leave 1.5–3.6 of SELF-induced load in the 1-min average on
+  *    provably clean runs, so the bar sits above clean self-load maxima
+  *    (3.64 observed) and below the contaminated rows (5.5–9.2 observed).
+  *  - SCATTER: any qualified trial AFTER the first with wall >
+  *    `scatterFactor` × the phase min. The first trial is exempt — the
+  *    un-warmed 99k headline's first trial is legitimately JIT-cold at
+  *    ~3× min on clean runs.
+  */
+object PhaseAudit {
+
+  /** `trials` are the phase's qualified wall-clock seconds in run order
+    * (disqualified −1/NaN entries already filtered by the caller);
+    * `loads` the 1-min load at each qualified trial's start. */
+  def contaminated(trials: Seq[Double], loads: Seq[Double],
+      loadBar: Double, scatterFactor: Double = 3.0): Boolean = {
+    val ok = trials.filter(_ > 0)
+    ok.nonEmpty && {
+      val mn = ok.min
+      ok.drop(1).exists(_ > scatterFactor * mn) ||
+        loads.exists(_ > loadBar)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.metrics.PhaseAudit
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the contamination predicate's calibration against the ACTUAL r16
+  * artifact pair: the recorded contaminated run (BENCH_r16 /
+  * bench_out/latest.json of that round) vs the three same-tree clean runs
+  * (r16_full1–3). Every sequence below is copied verbatim from those
+  * artifacts — if the bar or scatter factor moves, these cases say which
+  * real runs the new calibration would re-classify. */
+class PhaseAuditSpec extends AnyFunSuite {
+
+  private val Bar = 4.5
+
+  test("recorded-r16 wal_drain_10x is contaminated (scatter: 54.8 vs min 2.53)") {
+    assert(PhaseAudit.contaminated(
+      Seq(2.532, 14.939, 9.405, 54.802, 25.078),
+      Seq(0.94, 0.95, 1.41, 1.11, 4.17), Bar))
+  }
+
+  test("recorded-r16 wal_drain is contaminated (load 5.54 over the bar)") {
+    // scatter alone does NOT trip (0.711/0.284 = 2.5 < 3 after the
+    // first-trial exemption) — the load clause carries this phase
+    assert(PhaseAudit.contaminated(
+      Seq(1.025, 0.497, 0.711, 0.338, 0.284),
+      Seq(3.46, 3.64, 3.59, 5.54, 5.54), Bar))
+  }
+
+  test("recorded-r16 latency_floor is contaminated (loads 6.2-9.2)") {
+    assert(PhaseAudit.contaminated(
+      Seq(47.0, 48.0, 45.0), // per-pass async p50s (shape only)
+      Seq(9.19, 8.53, 8.01, 7.45, 7.01, 6.77, 6.23), Bar))
+  }
+
+  test("clean r16_full1 wal_drain passes (first-trial JIT exemption)") {
+    // first trial 0.731 is 3.0x the min — exactly the cold-start shape
+    // the exemption exists for; later trials are flat, loads self-induced
+    assert(!PhaseAudit.contaminated(
+      Seq(0.731, 0.320, 0.270, 0.244, 0.251),
+      Seq(3.05, 3.05, 3.05, 3.05, 2.89), Bar))
+  }
+
+  test("clean r16_full1 wal_drain_10x passes (worst clean scatter 2.69)") {
+    assert(!PhaseAudit.contaminated(
+      Seq(4.146, 1.972, 3.935, 2.111, 5.302),
+      Seq(0.87, 0.88, 0.97, 0.97, 0.97), Bar))
+  }
+
+  test("clean r16_full1 live_drain_8db passes (self-load 1.77-3.14)") {
+    assert(!PhaseAudit.contaminated(
+      Seq(1.732, 1.752, 1.699, 1.783, 1.491),
+      Seq(1.77, 2.19, 2.19, 2.19, 3.14), Bar))
+  }
+
+  test("edge cases: empty, all-disqualified, single trial") {
+    assert(!PhaseAudit.contaminated(Nil, Nil, Bar))
+    assert(!PhaseAudit.contaminated(Seq(-1.0, -1.0), Seq(0.5, 0.5), Bar))
+    // one qualified trial: no scatter possible, load clause still applies
+    assert(!PhaseAudit.contaminated(Seq(2.0), Seq(1.0), Bar))
+    assert(PhaseAudit.contaminated(Seq(2.0), Seq(9.0), Bar))
+  }
+}
