@@ -1016,6 +1016,10 @@ object Bench {
     // REPEATS until the untimed drain lands within 15 % of its
     // predecessor (cap 3), and the recorded band starts at steady state.
     val wal10WarmupTrials = scala.collection.mutable.Buffer.empty[Double]
+    // per-warm-up process-CPU seconds — the convergence signal (r17):
+    // JIT warm-up is cpu falling; flat cpu with scattering wall is box
+    // noise, not cold code
+    val wal10WarmupCpuS = scala.collection.mutable.Buffer.empty[Double]
     var wal10WarmupS = -1.0
     // r17 (r16 VERDICT #2): the warm-up loop's outcome is a recorded
     // verdict (the r16 loop exhausted its cap without converging and the
@@ -1368,10 +1372,11 @@ object Bench {
             // converged), cap 3 — every warm-up time is recorded in
             // wal_drain_10x_warmup_trials so "reached steady state" is
             // artifact data, not a claim
-            var prevWarm = -1.0
+            var prevWarmCpu = -1.0
             var steady = false
             val warmBase = wal10WarmupTrials.size // attempt-relative cap
             while (!steady && wal10WarmupTrials.size - warmBase < 3) {
+              val c0 = cpuNanos()
               val t =
                 try oneDrain(ev10, min10, max10, min10 + 999, 40,
                   framesHeadline, async = false)
@@ -1379,17 +1384,29 @@ object Bench {
                   System.err.println(s"[bench] wal_drain_10x warm-up failed: $e")
                   -1.0
                 }
+              val cpuS =
+                if (c0 < 0 || t < 0) -1.0 else (cpuNanos() - c0) / 1e9
               wal10WarmupTrials += t
+              wal10WarmupCpuS += cpuS
               System.err.println(
                 f"[bench] wal_drain_10x warm-up " +
-                  f"${wal10WarmupTrials.size - warmBase}/3 (untimed): $t%.3f s")
+                  f"${wal10WarmupTrials.size - warmBase}/3 (untimed): " +
+                  f"$t%.3f s wall / $cpuS%.1f cpu-s")
               // a FAILED warm-up (t = -1) is NOT steady state (r16 review
               // finding: treating it as steady started the recorded
               // trials cold after one transient hiccup) — keep retrying
-              // within the cap
-              steady = t > 0 && prevWarm > 0 &&
-                math.abs(t - prevWarm) <= 0.15 * prevWarm
-              prevWarm = t
+              // within the cap. Convergence is CPU-based (r17): the JIT
+              // transient IS the cpu signal — r15's own attribution showed
+              // warm-up = cpu falling in lockstep with wall (418 → 28
+              // cpu-s) while STEADY-state wall still scatters 2× with cpu
+              // FLAT at 30–35 (wall≫cpu box noise the env rows price) —
+              // so a wall-based window misreads box noise as cold code
+              // and triggers needless retries (observed: r17_full1's
+              // attempt-1 warm-ups scattered [3.2, 1.5, 3.3] s wall at
+              // flat cpu and the phase retried for nothing).
+              steady = t > 0 && prevWarmCpu > 0 && cpuS > 0 &&
+                math.abs(cpuS - prevWarmCpu) <= 0.15 * prevWarmCpu
+              prevWarmCpu = cpuS
               waitQuiet(1.0, 90)
             }
             wal10WarmupS = wal10WarmupTrials.lastOption.getOrElse(-1.0)
@@ -1950,6 +1967,8 @@ object Bench {
       s""""wal_drain_10x_warmup_s":${r3(wal10WarmupS)},""" +
       s""""wal_drain_10x_warmup_trials":[${
         wal10WarmupTrials.map(r3).mkString(",")}],""" +
+      s""""wal_drain_10x_warmup_cpu_s":[${
+        wal10WarmupCpuS.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_warmup_converged":$wal10WarmupConverged,""" +
       s""""wal_drain_10x_load_guard":{"wait_s":${r3(wal10LoadWaitS)},""" +
       s""""load":${r3(wal10LoadBefore)},"verdict":"$wal10LoadVerdict"},""" +
