@@ -2678,6 +2678,32 @@ object ExtQueries {
        |    ORDER BY adc_sq_e12, vec_id) AS BIGINT) AS rank FROM adc)
        |WHERE rank <= 5""".stripMargin)
 
+  /** The trained-codebook corpus ENCODE surfaced as its own oracle-gated
+    * query: exactly [[graft.sim.AnnIndexStore.encode]] against the
+    * trained codebook — the persistence / incremental-append path's
+    * encoder (r17) — so the index a deployment saves and appends to is
+    * itself hash-verified against the reference derivation, not only the
+    * top-k it serves (`sim_ivfpq_trained` pins the latter; the untrained
+    * `emb_pq_codes` pins the first-8-vectors codebook variant). */
+  val simPqCodesTrained: (QFn, String) = (
+    (s, dir) => {
+      val (_, _, carr) = pqTrainedIndex(s, dir)
+      graft.sim.AnnIndexStore.encode(
+        emb(s, dir).select(col("vec_id"), col("label"), col("embedding")),
+        carr)
+        .select(col("vec_id"), col("label"),
+          col("subspace").cast("long").as("subspace"), col("code"))
+    },
+    s"""${pqTrainCtes(4)},
+       |sc2 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.label, v.subspace, c.cid,
+       |    CAST(sum((v.x_e6 - c.c_e6) * (v.x_e6 - c.c_e6)) AS BIGINT) AS d2
+       |  FROM ve v JOIN c2 c ON v.subspace = c.subspace AND v.dim = c.dim
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT vec_id, label, subspace, cid AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |    ORDER BY d2, cid) AS rn FROM sc2) WHERE rn = 1""".stripMargin)
+
   // The IVF path's MEASURED recall contract (r14 VERDICT #4 — the
   // mm_sim_recall mold applied to the trained coarse quantizer): every
   // 4th vector below id 2000 (≤500 planted probes, a fixed cap so the
@@ -5421,6 +5447,7 @@ object ExtQueries {
     "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_pq_train" -> simPqTrain,
     "sim_ivfpq_trained" -> simIvfPqTrained,
+    "sim_pq_codes_trained" -> simPqCodesTrained,
     "sim_ivfpq_recall" -> simIvfPqRecall,
     "sim_ivfpq_rerank_trained" -> simIvfPqRerankTrained,
     "pii_pseudonymize" -> piiPseudonymize,
