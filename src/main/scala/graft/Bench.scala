@@ -1639,9 +1639,16 @@ object Bench {
         s"recorded pass): async p50=${floorP50}ms p99=${floorP99}ms, " +
         s"sync p50=${floorSyncP50}ms, wire p50=${floorWireP50}ms; " +
         s"gate vs ${FloorAsyncP50BaselineMs} ms × 1.3 → $floorGateVerdict")
-      // scatter clause input: this attempt's RECORDED async-p50 passes
+      // scatter clause input: this attempt's RECORDED async-p50 passes.
+      // A committed-baseline gate BREACH dirties the attempt (r17): the
+      // r17_full4 run breached at 58 ms with a clean audit (quiet box,
+      // flat passes) right after a box-heating full test suite — the
+      // transient post-saturation drift class that ratcheted r13–r15
+      // gets ONE bounded re-measure; a real regression breaches twice
+      // and lands labeled in both the gate verdict and the phase audit.
       (attemptRows.filter(r => r._1 == "async" && r._3 > 0)
-        .map(_._3.toDouble).toSeq, envA.toSeq, false)
+        .map(_._3.toDouble).toSeq, envA.toSeq,
+        floorGateVerdict == "breach")
       }
       try auditPhase("latency_floor")(() => floorAttempt())
       finally floorBroker.foreach(_.close())
