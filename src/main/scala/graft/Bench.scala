@@ -5,7 +5,7 @@ import graft.source.wal.{WalFixture, WalLog}
 import graft.streaming.{MultiSlot, StreamingPipeline}
 import graft.streaming.MultiSlot.SlotSpec
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, concat, lit, max, min, pmod, when}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds at
@@ -345,7 +345,12 @@ object Bench {
     // warm-up). Exceptions inside trial loops are already per-trial
     // isolated; a whole-attempt throw records audit_error and rethrows to
     // the phase's existing outer handler.
-    def auditPhase(tag: String)(
+    // `onRescue` fires when BOTH attempts are contaminated and the min-of-
+    // all-trials rescue replaced the headline: phases whose side verdicts
+    // price "the same trial the artifact reports" (the live-10× ceiling)
+    // re-derive them from the rescued trial there (r17 ADVICE — the rescue
+    // could report attempt 1's min while the ceiling priced attempt 2's).
+    def auditPhase(tag: String, onRescue: Double => Unit = _ => ())(
         attempt: () => (Seq[Double], Seq[EnvRow], Boolean)): Unit = {
       val (t1, e1, d1) =
         try attempt()
@@ -363,7 +368,13 @@ object Bench {
         try attempt()
         catch { case e: Throwable =>
           phaseAudits += ((tag, "audit_error", 2)); throw e }
-      val c2 = d2 || phaseContaminated(t2, e2)
+      // a retry with ZERO qualified trials is NOT clean (r17 ADVICE): the
+      // headline would silently remain attempt 1's contaminated number
+      // while the verdict read clean_after_retry — mislabeling which
+      // attempt the artifact reports. Keep it contaminated so the verdict
+      // implies the headline's provenance (the min-of-all rescue below
+      // still applies).
+      val c2 = d2 || t2.filter(_ > 0).isEmpty || phaseContaminated(t2, e2)
       phaseAudits += ((tag, if (c2) "contaminated" else "clean_after_retry", 2))
       if (c2) {
         // both attempts contaminated: rescue the min over ALL trials —
@@ -371,7 +382,10 @@ object Bench {
         // whose tag IS a results entry (the drains); the floor/ann
         // phases keep their own last-attempt headline vars.
         val all = (t1 ++ t2).filter(_ > 0)
-        if (all.nonEmpty && results.contains(tag)) results(tag) = all.min
+        if (all.nonEmpty && results.contains(tag)) {
+          results(tag) = all.min
+          onRescue(all.min)
+        }
       }
       System.err.println(s"[bench] $tag retry verdict: " +
         s"${phaseAudits.last._2}")
@@ -554,7 +568,22 @@ object Bench {
             val end10 = ChangeEvent.lsnValue(admin.simpleQuery(
               "SELECT pg_current_wal_lsn() AS lsn").single("lsn").get)
             val total10 = n + n10
-            auditPhase("live_drain_10x") { () =>
+            // both-contaminated rescue: the ceiling verdict must price the
+            // SAME trial the rescued headline reports (r17 ADVICE) — the
+            // global live10TrialsRec / live10ReadWaitPct arrays are index-
+            // aligned per QUALIFIED trial across both attempts, so the
+            // rescued min's read-wait share is recoverable by index.
+            auditPhase("live_drain_10x", onRescue = rescuedMin => {
+              val i = live10TrialsRec.indexOf(rescuedMin)
+              if (i >= 0 && i < live10ReadWaitPct.size) {
+                live10BestPct = live10ReadWaitPct(i)
+                live10BestClientS = rescuedMin * (1.0 - live10BestPct / 100.0)
+                live10Ceiling =
+                  if (live10BestPct >= 85.0 ||
+                    live10BestClientS <= 1.5 * Live10ClientBaselineS) "pass"
+                  else "miss"
+              } else live10Ceiling = "unavailable_after_rescue"
+            }) { () =>
             val envA = scala.collection.mutable.Buffer.empty[EnvRow]
             // read-wait rows from THIS attempt only: oneTrialIn appends to
             // the global live10ReadWaitPct, so the ceiling index math
@@ -1082,9 +1111,17 @@ object Bench {
               val frames = it.flatMap { r =>
                 WalFixture.frames(WalFixture.evFromRow(r), seen)
               }
-              WalLog.write(Paths.get(walDir, f"${firstSeg + pid}%08d.wal"), frames)
+              // STAGED, not live: executor tasks complete in arbitrary order
+              // while the primed query's admission scan polls continuously —
+              // r17's recorded wal_drain_10x short deliveries were segments
+              // made visible BELOW the already-advanced scan cursor (k+1
+              // renamed before k), which the resume listing drops forever.
+              WalLog.write(Paths.get(walDir, f"${firstSeg + pid}%08d.stg"), frames)
             }
           }
+        // publish in ascending name order once ALL tasks are done — readers
+        // observe a gap-free log prefix at every instant (off the timed path)
+        WalLog.publishStaged(walDir)
       }
 
       // -------- single-slot drain (the baseline-comparable headline) -----
@@ -1101,13 +1138,31 @@ object Bench {
       // produce never pays) continues as the `wal_drain_parquet` series for
       // cross-round comparability; GRAFT_BENCH_SINK=parquet restores it as
       // the headline.
-      // same backlog ⇒ same routed-frame count, across trials AND across
-      // sinks (the parquet series stores the identical kafkaFrame rows)
-      val deliveredByBacklog =
+      // Fixture-truth delivered-set size (r17 VERDICT #1): the expected
+      // distinct (topic, lsn) count derives from the GENERATOR — one routed
+      // frame per (event × matching stream), computed by the SAME broadcast
+      // routing join the pipeline runs, over the events frame itself. LSNs
+      // are unique per event and every fixture stream owns its own topic,
+      // so the routed pair count IS the delivered distinct count. This is
+      // the reference load stand's check-gaps method (expected from the
+      // generator, never from a prior run): the old first-trial anchor
+      // could not say WHICH trial was right — a short first trial would
+      // have disqualified every complete one.
+      val expectedByBacklog =
         scala.collection.mutable.Map.empty[(Long, Long), Long]
+      def expectedFrames(src: DataFrame): Long = Routing.route(
+        src.select(
+          concat(lit("public."), col("event_type")).as("resource"),
+          when(pmod(col("event_id"), lit(10)) < 6, lit("INSERT"))
+            .when(pmod(col("event_id"), lit(10)) < 9, lit("UPDATE"))
+            .otherwise(lit("DELETE")).as("op")),
+        Routing.streamsDF(spark, Routing.fixtureStreams)).count()
       def oneDrain(src: DataFrame, lo: Long, hi: Long, cut: Long,
           nSegs: Int, frames: Boolean, async: Boolean = true,
           wire: Option[graft.FakeKafkaBroker] = None): Double = {
+        // computed once per backlog, BEFORE the trial (off the timed path)
+        val expected = expectedByBacklog.getOrElseUpdate(lo -> hi,
+          expectedFrames(src))
         val walDir = Files.createTempDirectory("graft-bench-wal").toString
         val outDir = Files.createTempDirectory("graft-bench-out").toString
         val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
@@ -1132,8 +1187,8 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         q.stop()
         // honesty check (off the timed path): the delivered SET — distinct
-        // routed frames by lsn — must be identical and non-zero on every
-        // trial of the same backlog, across BOTH sinks. A mismatch throws;
+        // routed frames by (topic, lsn) — must equal the FIXTURE-DERIVED
+        // expected count on every trial, across BOTH sinks. A mismatch throws;
         // the per-trial isolation in the callers records that trial as -1.0
         // (disqualified — it never enters the min) and runs the next trial,
         // so one lost-frame trial is visible in the trial list without
@@ -1152,12 +1207,9 @@ object Bench {
           case None => spark.read.parquet(outDir)
             .select("topic", "lsn").distinct().count()
         }
-        require(delivered > 0, s"sink empty after drain ($outDir)")
-        deliveredByBacklog.get(lo -> hi) match {
-          case Some(prev) => require(prev == delivered,
-            s"trial delivered $delivered frames, previous trial $prev")
-          case None => deliveredByBacklog((lo, hi)) = delivered
-        }
+        require(delivered == expected,
+          s"trial delivered $delivered frames, fixture expects $expected " +
+            s"(${expected - delivered} missing)")
         secs
         // per-trial fixture/sink dirs are transient — at GRAFT_BENCH_SCALE=
         // 100 each rendered WAL dir is ~1.4 GB and a full drain pass leaks
@@ -1303,7 +1355,7 @@ object Bench {
       // against the scripted in-process broker (which re-verifies CRC32C on
       // every batch). Prices codec + framing + round-trips into a recorded
       // number; the delivered (topic, lsn) SET must equal the file-mode
-      // sinks' set for the same backlog (same deliveredByBacklog key).
+      // sinks' set for the same backlog (same fixture-derived expected count).
       if (sys.env.getOrElse("GRAFT_BENCH_WIRE", "1") != "0") {
         val broker = new graft.FakeKafkaBroker(Map(
           "cdc.click" -> 4, "cdc.purchase" -> 4, "cdc.signup" -> 4,
@@ -1770,16 +1822,29 @@ object Bench {
           // 1 → 8 → 64 queries per micro-batch over the same prepared
           // index (128 queries = two 64-query batches, so the p50 is a
           // real sample, not a single batch)
-          val b8 = annOnce(perFile = 8)
+          // the amortization/noop rungs are PART of the audited attempt
+          // (r17 ADVICE): each runs under envTrial and contributes its env
+          // row and wall seconds to the phase verdict, so a load spike
+          // during b8/b64/noop is no longer invisible to the audit. Their
+          // wall-clocks differ by design (different batch shapes), but all
+          // sit within ~3× of the 2-pass serve walls on clean runs — the
+          // scatter clause's 3× bar holds; the load clause is unaffected.
+          var b8 = (0L, 0L, -1.0)
+          val (_, envB8) = envTrial { b8 = annOnce(perFile = 8); 0.0 }
+          annServeEnv += ((3, envB8)); envA += envB8
           annServeB8P50 = b8._1; annServeB8P99 = b8._2; annServeQpsB8 = b8._3
           System.err.println(f"[bench] ann_serve batch=8: " +
             f"p50=${b8._1}ms p99=${b8._2}ms qps=${b8._3}%.1f")
-          val b64 = annOnce(perFile = 64, n = 128)
+          var b64 = (0L, 0L, -1.0)
+          val (_, envB64) = envTrial { b64 = annOnce(perFile = 64, n = 128); 0.0 }
+          annServeEnv += ((4, envB64)); envA += envB64
           annServeB64P50 = b64._1; annServeB64P99 = b64._2
           annServeQpsB64 = b64._3
           System.err.println(f"[bench] ann_serve batch=64: " +
             f"p50=${b64._1}ms p99=${b64._2}ms qps=${b64._3}%.1f")
-          val noop = annOnce(noop = true)
+          var noop = (0L, 0L, -1.0)
+          val (_, envNoop) = envTrial { noop = annOnce(noop = true); 0.0 }
+          annServeEnv += ((5, envNoop)); envA += envNoop
           annServeNoopP50 = noop._1; annServeNoopP99 = noop._2
           System.err.println(f"[bench] ann_serve noop (machinery floor): " +
             f"p50=${noop._1}ms p99=${noop._2}ms — serve minus noop is the " +
@@ -1907,6 +1972,31 @@ object Bench {
       // a failed query must not masquerade as a fast success
       results(name) = if (failedQ(name)) -1.0 else trials(name).min
     }
+    // trial-aware suite audit (r17 VERDICT #3): the pass-TOTAL bar cannot
+    // see one query's transient — r17's recorded pass 2 carried
+    // mm_video_stream 11.93 s (8.7× its min) and mm_video_mjpeg 6.90 s
+    // (5.7×) under a 1.06 pass-total scatter. Run the phase audit's
+    // calibrated per-trial scatter clause over EVERY query's pass trials;
+    // outliers land in the artifact as (query, pass, wall, ratio) rows
+    // plus a per-pass count. Label-only like the suite verdict: the
+    // interleaved min-of-3 already defends each headline min, and the
+    // per-pass load rows + run verdict price the box.
+    val suiteTrialOutliers =
+      scala.collection.mutable.Buffer.empty[(String, Int, Double, Double)]
+    if (runSuite) ordered.foreach { case (name, _) =>
+      val ts = trials(name).reverse // prepended ⇒ reverse = pass order
+      graft.metrics.PhaseAudit.trialOutliers(ts).foreach { case (i, t, x) =>
+        suiteTrialOutliers += ((name, i + 1, t, x))
+      }
+    }
+    val suitePassOutliers =
+      if (runSuite && passTotals.nonEmpty)
+        (1 to passTotals.size).map(p => suiteTrialOutliers.count(_._2 == p))
+      else Seq.empty[Int]
+    if (suiteTrialOutliers.nonEmpty) System.err.println(
+      s"[bench] suite trial outliers (>3× own min, pass 1 exempt): " +
+        suiteTrialOutliers.sortBy(-_._4).take(8).map { case (n, p, t, x) =>
+          f"$n pass $p $t%.2f s (${x}%.1f×)" }.mkString("; "))
 
     // In-suite drift point: 3 more headline-drain trials AFTER the suite
     // has filled the heap, recorded as wal_drain_insuite — the fresh-vs-
@@ -2035,6 +2125,14 @@ object Bench {
       s""""suite_slowest_trials":${slowestTrials.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
       }.mkString("{", ",", "}")},""" +
+      // per-query transient rows (r17 VERDICT #3) — capped at the 20
+      // largest ratios so a fully-contaminated run cannot bloat the
+      // artifact; the per-pass counts stay uncapped
+      s""""suite_trial_outliers":[${suiteTrialOutliers.sortBy(-_._4)
+        .take(20).map { case (n, p, t, x) =>
+          s"""{"q":${jstr(n)},"pass":$p,"s":${r3(t)},"x":${r3(x)}}"""
+        }.mkString(",")}],""" +
+      s""""suite_pass_outliers":[${suitePassOutliers.mkString(",")}],""" +
       s""""disk_free_gb":{"start":${r3(diskFreeStart)},"end":${r3(diskFreeGb())}},""" +
       // r17 (r16 VERDICT #1): the run's numbers carry their own
       // credibility — per-phase contamination verdicts (each phase's

@@ -30,4 +30,25 @@ object PhaseAudit {
         loads.exists(_ > loadBar)
     }
   }
+
+  /** The SCATTER clause applied per trial (r17 VERDICT #3): which
+    * post-first trials sit past `scatterFactor` × the min, as
+    * (index-in-`trials`, wall, ratio) rows. The suite runs this over every
+    * query's pass trials — the pass-TOTAL scatter bar cannot see a single
+    * query's transient (the r17 recorded run carried `mm_video_stream` at
+    * 8.7× its min in pass 2 while the pass totals scattered only 1.06).
+    * First trial exempt and the bar stays the calibrated 3× — clean-run
+    * worst post-first ratios reach 2.7, so a tighter bar (which would
+    * also catch the r17 `mm_sim_recall` 1.9× wobble) flags clean runs. */
+  def trialOutliers(trials: Seq[Double],
+      scatterFactor: Double = 3.0): Seq[(Int, Double, Double)] = {
+    val ok = trials.filter(_ > 0)
+    if (ok.isEmpty) Seq.empty
+    else {
+      val mn = ok.min
+      trials.zipWithIndex.drop(1).collect {
+        case (t, i) if t > 0 && t > scatterFactor * mn => (i, t, t / mn)
+      }
+    }
+  }
 }

@@ -134,11 +134,38 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
   private var retreatHeadLsn: Long = -1L
   private var retreatCount: Int = 0
   private val RetreatWarnThreshold = 50
+  // every segment name this stream instance has EVER listed — the
+  // below-cursor visibility guard's "was it there before the cursor
+  // passed?" memory (names only; stays tiny vs the boundary snapshots)
+  private val seenSegs = scala.collection.mutable.Set.empty[String]
 
   /** Soft admission control: advance at most `maxPerBatch` frames per
     * trigger so one giant backlog drains as bounded micro-batches. */
   override def latestOffset(): Offset = {
-    val it = WalLog.scanFrames(path, scanSeg, scanOffset)
+    val files = WalLog.segmentFiles(path)
+    // Ascending-visibility guard (r17 wal_drain_10x root cause): the log's
+    // contract is that segments become visible in ascending name order — the
+    // resume listing drops everything below the cursor segment, so a segment
+    // appearing BELOW an already-advanced cursor can never be planned and
+    // its frames would be confirmed past SILENTLY. A single-writer spooler
+    // keeps the contract naturally; a multi-task producer must stage and
+    // publish in order (WalLog.publishStaged). If the contract is broken
+    // anyway, fail the trigger loudly — a lost-segment drain must be an
+    // error, never a short delivery.
+    if (scanSeg != null) {
+      val cur = scanSeg.getFileName.toString
+      files.foreach { f =>
+        val n = f.getFileName.toString
+        if (n.compareTo(cur) < 0 && !seenSegs.contains(n))
+          throw new IllegalStateException(
+            s"wal segment $n became visible BELOW the scan cursor $cur — " +
+              "segments must appear in ascending name order (stage as .stg " +
+              "and WalLog.publishStaged for multi-task producers); its " +
+              "frames can never be planned from here")
+      }
+    }
+    files.foreach(f => seenSegs += f.getFileName.toString)
+    val it = WalLog.scanFrom(files, scanSeg, scanOffset)
     try latestOffsetFrom(it)
     finally it.close() // the scan stops mid-segment when the budget is hit
   }

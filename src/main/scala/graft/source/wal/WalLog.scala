@@ -322,11 +322,49 @@ object WalLog {
   }
 
   def scanFrames(dir: String, fromSegment: Path = null,
-      fromOffset: Long = 0L): FrameScan = {
-    val files0 = segmentFiles(dir)
+      fromOffset: Long = 0L): FrameScan =
+    scanFrom(segmentFiles(dir), fromSegment, fromOffset)
+
+  /** [[scanFrames]] over a caller-provided listing — lets an admission scan
+    * take ONE directory listing per trigger and both validate it (segment
+    * visibility order, see `PgWalMicroBatchStream.latestOffset`) and scan
+    * it, so the checked set and the scanned set cannot diverge. */
+  def scanFrom(files0: Seq[Path], fromSegment: Path,
+      fromOffset: Long): FrameScan = {
     val files = if (fromSegment == null) files0
       else files0.dropWhile(_.compareTo(fromSegment) < 0)
     new FrameScan(files, if (fromSegment == null) 0L else fromOffset)
+  }
+
+  /** Publish staged segments (`*.stg`, written by concurrent tasks in any
+    * completion order) as live `*.wal` segments in ASCENDING name order.
+    *
+    * The log's visibility contract is that segments appear in ascending
+    * name order — a resuming admission scan lists from its cursor segment
+    * forward, so a segment that becomes visible BELOW an already-advanced
+    * cursor can never be planned and its frames are silently lost (the
+    * r17-recorded `wal_drain_10x` short deliveries: concurrent render
+    * tasks made segment k+1 visible before segment k while the primed
+    * query's scan was polling; the late segment landed below the cursor —
+    * exactly 3 and 1 skipped segments' worth of frames). A single-writer
+    * spooler satisfies the contract naturally; any multi-task producer
+    * must write `NNNNNNNN.stg` and call this once its write action
+    * completes. Each rename is atomic and ascending, so readers observe a
+    * gap-free prefix at every instant. */
+  def publishStaged(dir: String): Int = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return 0
+    val it = Files.list(d)
+    val staged =
+      try it.iterator().asScala.filter(_.getFileName.toString.endsWith(".stg"))
+        .toVector.sorted
+      finally it.close()
+    staged.foreach { p =>
+      val live = p.resolveSibling(
+        p.getFileName.toString.stripSuffix(".stg") + ".wal")
+      Files.move(p, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    staged.size
   }
 
   // -- confirmed-LSN file: the standby-status-update analog ------------------

@@ -53,6 +53,29 @@ class PhaseAuditSpec extends AnyFunSuite {
       Seq(1.77, 2.19, 2.19, 2.19, 3.14), Bar))
   }
 
+  test("r17 suite pass-2 transients are labeled by trialOutliers (calibration)") {
+    // copied verbatim from the recorded BENCH_r17 suite_slowest_trials:
+    // pass totals scattered only 1.06 (suite verdict clean) while pass 2
+    // carried these per-query transients — the exact hole the per-trial
+    // audit closes (r17 VERDICT #3)
+    assert(PhaseAudit.trialOutliers(Seq(1.417, 11.928, 1.374)) ==
+      Seq((1, 11.928, 11.928 / 1.374))) // mm_video_stream: 8.7x flagged
+    assert(PhaseAudit.trialOutliers(Seq(1.220, 6.898, 1.245)) ==
+      Seq((1, 6.898, 6.898 / 1.220)))   // mm_video_mjpeg: 5.7x flagged
+    // mm_sim_recall's 1.9x wobble stays UNDER the calibrated 3x bar —
+    // clean-run worst post-first ratios reach 2.7, so flagging it would
+    // flag clean runs too
+    assert(PhaseAudit.trialOutliers(Seq(1.448, 2.488, 1.287)).isEmpty)
+    // flat clean trials: nothing flagged
+    assert(PhaseAudit.trialOutliers(Seq(2.120, 1.395, 1.802)).isEmpty)
+    // first-trial exemption: a 3.5x cold pass 1 is not an outlier
+    assert(PhaseAudit.trialOutliers(Seq(3.5, 1.0, 1.1)).isEmpty)
+    // disqualified entries are ignored for the min and never flagged
+    assert(PhaseAudit.trialOutliers(Seq(1.0, -1.0, 4.0)) ==
+      Seq((2, 4.0, 4.0)))
+    assert(PhaseAudit.trialOutliers(Nil).isEmpty)
+  }
+
   test("edge cases: empty, all-disqualified, single trial") {
     assert(!PhaseAudit.contaminated(Nil, Nil, Bar))
     assert(!PhaseAudit.contaminated(Seq(-1.0, -1.0), Seq(0.5, 0.5), Bar))

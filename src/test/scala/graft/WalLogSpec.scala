@@ -84,6 +84,52 @@ class WalLogSpec extends AnyFunSuite {
     assert(it.map(_.lsn).toVector == Vector(10L))
   }
 
+  test("publishStaged makes out-of-order task writes visible in ascending order") {
+    val dir = Files.createTempDirectory("graft-wallog-staged").toString
+    // tasks complete in arbitrary order: segment 2 staged before 1
+    WalLog.write(Paths.get(dir, "00000002.stg"), Seq(frame(50, 4)))
+    WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4)))
+    WalLog.write(Paths.get(dir, "00000001.stg"), Seq(frame(30, 4)))
+    // staged segments are invisible to readers until published
+    assert(WalLog.segmentFiles(dir).map(_.getFileName.toString) ==
+      Seq("00000000.wal"))
+    assert(WalLog.publishStaged(dir) == 2)
+    val names = WalLog.segmentFiles(dir).map(_.getFileName.toString)
+    assert(names == Seq("00000000.wal", "00000001.wal", "00000002.wal"))
+    val scan = WalLog.scanFrames(dir)
+    val seen = try scan.map(_.lsn).toVector finally scan.close()
+    assert(seen == Vector(10L, 30L, 50L))
+    // idempotent when nothing is staged
+    assert(WalLog.publishStaged(dir) == 0)
+  }
+
+  test("a segment appearing below the scan cursor fails the trigger loudly") {
+    // r17 wal_drain_10x root cause: concurrent render tasks made segment
+    // k+1 visible before segment k while the admission scan polled; the
+    // late segment landed below the cursor and its frames were silently
+    // confirmed past. The source must turn that into an ERROR.
+    val dir = Files.createTempDirectory("graft-wallog-order").toString
+    WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
+    WalLog.write(Paths.get(dir, "00000002.wal"), Seq(frame(40, 4), frame(50, 4)))
+    val stream = new graft.source.wal.PgWalMicroBatchStream(dir, Int.MaxValue)
+    // scan passes the gap (nothing marks segment 1 as pending) — the tail
+    // run at lsn 50 retreats, leaving the cursor inside segment 2
+    val off1 = stream.latestOffset()
+    assert(off1.asInstanceOf[graft.source.wal.LsnOffset].lsn == 40L)
+    // the missing segment becomes visible BELOW the cursor: loud failure,
+    // never a short delivery
+    WalLog.write(Paths.get(dir, "00000001.wal"), Seq(frame(30, 4)))
+    val e = intercept[IllegalStateException](stream.latestOffset())
+    assert(e.getMessage.contains("00000001.wal"))
+    // a segment appearing ABOVE the cursor stays the normal append path
+    val dir2 = Files.createTempDirectory("graft-wallog-order2").toString
+    WalLog.write(Paths.get(dir2, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
+    val s2 = new graft.source.wal.PgWalMicroBatchStream(dir2, Int.MaxValue)
+    assert(s2.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn == 10L)
+    WalLog.write(Paths.get(dir2, "00000001.wal"), Seq(frame(30, 4), frame(40, 4)))
+    assert(s2.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn == 30L)
+  }
+
   test("maxLsn reads the last segment only but still reflects the head") {
     val dir = Files.createTempDirectory("graft-wallog3").toString
     WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
