@@ -257,6 +257,53 @@ object ScaleSmoke {
         s"d2 $d2Bound < ${Long.MaxValue / 64} (max|x_e6| = $maxAbs)")
     }
 
+    // r18 (r17 VERDICT #5): append cost at the rung. Train + save ONCE
+    // (untimed — training is the deliberate, amortized step), then time
+    // three frozen-codebook appends of a one-replica batch (the source
+    // slice under fresh vec_ids) and one compact. The incremental path's
+    // scale promise is that an append prices the BATCH (one broadcast
+    // join + a long-encoded argmin HashAggregate over batch×nSub×8 rows +
+    // one parquet append), never the corpus — at the 200k rung the batch
+    // is 10% of the corpus, so append ≪ train is the claim under test.
+    // Compact rewrites the corpus codes (4 small ints/vector/subspace)
+    // and is fingerprint-gated, so its cost is the full-codes IO bound.
+    if (sys.env.getOrElse("GRAFT_SMOKE_APPEND", "0") == "1" &&
+        java.nio.file.Files.exists(embPath)) {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-smoke-annidx").toString
+      try {
+        val corpus = spark.read.parquet(embPath.toString)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val nCorpus = corpus.count()
+        val tTrain0 = System.nanoTime()
+        val (_, codes, carr) =
+          graft.queries.ExtQueries.pqTrainedIndexOn(corpus)
+        graft.sim.AnnIndexStore.save(codes, carr, idxDir)
+        val trainS = (System.nanoTime() - tTrain0) / 1e9
+        graft.util.Checkpoints.releaseOwned(spark)
+        val batchSrc = spark.read.parquet(s"$src/embeddings.parquet")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val nBatch = batchSrc.count()
+        val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+        val appendS = (1 to 3).map { i =>
+          val batch = batchSrc
+            .withColumn("vec_id", col("vec_id") + (maxId + 1) * i)
+          val t0 = System.nanoTime()
+          graft.sim.AnnIndexStore.append(spark, idxDir, batch)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tC0 = System.nanoTime()
+        graft.sim.AnnIndexStore.compact(spark, idxDir)
+        val compactS = (System.nanoTime() - tC0) / 1e9
+        System.err.println(
+          f"[smoke] ann_index_append rung: corpus=$nCorpus train+save=" +
+            f"$trainS%.1f s; append of $nBatch-vector batch " +
+            f"[${appendS.map(t => f"$t%.2f").mkString(", ")}] s; " +
+            f"compact (fingerprint-verified) $compactS%.2f s")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(idxDir))
+    }
+
     val names = sys.env.get("GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
     val rows = names.map { name =>

@@ -2419,8 +2419,20 @@ object ExtQueries {
   private def pqSubTrainLoop(s: SparkSession, dir: String, nSub: Int,
       iters: Int, k: Int = 8, seedStride: Int = 1,
       telemetry: Boolean = true)
+      : (DataFrame, Seq[DataFrame], DataFrame) =
+    pqSubTrainLoopOn(emb(s, dir), nSub, iters, k, seedStride, telemetry)
+
+  /** [[pqSubTrainLoop]] over a caller-provided corpus frame `(vec_id,
+    * label, embedding)` — the retrain path of the index lifecycle
+    * (`graft.sim.AnnIndexStore.retrain`) trains on corpus ∪ appended
+    * batches, not on a directory. Seeding still reads `vec_id <
+    * seedStride·k`, so the corpus must contain those ids (any corpus that
+    * grew by appends does). */
+  private[graft] def pqSubTrainLoopOn(corpus: DataFrame, nSub: Int,
+      iters: Int, k: Int = 8, seedStride: Int = 1,
+      telemetry: Boolean = true)
       : (DataFrame, Seq[DataFrame], DataFrame) = {
-    val vsub = emb(s, dir)
+    val vsub = corpus
       .select(col("vec_id"), col("label"),
         explode(pqSubspaceSplit(nSub, "subspace", "varr")).as("p"))
       .select(col("vec_id"), col("label"), col("p.subspace").as("subspace"),
@@ -2615,8 +2627,17 @@ object ExtQueries {
     * the argmin/LUT consumers (r15; was a ~10M-row two-level groupBy at
     * sf0.1). */
   private[graft] def pqTrainedIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pqTrainedIndexOn(emb(s, dir))
+
+  /** [[pqTrainedIndex]] over a caller-provided corpus frame — the
+    * `AnnIndexStore.retrain` entry point (train → encode on the SAME
+    * kernels, so a retrained version re-pins against the
+    * `sim_pq_codes_trained` oracle derivation by construction). */
+  private[graft] def pqTrainedIndexOn(corpus: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (vsub, _, cents) = pqSubTrainLoop(s, dir, 4, 2, telemetry = false)
+    val (vsub, _, cents) =
+      pqSubTrainLoopOn(corpus, 4, 2, telemetry = false)
     val carr = centArrays(cents)
       .transform(graft.util.Checkpoints.ownedCheckpoint) // ≤32 rows, read per serve
     val scored = vsub.join(broadcast(carr), Seq("subspace"))

@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Persistence + incremental maintenance for the trained PQ index — the
   * missing lifecycle half of the serving story: `pqTrainedIndex` trains
@@ -11,9 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Layout (plain parquet — any engine can read it, and at 100 TB the
   * codes table is the index: 4 small ints per vector per subspace,
-  * partition-prunable, while the codebook is ≤ nSub×8 rows):
-  *   <dir>/codes.parquet     (vec_id, label, subspace, code)
-  *   <dir>/codebook.parquet  (subspace, cid, carr: array<bigint>)
+  * partition-prunable, while the codebook is ≤ nSub×8 rows), VERSIONED
+  * since r18:
+  *   <dir>/CURRENT               — live version number (atomic rename swap)
+  *   <dir>/v<N>/codes.parquet    (vec_id, label, subspace, code)
+  *   <dir>/v<N>/codebook.parquet (subspace, cid, carr: array<bigint>)
+  * A reader resolves CURRENT once and reads an immutable version dir;
+  * compact/retrain write a NEW version and flip CURRENT last, so serving
+  * never sees a half-rewritten index (the swap is one atomic rename). A
+  * pre-r18 flat layout (codes.parquet directly under <dir>) still reads
+  * as the implicit version when no CURRENT file exists.
   *
   * Incremental append NEVER retrains: [[encode]] assigns new vectors to
   * the FROZEN codebook with the exact trainer kernels
@@ -23,28 +31,76 @@ import org.apache.spark.sql.functions._
   * re-encode of the union would produce (`AnnIndexStoreSpec` pins it).
   * Append = one parquet append of the new rows' codes; the codebook is
   * immutable until a deliberate retrain replaces the index version.
+  *
+  * The r18 lifecycle closes append's two long-run costs (r17 VERDICT #5):
+  *  - [[compact]]: one parquet append per streamed batch accretes small
+  *    files; past a file-count threshold the codes rewrite into a new
+  *    version, hash-verified IDENTICAL in content before CURRENT flips.
+  *  - [[retrain]]: a frozen codebook degrades as the corpus drifts.
+  *    [[driftByLabel]] reuses `emb_centroid_shift`'s exact integer
+  *    arithmetic between the indexed corpus and a candidate batch;
+  *    [[appendOrRetrain]] records the decision and either appends
+  *    (below the bar) or trains a new version on the full corpus with
+  *    the SAME trainer the oracle-gated queries run.
   */
 object AnnIndexStore {
 
+  /** The recorded lifecycle decision for one candidate batch. */
+  final case class Decision(action: String, version: Int,
+      maxShiftE12: Long, barE12: Long, compactedFiles: Int)
+
+  // ---- version bookkeeping (atomic CURRENT swap) --------------------------
+
+  def currentVersion(dir: String): Int = {
+    val p = Paths.get(dir, "CURRENT")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+  }
+
+  /** Data dir of the live version; version 0 = the pre-r18 flat layout. */
+  def resolve(dir: String): String = {
+    val v = currentVersion(dir)
+    if (v == 0) dir else s"$dir/v$v"
+  }
+
+  private def setCurrent(dir: String, v: Int): Unit = {
+    val tmp = Paths.get(dir, ".CURRENT.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(dir, "CURRENT"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writeVersion(codes: DataFrame, carr: DataFrame, dir: String,
+      v: Int): Unit = {
+    val vd = s"$dir/v$v"
+    codes.write.mode("overwrite").parquet(s"$vd/codes.parquet")
+    carr.write.mode("overwrite").parquet(s"$vd/codebook.parquet")
+  }
+
+  /** Create a fresh index at version 1 (CURRENT flips after the data is
+    * durable — a crash mid-save leaves no live index, never a torn one). */
   def save(codes: DataFrame, carr: DataFrame, dir: String): Unit = {
-    codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
-    carr.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    writeVersion(codes, carr, dir, 1)
+    setCurrent(dir, 1)
   }
 
-  /** Append-encode new vectors into a saved index (frozen codebook). */
+  /** Append-encode new vectors into the live version (frozen codebook). */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
-    val carr = spark.read.parquet(s"$dir/codebook.parquet")
-    encode(newVecs, carr).write.mode("append").parquet(s"$dir/codes.parquet")
+    val vd = resolve(dir)
+    val carr = spark.read.parquet(s"$vd/codebook.parquet")
+    encode(newVecs, carr).write.mode("append").parquet(s"$vd/codes.parquet")
   }
 
-  /** Load a saved index into the prepared serving form (pre-partitioned
-    * persisted codes + collected literal codebook — see
+  /** Load the live version into the prepared serving form
+    * (pre-partitioned persisted codes + collected literal codebook — see
     * [[graft.streaming.AnnServeStream.prepare]]). */
   def load(spark: SparkSession, dir: String)
-      : graft.streaming.AnnServeStream.TrainedServeIndex =
+      : graft.streaming.AnnServeStream.TrainedServeIndex = {
+    val vd = resolve(dir)
     graft.streaming.AnnServeStream.prepare(
-      spark.read.parquet(s"$dir/codes.parquet"),
-      spark.read.parquet(s"$dir/codebook.parquet"))
+      spark.read.parquet(s"$vd/codes.parquet"),
+      spark.read.parquet(s"$vd/codebook.parquet"))
+  }
 
   /** Assign `(vec_id, label, embedding)` rows to a FROZEN codebook:
     * (vec_id, label, subspace, code). THE trainer's kernels, not copies —
@@ -64,5 +120,131 @@ object AnnIndexStore {
       .agg(min(col("d2") * 8 + col("cid")).as("m"))
       .select(col("vec_id"), col("label"), col("subspace"),
         pmod(col("m"), lit(8L)).as("code"))
+  }
+
+  // ---- content verification ------------------------------------------------
+
+  /** Order- and layout-independent content fingerprint of a version dir:
+    * (row count, sum of per-row xxhash64) for codes and codebook. Equal
+    * fingerprints across a rewrite mean the INDEX is unchanged even
+    * though every file is new — the compact gate. Scale shape: one
+    * map-side hash + a partial-aggregable sum per table, no shuffle of
+    * data rows. */
+  def contentHash(spark: SparkSession, dataDir: String)
+      : (Long, String, Long, String) = {
+    def h(df: DataFrame): (Long, String) = {
+      // per-row xxhash64 summed in unbounded decimal — a Long sum of
+      // full-range hashes overflows under ANSI arithmetic
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(df.columns.sorted.map(col): _*)
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    val (cn, ch) = h(spark.read.parquet(s"$dataDir/codes.parquet"))
+    val (bn, bh) = h(spark.read.parquet(s"$dataDir/codebook.parquet"))
+    (cn, ch, bn, bh)
+  }
+
+  /** Parquet data files of the live codes table — the small-file
+    * accretion gauge (each streamed append adds at least one). */
+  def codesFileCount(dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(resolve(dir), "codes.parquet")
+    if (!Files.isDirectory(d)) return 0
+    val it = Files.list(d)
+    try it.iterator().asScala.count { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    finally it.close()
+  }
+
+  /** Rewrite the live codes into a new version with `targetFiles` output
+    * files (the codebook copies unchanged), verify the new version's
+    * content fingerprint equals the old one, THEN flip CURRENT. Returns
+    * the new version. A fingerprint mismatch aborts before the flip —
+    * the live index is never replaced by an unverified rewrite. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 8): Int = {
+    val v = currentVersion(dir)
+    val vd = resolve(dir)
+    val next = math.max(v, 1) + 1
+    val pre = contentHash(spark, vd)
+    writeVersion(
+      spark.read.parquet(s"$vd/codes.parquet").repartition(targetFiles),
+      spark.read.parquet(s"$vd/codebook.parquet"),
+      dir, next)
+    val post = contentHash(spark, s"$dir/v$next")
+    require(post == pre,
+      s"compact fingerprint mismatch: pre=$pre post=$post — CURRENT not flipped")
+    setCurrent(dir, next)
+    next
+  }
+
+  /** Full retrain on `corpus` into a new version (the deliberate
+    * index-version swap append never performs): the SAME trainer +
+    * encoder the oracle-gated `sim_pq_codes_trained` query runs, so the
+    * new version re-pins against that derivation by construction
+    * (`AnnIndexStoreSpec` verifies retrained == fresh-trained by
+    * fingerprint). CURRENT flips last. Returns the new version. */
+  def retrain(spark: SparkSession, dir: String, corpus: DataFrame): Int = {
+    val (_, codes, carr) = graft.queries.ExtQueries.pqTrainedIndexOn(corpus)
+    val next = math.max(currentVersion(dir), 1) + 1
+    writeVersion(codes, carr, dir, next)
+    graft.util.Checkpoints.releaseOwned(spark)
+    setCurrent(dir, next)
+    next
+  }
+
+  // ---- drift-gated lifecycle step ------------------------------------------
+
+  /** Per-label exact centroid shift between two corpus frames — the
+    * `emb_centroid_shift` monitoring query's arithmetic (e6-quantized
+    * dims, floor-mean centroids in double, L2² in e12 Longs — every step
+    * bit-reproducible) applied to the lifecycle question "does the new
+    * batch still look like the corpus the codebook was trained on?".
+    * Scale shape: one (label, dim, side) partial aggregate over both
+    * frames — output is 64·labels·2 rows regardless of corpus size. */
+  def driftByLabel(indexed: DataFrame, newVecs: DataFrame): DataFrame = {
+    def sideE6(df: DataFrame, side: Int) = df
+      .select(col("label"), lit(side).as("side"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("side"), col("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("x_e6"))
+    sideE6(indexed, 0).unionByName(sideE6(newVecs, 1))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        floor(sum(when(col("side") === 0, col("x_e6"))).cast("double") /
+          count(when(col("side") === 0, 1))).cast("long").as("c0"),
+        floor(sum(when(col("side") === 1, col("x_e6"))).cast("double") /
+          count(when(col("side") === 1, 1))).cast("long").as("c1"))
+      .filter(col("c0").isNotNull && col("c1").isNotNull)
+      .groupBy(col("label"))
+      .agg(sum((col("c0") - col("c1")) * (col("c0") - col("c1")))
+        .as("shift_l2sq_e12"))
+  }
+
+  /** The recorded retrain/append/compact decision for one candidate
+    * batch: drift above `barE12` on any label ⇒ retrain on
+    * corpus ∪ batch (new version); otherwise append, then compact if the
+    * live codes table grew past `maxFiles`. `corpus` is the raw indexed
+    * corpus (the caller owns it — the index stores codes, not vectors).
+    * Every branch returns a [[Decision]] so the choice is artifact data,
+    * never implicit. */
+  def appendOrRetrain(spark: SparkSession, dir: String, corpus: DataFrame,
+      newVecs: DataFrame, barE12: Long, maxFiles: Int = 16): Decision = {
+    val shift = driftByLabel(corpus, newVecs)
+      .agg(max(col("shift_l2sq_e12"))).head()
+    val maxShift = if (shift.isNullAt(0)) 0L else shift.getLong(0)
+    if (maxShift > barE12) {
+      val v = retrain(spark, dir, corpus.unionByName(newVecs))
+      Decision("retrained", v, maxShift, barE12, 0)
+    } else {
+      append(spark, dir, newVecs)
+      val files = codesFileCount(dir)
+      if (files > maxFiles) {
+        val v = compact(spark, dir)
+        Decision("appended_compacted", v, maxShift, barE12, files)
+      } else Decision("appended", currentVersion(dir), maxShift, barE12, files)
+    }
   }
 }

@@ -61,11 +61,95 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     // ...then the NEW half arrives and is appended WITHOUT retraining
     AnnIndexStore.append(spark, dir, vecs().filter(col("vec_id") < 10))
     try {
-      val after = spark.read.parquet(s"$dir/codes.parquet").collect().toSet
+      val after = spark.read
+        .parquet(s"${AnnIndexStore.resolve(dir)}/codes.parquet")
+        .collect().toSet
       assert(after == full,
         "appended index diverged from a full encode: " +
           s"missing=${(full -- after).take(3)} extra=${(after -- full).take(3)}")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("lifecycle: save → N appends → compact (identical) → retrain (re-pinned)") {
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val full = codes.collect().toSet
+    val dir = Files.createTempDirectory("graft-annidx-life").toString
+    try {
+      // save the index for the older corpus slice, stream in 3 append
+      // batches — each append lands at least one new parquet file
+      // (save consumes `codes` BEFORE the owned checkpoints release)
+      AnnIndexStore.save(codes.filter(col("vec_id") >= 30), carr, dir)
+      graft.util.Checkpoints.releaseOwned(spark)
+      assert(AnnIndexStore.currentVersion(dir) == 1)
+      (0 until 3).foreach { b =>
+        AnnIndexStore.append(spark, dir,
+          vecs().filter(col("vec_id") >= b * 10 && col("vec_id") < b * 10 + 10))
+      }
+      val filesBefore = AnnIndexStore.codesFileCount(dir)
+      assert(filesBefore >= 4, s"appends should accrete files, saw $filesBefore")
+      val preHash = AnnIndexStore.contentHash(spark, AnnIndexStore.resolve(dir))
+
+      // compact: new version, FEWER files, content fingerprint identical
+      // (compact itself gates the CURRENT flip on it — this re-checks from
+      // the reader's side), and the row set still equals the full encode
+      val v2 = AnnIndexStore.compact(spark, dir, targetFiles = 2)
+      assert(v2 == 2 && AnnIndexStore.currentVersion(dir) == 2)
+      assert(AnnIndexStore.codesFileCount(dir) < filesBefore)
+      assert(AnnIndexStore.contentHash(spark, AnnIndexStore.resolve(dir)) ==
+        preHash, "compact changed the index content")
+      val compacted = spark.read
+        .parquet(s"${AnnIndexStore.resolve(dir)}/codes.parquet").collect().toSet
+      assert(compacted == full)
+
+      // retrain: a deliberate version swap — the on-disk result must equal
+      // a fresh in-session train+encode (the sim_pq_codes_trained-gated
+      // derivation) by content fingerprint
+      val v3 = AnnIndexStore.retrain(spark, dir, vecs())
+      assert(v3 == 3 && AnnIndexStore.currentVersion(dir) == 3)
+      val retrained = spark.read
+        .parquet(s"${AnnIndexStore.resolve(dir)}/codes.parquet").collect().toSet
+      assert(retrained == full,
+        "retrained version diverged from the fresh-trained derivation: " +
+          s"missing=${(full -- retrained).take(3)} " +
+          s"extra=${(retrained -- full).take(3)}")
+    } finally {
+      graft.util.Checkpoints.releaseOwned(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("drift-gated decision: in-distribution appends, shifted batch retrains") {
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val corpus = vecs()
+    val dir = Files.createTempDirectory("graft-annidx-drift").toString
+    try {
+      AnnIndexStore.save(codes, carr, dir)
+      graft.util.Checkpoints.releaseOwned(spark)
+      // an in-distribution batch (a resample of the corpus itself under
+      // fresh ids): centroid shift ~0 ⇒ append, codebook untouched
+      val sameDist = corpus.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val d1 = AnnIndexStore.appendOrRetrain(spark, dir, corpus, sameDist,
+        barE12 = 1000000000000L)
+      assert(d1.action == "appended", s"expected append, got $d1")
+      assert(d1.maxShiftE12 <= 1000000000000L)
+      // a shifted batch (+0.5 on every dim ⇒ per-label shift ≈ 64·(5e5)²
+      // = 1.6e13 e12-units, far above the bar) ⇒ retrain on corpus ∪ batch
+      val shifted = corpus.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+      val vBefore = AnnIndexStore.currentVersion(dir)
+      val d2 = AnnIndexStore.appendOrRetrain(spark, dir, corpus, shifted,
+        barE12 = 1000000000000L)
+      assert(d2.action == "retrained", s"expected retrain, got $d2")
+      assert(d2.maxShiftE12 > 1000000000000L)
+      assert(d2.version == vBefore + 1)
+      graft.util.Checkpoints.releaseOwned(spark)
+    } finally {
+      graft.util.Checkpoints.releaseOwned(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
