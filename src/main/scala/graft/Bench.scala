@@ -1540,6 +1540,10 @@ object Bench {
     // per-(variant, pass) (p50, p99) — every pass lands in the artifact
     val floorPassRows =
       scala.collection.mutable.Buffer.empty[(String, Int, Long, Long)]
+    // per-(variant, pass) durationMs medians (r18 breakdown)
+    val floorBreakdownRows =
+      scala.collection.mutable.Buffer.empty[(String, Int, Map[String, Long])]
+    var lastFloorBreakdown = Map.empty[String, Long]
     // committed cross-run async-p50 baseline (ms): recorded r13 34, r15
     // provisional band 38–56 — drift beyond 1.3× this trips the gate
     val FloorAsyncP50BaselineMs = 40.0
@@ -1576,6 +1580,30 @@ object Bench {
         val metricsF = new graft.metrics.GraftMetrics
         val listenerF = new graft.metrics.GraftQueryListener(metricsF)
         spark.streams.addListener(listenerF)
+        // per-component medians (r18, the ann_serve breakdown applied to
+        // the floors): itemizes each pass's batchDuration into
+        // latestOffset / getBatch / planning / addBatch / walCommit /
+        // commitOffsets so floor drift is attributable to a COMPONENT
+        val durRowsF =
+          scala.collection.mutable.Buffer.empty[Map[String, Long]]
+        val lDurF = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit = {
+            import scala.jdk.CollectionConverters._
+            // data batches only: idle triggers carry a near-zero
+            // triggerExecution that would skew the medians vs the
+            // latency metric's population
+            if (e.progress.numInputRows > 0) durRowsF.synchronized {
+              durRowsF += e.progress.durationMs.asScala
+                .map { case (k, v) => k -> v.longValue() }.toMap
+            }
+          }
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(lDurF)
         val debugL = if (sys.env.get("GRAFT_BENCH_FLOOR_DEBUG").contains("1")) {
           val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
             override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -1607,10 +1635,17 @@ object Bench {
           }
           q.processAllAvailable()
           q.stop()
+          lastFloorBreakdown = durRowsF.synchronized {
+            durRowsF.flatMap(_.keys).distinct.map { k =>
+              val vs = durRowsF.flatMap(_.get(k)).sorted
+              k -> (if (vs.isEmpty) 0L else vs(vs.size / 2))
+            }.toMap
+          }
           metricsF.batchLatencyMs
         } finally {
           debugL.foreach(spark.streams.removeListener)
           spark.streams.removeListener(listenerF)
+          spark.streams.removeListener(lDurF)
           Seq(walDir, outDir, ckptDir).foreach(rmRf)
         }
       }
@@ -1641,6 +1676,7 @@ object Bench {
             floorEnv += ((variant, pass, env))
             envA += env
             floorPassRows += ((variant, pass, out._1, out._2))
+            floorBreakdownRows += ((variant, pass, lastFloorBreakdown))
             out
           }
           val (sp50, sp99) = floorEnvTrial("sync", floorOnce("parquet", async = false))
@@ -1791,7 +1827,8 @@ object Bench {
             override def onQueryProgress(e: org.apache.spark.sql.streaming
                 .StreamingQueryListener.QueryProgressEvent): Unit = {
               import scala.jdk.CollectionConverters._
-              durRows.synchronized {
+              // data batches only (see the floor listener's note)
+              if (e.progress.numInputRows > 0) durRows.synchronized {
                 durRows += e.progress.durationMs.asScala
                   .map { case (k, v) => k -> v.longValue() }.toMap
               }
@@ -2228,6 +2265,14 @@ object Bench {
       s""""latency_floor_env":[${floorEnv.map { case (variant, pass, env) =>
         s"""{"variant":"$variant","pass":$pass,${env.json.tail}"""
       }.mkString(",")}],""" +
+      // r18: per-(variant, pass) durationMs medians — floor drift is now
+      // attributable to a batch COMPONENT, not just an env row
+      s""""latency_floor_breakdown":[${floorBreakdownRows
+        .map { case (variant, pass, bd) =>
+          s"""{"variant":"$variant","pass":$pass,"ms":{${bd.toSeq
+            .sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:$v" }
+            .mkString(",")}}}"""
+        }.mkString(",")}],""" +
       s""""suite_pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
       s""""suite_pass_load":[${passLoad.map(r3).mkString(",")}],""" +
       s""""suite_pass_gc_ms":[${passGcMs.mkString(",")}],""" +
