@@ -1771,6 +1771,7 @@ object Bench {
     // per-component medians of the LAST annOnce run (r17 VERDICT #4);
     // the noop runs' maps are the itemized machinery floor in the artifact
     var annLastBreakdown = Map.empty[String, Long]
+    var annServeBreakdown = Map.empty[String, Long] // recorded serve pass
     var annNoopBreakdown = Map.empty[String, Long]
     var annNoopSyncBreakdown = Map.empty[String, Long]
     val annServeEnv = scala.collection.mutable.Buffer.empty[(Int, EnvRow)]
@@ -1783,7 +1784,13 @@ object Bench {
         // frame and collects the ≤32-row codebook, so a batch no longer
         // re-derives the corpus codes (a corpus groupBy + exchange per
         // batch) or rebuilds the codebook broadcast
-        val idx = graft.streaming.AnnServeStream.prepare(codes, carr)
+        // codes at 4 partitions — matched to the serving session's pinned
+        // shuffle width below: every per-batch stage over the codes then
+        // launches 4 tasks instead of 32 near-empty ones (the bench-scale
+        // corpus is a few thousand cached rows; a 10⁹-vector deployment
+        // sizes this to its fleet)
+        val idx = graft.streaming.AnnServeStream.prepare(codes, carr,
+          numPartitions = 4)
         val nq = 40
         val allQueries = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("label"), col("embedding"))
@@ -1939,6 +1946,7 @@ object Bench {
             annServeEnv += ((pass, env)); envA += env; passWalls += env.wallS
             if (pass == 2) {
               annServeP50 = out._1; annServeP99 = out._2; annServeQps = out._3
+              annServeBreakdown = annLastBreakdown
             }
             System.err.println(f"[bench] ann_serve pass $pass/2: " +
               f"p50=${out._1}ms p99=${out._2}ms qps=${out._3}%.1f")
@@ -2244,6 +2252,9 @@ object Bench {
       // itemized machinery floor (r17 VERDICT #4): median ms per
       // durationMs component of the noop runs' batches, async serving
       // config + the sync durability-paired twin
+      s""""ann_serve_breakdown":{${annServeBreakdown.toSeq
+        .sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString(",")}},""" +
       s""""ann_serve_noop_breakdown":{${annNoopBreakdown.toSeq
         .sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString(",")}},""" +

@@ -59,7 +59,16 @@ object AnnServeStream {
     * exchange, where a LogicalRDD under AQE reports unknown partitioning
     * and every batch re-shuffles the corpus (measured: 4 exchanges/batch
     * vs 1). Call [[TrainedServeIndex.release]] when serving ends. */
-  def prepare(codes: DataFrame, carr: DataFrame): TrainedServeIndex = {
+  /** @param numPartitions partition count for the cached codes frame — a
+    *   SERVING-deployment sizing knob: every per-batch stage over the
+    *   codes runs one task per partition, so at bench/edge scale a small
+    *   count avoids paying 32 near-empty task launches per micro-batch,
+    *   while a 10⁹-vector deployment sizes it to its executor fleet.
+    *   0 (default) keeps the session's shuffle parallelism. Partitioning
+    *   stays HashPartitioning(vec_id) either way — the exchange-free
+    *   per-batch ADC plan is unchanged. */
+  def prepare(codes: DataFrame, carr: DataFrame,
+      numPartitions: Int = 0): TrainedServeIndex = {
     val byS = carr.collect().map { r =>
       (r.getAs[Number]("subspace").intValue(),
         r.getAs[Number]("cid").longValue(),
@@ -67,7 +76,9 @@ object AnnServeStream {
     }.groupBy(_._1).map { case (s, rows) =>
       s -> rows.sortBy(_._2).map(t => (t._2, t._3: Seq[Long])).toSeq
     }
-    val codesPart = codes.repartition(col("vec_id")).persist()
+    val codesPart = (if (numPartitions > 0)
+        codes.repartition(numPartitions, col("vec_id"))
+      else codes.repartition(col("vec_id"))).persist()
     codesPart.count() // materialize off the serving clock
     new TrainedServeIndex(codesPart, byS)
   }
