@@ -295,11 +295,22 @@ object ScaleSmoke {
         val tC0 = System.nanoTime()
         graft.sim.AnnIndexStore.compact(spark, idxDir)
         val compactS = (System.nanoTime() - tC0) / 1e9
+        // the drift GATE priced at the rung: one corpus pass computing the
+        // per-label centroid shift vs an in-distribution candidate batch
+        // (the decision every streamed batch would pay before appending)
+        val driftBatch = batchSrc
+          .withColumn("vec_id", col("vec_id") + (maxId + 1) * 10)
+        val tD0 = System.nanoTime()
+        val maxShift = graft.sim.AnnIndexStore
+          .driftByLabel(corpus, driftBatch)
+          .agg(max(col("shift_l2sq_e12"))).head().getLong(0)
+        val driftS = (System.nanoTime() - tD0) / 1e9
         System.err.println(
           f"[smoke] ann_index_append rung: corpus=$nCorpus train+save=" +
             f"$trainS%.1f s; append of $nBatch-vector batch " +
             f"[${appendS.map(t => f"$t%.2f").mkString(", ")}] s; " +
-            f"compact (fingerprint-verified) $compactS%.2f s")
+            f"compact (fingerprint-verified) $compactS%.2f s; drift gate " +
+            f"$driftS%.2f s (max label shift ${maxShift}e-12)")
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(idxDir))
     }
