@@ -1327,6 +1327,28 @@ object Bench {
           require(a < b, s"slot confirmed LSNs not isolated: $confirmed")
         case _ => () }
         MultiSlot.stopAll(handles)
+        // fixture-truth delivered set (off the timed path), the oneDrain
+        // invariant applied to the N-slot shape: all slots append into ONE
+        // outDir, and the union of their disjoint ranges is the whole
+        // backlog — distinct (topic, lsn) must equal the generator's
+        // routed-pair count. The multi-segment-per-slot renders (scale>1)
+        // were exposed to the same visibility race oneDrain was.
+        val expectedN = expectedByBacklog.getOrElseUpdate(minId -> maxId,
+          expectedFrames(ev))
+        // each slot appends under outDir/slot=<name>; slot ranges are
+        // disjoint (LSNs derive from event_id), so per-slot distinct
+        // counts sum to the whole backlog's distinct count
+        val deliveredN = ranges.indices.map { i =>
+          val d = s"$outDir/slot=s$i"
+          if (framesHeadline) graft.sink.frames.FramesLog
+            .read(spark, d, includeUncommitted = true)
+            .select("topic", "lsn").distinct().count()
+          else spark.read.parquet(d)
+            .select("topic", "lsn").distinct().count()
+        }.sum
+        require(deliveredN == expectedN,
+          s"$n-slot drain delivered $deliveredN frames, fixture expects " +
+            s"$expectedN (${expectedN - deliveredN} missing)")
         secs
         } finally cleanup.foreach(rmRf)
       }
