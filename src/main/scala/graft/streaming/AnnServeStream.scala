@@ -83,31 +83,94 @@ object AnnServeStream {
     new TrainedServeIndex(codesPart, byS)
   }
 
-  /** [[serve]] against a prepared index: per-batch work is the query-side
-    * LUT (subspace split + literal-codebook distances — the SAME
-    * `pqSubspaceSplit` / `L2SqLong` kernels, so exactness is unchanged;
-    * `AnnServeStreamSpec` pins this path to `sim_ivfpq_trained` too), ONE
-    * broadcast (the LUT), an exchange-free ADC sum on the pre-partitioned
-    * codes, and the small per-query top-k exchange. */
-  def serveFast(queries: DataFrame, idx: TrainedServeIndex, k: Int = 5)
-      : DataFrame = {
+  /** [[serve]] against a prepared index. Two plans, identical output:
+    *
+    *  - **driver-LUT** (batches ≤ `maxDriverLut` queries — the serving
+    *    steady state): the per-query ADC LUT is only nSub×8 longs, so it
+    *    computes WHERE THE QUERY ARRIVES — quantize the batch through THE
+    *    trainer's `pqSubspaceSplit` expression (a bounded collect), take
+    *    exact integer distances against the already-collected codebook on
+    *    the driver (plain Σ(a−b)² over longs — bit-identical to the
+    *    `L2SqLong` kernel's wraparound arithmetic, same element order),
+    *    and bake the LUTs into a LITERAL the codes scan explodes against.
+    *    The per-batch plan then has ZERO broadcast exchanges and zero LUT
+    *    jobs — this is the standard production split (the LUT belongs to
+    *    the query host; the cluster only sums 4 lookups per candidate).
+    *  - **distributed-LUT** (larger batches — the backfill shape, or
+    *    `maxDriverLut = 0`): the original plan — LUT computed as a tiny
+    *    DataFrame with the same expression + `L2SqLong` kernels and
+    *    broadcast into the ADC join.
+    *
+    * Both paths: an exchange-free ADC sum on the pre-partitioned codes
+    * (HashPartitioning(vec_id) satisfies the (qid, vec_id) clustering)
+    * and the small per-query top-k exchange — ≤ 1 shuffle per batch,
+    * pinned with output equality for BOTH paths in `AnnServeStreamSpec`. */
+  def serveFast(queries: DataFrame, idx: TrainedServeIndex, k: Int = 5,
+      maxDriverLut: Int = 256): DataFrame = {
     val qsub = queries.select(col("vec_id").as("qid"),
         col("label").as("qlabel"),
         explode(graft.queries.ExtQueries
           .pqSubspaceSplit(4, "l_subspace", "qarr")).as("p"))
       .select(col("qid"), col("qlabel"), col("p.l_subspace").as("l_subspace"),
         col("p.qarr").as("qarr"))
-    val carrLit = typedLit(idx.carrBySub)
-    val lut = qsub
-      .select(col("qid"), col("qlabel"), col("l_subspace"), col("qarr"),
-        explode(element_at(carrLit, col("l_subspace"))).as("ce"))
-      .select(col("qid"), col("qlabel"), col("l_subspace"),
-        col("ce._1").as("l_cid"),
-        graft.functions.L2SqLong(col("qarr"), col("ce._2")).as("d2"))
-    idx.codes.join(broadcast(lut),
-        col("subspace") === col("l_subspace") &&
-          col("code") === col("l_cid") && col("label") === col("qlabel"))
-      .filter(col("qid") =!= col("vec_id"))
+    val cap = 4 * maxDriverLut // one qsub row per (query, subspace)
+    val head =
+      if (maxDriverLut > 0) qsub.limit(cap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val perPair =
+      if (maxDriverLut == 0 || head.length > cap) {
+        val carrLit = typedLit(idx.carrBySub)
+        val lut = qsub
+          .select(col("qid"), col("qlabel"), col("l_subspace"), col("qarr"),
+            explode(element_at(carrLit, col("l_subspace"))).as("ce"))
+          .select(col("qid"), col("qlabel"), col("l_subspace"),
+            col("ce._1").as("l_cid"),
+            graft.functions.L2SqLong(col("qarr"), col("ce._2")).as("d2"))
+        idx.codes.join(broadcast(lut),
+            col("subspace") === col("l_subspace") &&
+              col("code") === col("l_cid") && col("label") === col("qlabel"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), col("d2"))
+      } else {
+        // flat LUT per query: index subspace·8 + cid (cids are 0..7 by
+        // construction; codewords emptied by a Lloyd round simply never
+        // appear as a stored code, so their slots are unreachable)
+        val qrows: Seq[(Long, Long, Seq[Long])] = head.toSeq
+          .groupBy(r => (r.getLong(r.fieldIndex("qid")),
+            r.getAs[Number]("qlabel").longValue()))
+          .map { case ((qid, qlabel), rs) =>
+            val flat = new Array[Long](4 * 8)
+            rs.foreach { r =>
+              val s = r.getAs[Number]("l_subspace").intValue()
+              val qarr = r.getSeq[Long](r.fieldIndex("qarr"))
+              idx.carrBySub.getOrElse(s, Seq.empty).foreach {
+                case (cid, carr) =>
+                  require(carr.length == qarr.length,
+                    s"ADC LUT: dimension mismatch (${qarr.length} vs " +
+                      s"${carr.length})")
+                  var acc = 0L
+                  var i = 0
+                  while (i < qarr.length) { // = L2SqLong's loop, verbatim
+                    val d = qarr(i) - carr(i)
+                    acc += d * d
+                    i += 1
+                  }
+                  flat(s * 8 + cid.toInt) = acc
+              }
+            }
+            (qid, qlabel, flat.toSeq)
+          }.toSeq.sortBy(_._1)
+        idx.codes
+          .select(col("vec_id"), col("label").cast("long").as("label_l"),
+            col("subspace"), col("code"),
+            explode(typedLit(qrows)).as("q"))
+          .filter(col("q._2") === col("label_l") &&
+            col("q._1") =!= col("vec_id"))
+          .select(col("q._1").as("qid"), col("vec_id"),
+            element_at(col("q._3"),
+              (col("subspace") * 8 + col("code") + 1).cast("int")).as("d2"))
+      }
+    perPair
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_sq_e12"))
       .groupBy(col("qid"))

@@ -112,6 +112,31 @@ class AnnServeStreamSpec extends AnyFunSuite {
     assert(n <= 1,
       s"serveFast must shuffle only the per-query top-k, found $n:\n" +
         served.queryExecution.executedPlan)
+    // r18: BOTH serving plans must be output-identical and ≤1-shuffle —
+    // the driver-LUT fast path (default, taken above for this 10-query
+    // batch) and the distributed-LUT backfill path (forced via
+    // maxDriverLut = 0). The driver path additionally must plan ZERO
+    // broadcast exchanges: the LUT is a literal, so the only exchange
+    // anywhere is the per-query top-k shuffle.
+    val servedDist = AnnServeStream.serveFast(queries, idx, maxDriverLut = 0)
+    assert(servedDist.collect().toSet == truth,
+      "distributed-LUT serveFast diverged from the batch query")
+    assert(shuffles(servedDist.queryExecution.executedPlan) <= 1)
+    def broadcasts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+      val self = p match { case _: BroadcastExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(broadcasts).sum
+    }
+    assert(broadcasts(served.queryExecution.executedPlan) == 0,
+      "driver-LUT serveFast must not broadcast anything:\n" +
+        served.queryExecution.executedPlan)
     idx.release()
     graft.util.Checkpoints.releaseOwned(spark)
   }
