@@ -334,13 +334,18 @@ object Bench {
     // saturates every core for its whole 12-19 s trial, so each
     // post-first trial STARTS at 1-min self-load 15-20 and the clause
     // reads the workload itself as contamination (observed labeling the
-    // r18 100x rung). At scale>1 the load clause is disabled (the
-    // scatter clause and dirty-flag still audit the phase) unless the
-    // bar is set explicitly; the artifact's contam_load_bar records it.
+    // r18 100x rung). r19 (r18 ADVICE): disabling the clause outright
+    // (r18's 1e9 bar) also blinded the audit to GENUINE external
+    // contention at scale — another 32-core process adds ~cpus to the
+    // 1-min average on top of any self-load. At scale>1 the bar is now
+    // normalized by core count (cpus/2): observed 100×-rung self-load
+    // tops out at 4-6 between trials (README r18), well under 16, while
+    // a competing saturating process pushes past it; the artifact's
+    // contam_load_bar records whichever bar applied.
     val benchScale = sys.env.getOrElse("GRAFT_BENCH_SCALE", "1").toInt
     val contamLoadBar = sys.env.get("GRAFT_BENCH_CONTAM_LOAD_BAR")
       .map(_.toDouble)
-      .getOrElse(if (benchScale > 1) 1e9 else 4.5)
+      .getOrElse(if (benchScale > 1) cpus.toDouble / 2 else 4.5)
     // (phase, verdict, attempts): verdict ∈ clean | clean_after_retry |
     // contaminated | audit_error; verdict-only phases (no retry) append
     // directly with attempts=1
@@ -1067,6 +1072,14 @@ object Bench {
     // r15: the headline wal_drain point gets the same rows (it drifted
     // 0.247→0.270 in the r14 tier-wide shift with nothing to attribute)
     val walEnv = scala.collection.mutable.Buffer.empty[EnvRow]
+    // r19 (r18 VERDICT #3): the single-slot headline gets the same
+    // CPU-converged warm-up the 10× point got in r17 — the r18 recorded
+    // trials read [0.68, 0.328, 0.268, …] (trial 1 cold-JIT by 2.5×) and
+    // the recorded min breathed 0.224–0.291 across runs with trial-1 JIT
+    // state; the warm-up makes the recorded min measure the tree
+    val walWarmupTrials = scala.collection.mutable.Buffer.empty[Double]
+    val walWarmupCpuS = scala.collection.mutable.Buffer.empty[Double]
+    var walWarmupConverged = false
     var drainEvents = 0L
     var drainEvents10 = 0L
     var floorP50 = 0L; var floorP99 = 0L
@@ -1238,6 +1251,55 @@ object Bench {
       // still runs.
       def hdAttempt(): (Seq[Double], Seq[EnvRow], Boolean) = {
         val envA = scala.collection.mutable.Buffer.empty[EnvRow]
+        // CPU-converged untimed warm-up before the recorded trials (r19 /
+        // r18 VERDICT #3) — same loop/verdict shape as the 10× point:
+        // repeat the untimed drain until process-CPU is flat trial-over-
+        // trial (±15 %), cap 3; non-convergence dirties the attempt so
+        // the phase retries instead of recording a cold band. The insuite
+        // drift probe deliberately keeps NO warm-up — heap-history drift
+        // is the thing it measures.
+        var hdConverged = true // vacuously, when disabled or insuite
+        if (!insuite &&
+            sys.env.getOrElse("GRAFT_BENCH_HD_WARMUP", "1") != "0") {
+          var prevWarmCpu = -1.0
+          var steady = false
+          val warmBase = walWarmupTrials.size // attempt-relative cap
+          // cap 5 (the 10× loop's 3 assumes ~40 cpu-s drains whose JIT
+          // tail flattens in two passes; the headline's 3-pass trajectory
+          // read 28.7 → 8.4 → 4.1 at sf0.01 — still falling at the cap)
+          // and a relative-OR-absolute window: at the headline's 2-3
+          // cpu-s steady state, ±0.4 cpu-s scheduler jitter is 20 % and
+          // a pure 15 % window never closes. Each warm-up drain is
+          // ~0.1-0.7 s, so the wider cap costs nothing.
+          while (!steady && walWarmupTrials.size - warmBase < 5) {
+            val c0 = cpuNanos()
+            val t =
+              try headlineDrain(framesHeadline)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $hdLabel warm-up failed: $e")
+                -1.0
+              }
+            val cpuS =
+              if (c0 < 0 || t < 0) -1.0 else (cpuNanos() - c0) / 1e9
+            walWarmupTrials += t
+            walWarmupCpuS += cpuS
+            System.err.println(
+              f"[bench] $hdLabel warm-up " +
+                f"${walWarmupTrials.size - warmBase}/5 (untimed): " +
+                f"$t%.3f s wall / $cpuS%.1f cpu-s")
+            steady = t > 0 && prevWarmCpu > 0 && cpuS > 0 &&
+              math.abs(cpuS - prevWarmCpu) <=
+                math.max(0.25 * prevWarmCpu, 1.0)
+            prevWarmCpu = cpuS
+          }
+          hdConverged = steady
+          walWarmupConverged = steady
+          if (!steady) System.err.println(
+            s"[bench] $hdLabel warm-up exhausted its cap WITHOUT " +
+              "converging — attempt marked dirty")
+          // let the warm-up's own burst decay before trial 1's env row
+          waitQuiet(1.0, 30)
+        }
         val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
           val (t, env) = envTrial(
             try headlineDrain(framesHeadline)
@@ -1265,7 +1327,7 @@ object Bench {
         if (hdOk.nonEmpty) System.err.println(
           f"[bench] $hdLabel: $drainEvents events in $secs%.2f s = " +
             f"${drainEvents / secs}%.0f events/s (batch p50=${p50}ms p99=${p99}ms)")
-        (hdTrials, envA.toSeq, false)
+        (hdTrials, envA.toSeq, !hdConverged)
       }
       // the insuite probe is a drift measurement, not a headline — it gets
       // no contamination retry (its cause, suite heap history, is already
@@ -2104,6 +2166,9 @@ object Bench {
     // only the floor env rows nearby priced it) — the suite's own
     // contamination verdict derives from these
     val passLoad = scala.collection.mutable.Buffer.empty[Double]
+    // (total s, 1-min load at start, qualified count) of the bounded
+    // suite retry pass, when one ran (r19 / r18 VERDICT #1)
+    var suiteRetryRec: Option[(Double, Double, Int)] = None
     if (runSuite) (1 to 3).foreach { _ =>
       passLoad += loadAvg()
       val p0 = System.nanoTime(); val g0 = gcMs()
@@ -2129,21 +2194,66 @@ object Bench {
     if (runSuite && passTotals.nonEmpty) System.err.println(
       f"[bench] suite passes: [${passTotals.map(t => f"$t%.1f").mkString(", ")}] s, " +
         f"gc [${passGcMs.mkString(", ")}] ms")
-    // suite contamination verdict (label-only, no retry: re-running ~190
-    // points × 3 passes doubles the bench, and the interleaved min-of-3
-    // already defends each query's min). The load clause does NOT apply
+    // suite contamination verdict. The load clause does NOT apply
     // here — the suite keeps all 32 cores busy continuously, so load at
     // pass start prices the suite itself; the discriminator is pass-total
     // scatter: clean runs read max/min ≤1.27 (r16_full1-3: [136,138,133],
     // [133,124,122], [152,119,139]) while the contaminated recorded run
     // read 1.50 ([178,119,119]) — bar 1.45.
+    // r19 (r18 VERDICT #1): a contaminated verdict now triggers ONE
+    // bounded re-pass over all queries — the suite was the one phase
+    // where a transient pass (r18's pass 2: 227.2 s vs best 124.0, 11
+    // trial outliers up to 31×) tainted the round's artifact with no
+    // recourse. One re-pass is +⅓ of the suite, not the 2× that kept
+    // r17 label-only; its trials merge into each query's min and the
+    // verdict carries the provenance (clean_after_retry semantics,
+    // zero-qualified rule included — see PhaseAudit.suiteRetryClean).
     if (runSuite && passTotals.nonEmpty) {
       val scatter = passTotals.max / passTotals.min
-      phaseAudits += (("suite",
-        if (scatter > 1.45) "contaminated" else "clean", 1))
-      if (scatter > 1.45) System.err.println(
-        f"[bench] suite pass scatter $scatter%.2f > 1.45 — verdict " +
-          "contaminated (per-query mins stand, labeled)")
+      if (scatter <= 1.45) phaseAudits += (("suite", "clean", 1))
+      else {
+        System.err.println(
+          f"[bench] suite pass scatter $scatter%.2f > 1.45 — one bounded " +
+            "re-pass after the quiet gate")
+        waitQuiet(loadThresh, loadWaitBudgetS)
+        val retryLoad = loadAvg()
+        var retryQualified = 0
+        val p0 = System.nanoTime(); val g0 = gcMs()
+        ordered.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { runToNoop(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              // a retry-pass failure marks the query failed like any pass
+              failedQ += name
+              System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+              recErr(s"suite_retry:$name", e); false
+            }
+          if (ok) {
+            retryQualified += 1
+            trials(name) = ((System.nanoTime() - t0) / 1e9) :: trials(name)
+          }
+          graft.util.Checkpoints.releaseOwned(spark)
+        }
+        val retryTotal = (System.nanoTime() - p0) / 1e9
+        val clean = graft.metrics.PhaseAudit.suiteRetryClean(
+          retryTotal, passTotals.toSeq, retryLoad, contamLoadBar,
+          retryQualified)
+        suiteRetryRec = Some((retryTotal, retryLoad, retryQualified))
+        // the retry pass's rows land NEXT TO the originals so the
+        // artifact's per-pass series stays parallel (pass 4 = retry)
+        passTotals += retryTotal
+        passGcMs += gcMs() - g0
+        passHeapMb += usedHeapMb
+        passStorageMb += cachedBlockMb
+        passLoad += retryLoad
+        phaseAudits +=
+          (("suite", if (clean) "clean_after_retry" else "contaminated", 2))
+        System.err.println(f"[bench] suite retry pass $retryTotal%.1f s " +
+          f"(best original ${passTotals.dropRight(1).min}%.1f, load " +
+          f"$retryLoad%.2f, qualified $retryQualified) — verdict " +
+          (if (clean) "clean_after_retry" else "contaminated"))
+      }
     }
     if (runSuite) ordered.foreach { case (name, _) =>
       // a failed query must not masquerade as a fast success
@@ -2235,6 +2345,11 @@ object Bench {
         jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
       }.mkString("{", ",", "}")},""" +
       s""""wal_drain_env":[${walEnv.map(_.json).mkString(",")}],""" +
+      s""""wal_drain_warmup_trials":[${
+        walWarmupTrials.map(r3).mkString(",")}],""" +
+      s""""wal_drain_warmup_cpu_s":[${
+        walWarmupCpuS.map(r3).mkString(",")}],""" +
+      s""""wal_drain_warmup_converged":$walWarmupConverged,""" +
       s""""wal_drain_10x_events":$drainEvents10,""" +
       s""""wal_drain_10x_trials":[${wal10TrialsRec.map(r3).mkString(",")}],""" +
       s""""wal_drain_10x_env":[${wal10Env.map(_.json).mkString(",")}],""" +
@@ -2332,6 +2447,13 @@ object Bench {
           s"""{"q":${jstr(n)},"pass":$p,"s":${r3(t)},"x":${r3(x)}}"""
         }.mkString(",")}],""" +
       s""""suite_pass_outliers":[${suitePassOutliers.mkString(",")}],""" +
+      // provenance of the bounded suite retry pass, when one ran — its
+      // per-pass rows are already the LAST entries of the suite_pass_*
+      // series above
+      suiteRetryRec.fold("") { case (t, l, q) =>
+        s""""suite_retry":{"total_s":${r3(t)},"load":${r3(l)},""" +
+          s""""qualified":$q},"""
+      } +
       s""""disk_free_gb":{"start":${r3(diskFreeStart)},"end":${r3(diskFreeGb())}},""" +
       // r17 (r16 VERDICT #1): the run's numbers carry their own
       // credibility — per-phase contamination verdicts (each phase's

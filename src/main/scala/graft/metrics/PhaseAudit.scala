@@ -31,6 +31,31 @@ object PhaseAudit {
     }
   }
 
+  /** Suite retry-pass verdict (r18 VERDICT #1): the suite was the one
+    * phase where a transient pass tainted the round's artifact with no
+    * recourse — the drains re-run once when their audit fires; the suite
+    * did not because re-running 3 full passes doubles the bench. The
+    * bounded middle: ONE re-pass over all queries after the quiet gate,
+    * judged clean iff
+    *  - at least one query qualified (the r17-ADVICE zero-qualified rule:
+    *    a retry that measured nothing must not launder the verdict),
+    *  - the 1-min load at retry start sits under the phase load bar
+    *    (unlike mid-suite pass loads, retry start follows the quiet gate,
+    *    so this prices EXTERNAL load, not suite self-load), and
+    *  - the retry pass total lands within `scatterBar` × the best
+    *    original pass — the same 1.45 bar the suite's own scatter clause
+    *    uses (clean full runs read max/min ≤ 1.27; the r18 contaminated
+    *    run read 227.2 vs best 124.0 = 1.83).
+    * Merged per-query mins (min over original + retry trials) stand
+    * either way — the verdict labels their provenance. */
+  def suiteRetryClean(retryTotal: Double, originalPassTotals: Seq[Double],
+      retryLoad: Double, loadBar: Double, qualified: Int,
+      scatterBar: Double = 1.45): Boolean = {
+    val ok = originalPassTotals.filter(_ > 0)
+    qualified > 0 && retryLoad <= loadBar && ok.nonEmpty &&
+      retryTotal <= scatterBar * ok.min
+  }
+
   /** The SCATTER clause applied per trial (r17 VERDICT #3): which
     * post-first trials sit past `scatterFactor` × the min, as
     * (index-in-`trials`, wall, ratio) rows. The suite runs this over every

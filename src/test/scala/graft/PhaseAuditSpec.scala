@@ -76,6 +76,39 @@ class PhaseAuditSpec extends AnyFunSuite {
     assert(PhaseAudit.trialOutliers(Nil).isEmpty)
   }
 
+  test("r18 suite pass-2 is the suiteRetryClean calibration case") {
+    // the recorded BENCH_r18 suite: pass totals [167.414, 227.205,
+    // 123.980] (scatter 1.83 > 1.45 fired the verdict), pass 2 carried 11
+    // trial outliers (dedup_minhash_lsh 31.1×, text_bpe_pairs 16.3×…) —
+    // the exact artifact r19's bounded re-pass exists for
+    val r18Passes = Seq(167.414, 227.205, 123.980)
+    // a retry pass that looks like the best-of-5 clean-run passes
+    // (106–140 s band) against a quiet box is clean_after_retry
+    assert(PhaseAudit.suiteRetryClean(131.0, r18Passes,
+      retryLoad = 1.2, loadBar = 4.5, qualified = 181))
+    // bar edge: 1.45 × best original pass (123.98) = 179.77
+    assert(PhaseAudit.suiteRetryClean(179.0, r18Passes, 1.2, 4.5, 181))
+    assert(!PhaseAudit.suiteRetryClean(181.0, r18Passes, 1.2, 4.5, 181))
+    // a retry on a still-dirty box (load over the phase bar) stays
+    // contaminated even when its total squeaks under the scatter bar
+    assert(!PhaseAudit.suiteRetryClean(131.0, r18Passes, 5.5, 4.5, 181))
+    // zero-qualified rule (r17 ADVICE, carried): a retry that measured
+    // nothing must not launder the verdict
+    assert(!PhaseAudit.suiteRetryClean(0.1, r18Passes, 1.2, 4.5, 0))
+    // degenerate original series never divides by zero / picks a bogus bar
+    assert(!PhaseAudit.suiteRetryClean(131.0, Seq(-1.0), 1.2, 4.5, 181))
+    assert(!PhaseAudit.suiteRetryClean(131.0, Nil, 1.2, 4.5, 181))
+  }
+
+  test("r18 pass-2 per-query transients are labeled by trialOutliers") {
+    // verbatim from the recorded BENCH_r18 artifact: dedup_lsh_recall's
+    // trials (suite_slowest_trials) and dedup_minhash_lsh's flagged row
+    // (suite_trial_outliers: pass 2, 4.649 s, 31.1× its 0.1495 min)
+    assert(PhaseAudit.trialOutliers(Seq(2.137, 12.324, 4.337)).map(_._1) ==
+      Seq(1)) // pass 2 at 5.8× flagged; pass 3's 2.03× stays under the bar
+    assert(PhaseAudit.trialOutliers(Seq(0.1495, 4.649, 0.182)).head._1 == 1)
+  }
+
   test("edge cases: empty, all-disqualified, single trial") {
     assert(!PhaseAudit.contaminated(Nil, Nil, Bar))
     assert(!PhaseAudit.contaminated(Seq(-1.0, -1.0), Seq(0.5, 0.5), Bar))
