@@ -45,9 +45,44 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object AnnIndexStore {
 
-  /** The recorded lifecycle decision for one candidate batch. */
+  /** The recorded lifecycle decision for one candidate batch.
+    * `novelLabels` counts batch labels with NO corpus-side centroid
+    * (r18 ADVICE: drift is only computable for labels both sides share,
+    * so a wholly out-of-distribution batch used to read as zero drift —
+    * the exact degradation the gate exists to catch; any novel label now
+    * forces the retrain branch and the count is artifact data). */
   final case class Decision(action: String, version: Int,
-      maxShiftE12: Long, barE12: Long, compactedFiles: Int)
+      maxShiftE12: Long, barE12: Long, compactedFiles: Int,
+      novelLabels: Long = 0L)
+
+  // ---- single-writer guard -------------------------------------------------
+
+  /** All mutators ([[append]]/[[compact]]/[[retrain]]/[[appendOrRetrain]])
+    * run under an on-disk writer lock (r18 ADVICE): without it, an append
+    * running concurrently with a compact lands rows in the OLD version dir
+    * after the compact's pre-fingerprint was taken, and the CURRENT flip
+    * silently drops them. One writer at a time is the contract; a held
+    * lock fails fast instead of corrupting. Readers ([[load]]/[[resolve]])
+    * never take it — version dirs are immutable once CURRENT points at
+    * them. A crashed writer leaves the lock behind; `breakLock` clears it
+    * once the operator has established no writer is alive. */
+  private def withWriterLock[A](dir: String)(body: => A): A = {
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, ".writer.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"index writer lock held at $lock — one writer at a time " +
+            "(concurrent append during compact/retrain would be silently " +
+            "dropped by the CURRENT flip); breakLock() if the holder is dead")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Remove a stale writer lock left by a crashed writer. */
+  def breakLock(dir: String): Unit =
+    Files.deleteIfExists(Paths.get(dir, ".writer.lock"))
 
   // ---- version bookkeeping (atomic CURRENT swap) --------------------------
 
@@ -85,21 +120,48 @@ object AnnIndexStore {
   }
 
   /** Append-encode new vectors into the live version (frozen codebook). */
-  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    withWriterLock(dir)(appendLocked(spark, dir, newVecs))
+
+  private def appendLocked(spark: SparkSession, dir: String,
+      newVecs: DataFrame): Unit = {
     val vd = resolve(dir)
     val carr = spark.read.parquet(s"$vd/codebook.parquet")
     encode(newVecs, carr).write.mode("append").parquet(s"$vd/codes.parquet")
   }
 
+  /** Delete superseded version dirs after a successful CURRENT flip
+    * (r18 ADVICE: compact/retrain used to leave every v<N> behind —
+    * unbounded disk growth across lifecycle cycles). The version just
+    * superseded (`newV - 1`) is KEPT one cycle: a reader that resolved
+    * CURRENT moments before the flip may still be scanning it; by the
+    * next flip it is two versions stale and goes. */
+  private def gcVersions(dir: String, newV: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val it = Files.list(root)
+    val stale =
+      try it.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).nonEmpty && n.drop(1).toInt < newV - 1
+      }.toList
+      finally it.close()
+    stale.foreach { p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+  }
+
   /** Load the live version into the prepared serving form
     * (pre-partitioned persisted codes + collected literal codebook — see
     * [[graft.streaming.AnnServeStream.prepare]]). */
-  def load(spark: SparkSession, dir: String)
+  def load(spark: SparkSession, dir: String, numPartitions: Int = 0)
       : graft.streaming.AnnServeStream.TrainedServeIndex = {
     val vd = resolve(dir)
     graft.streaming.AnnServeStream.prepare(
       spark.read.parquet(s"$vd/codes.parquet"),
-      spark.read.parquet(s"$vd/codebook.parquet"))
+      spark.read.parquet(s"$vd/codebook.parquet"), numPartitions)
   }
 
   /** Assign `(vec_id, label, embedding)` rows to a FROZEN codebook:
@@ -164,7 +226,11 @@ object AnnIndexStore {
     * content fingerprint equals the old one, THEN flip CURRENT. Returns
     * the new version. A fingerprint mismatch aborts before the flip —
     * the live index is never replaced by an unverified rewrite. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 8): Int = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 8): Int =
+    withWriterLock(dir)(compactLocked(spark, dir, targetFiles))
+
+  private def compactLocked(spark: SparkSession, dir: String,
+      targetFiles: Int): Int = {
     val v = currentVersion(dir)
     val vd = resolve(dir)
     val next = math.max(v, 1) + 1
@@ -177,6 +243,7 @@ object AnnIndexStore {
     require(post == pre,
       s"compact fingerprint mismatch: pre=$pre post=$post — CURRENT not flipped")
     setCurrent(dir, next)
+    gcVersions(dir, next)
     next
   }
 
@@ -186,12 +253,17 @@ object AnnIndexStore {
     * new version re-pins against that derivation by construction
     * (`AnnIndexStoreSpec` verifies retrained == fresh-trained by
     * fingerprint). CURRENT flips last. Returns the new version. */
-  def retrain(spark: SparkSession, dir: String, corpus: DataFrame): Int = {
+  def retrain(spark: SparkSession, dir: String, corpus: DataFrame): Int =
+    withWriterLock(dir)(retrainLocked(spark, dir, corpus))
+
+  private def retrainLocked(spark: SparkSession, dir: String,
+      corpus: DataFrame): Int = {
     val (_, codes, carr) = graft.queries.ExtQueries.pqTrainedIndexOn(corpus)
     val next = math.max(currentVersion(dir), 1) + 1
     writeVersion(codes, carr, dir, next)
     graft.util.Checkpoints.releaseOwned(spark)
     setCurrent(dir, next)
+    gcVersions(dir, next)
     next
   }
 
@@ -223,28 +295,46 @@ object AnnIndexStore {
         .as("shift_l2sq_e12"))
   }
 
+  /** Batch labels with no corpus-side presence. [[driftByLabel]] can only
+    * price labels BOTH sides share (a label without a corpus centroid has
+    * no shift to measure), so a novel label is definitionally
+    * out-of-distribution — the codebook never saw it. One left-anti join
+    * of two label-distinct aggregates; output bounded by label
+    * cardinality, never corpus size. */
+  def novelLabelCount(indexed: DataFrame, newVecs: DataFrame): Long =
+    newVecs.select(col("label")).distinct()
+      .join(indexed.select(col("label")).distinct(), Seq("label"),
+        "left_anti")
+      .count()
+
   /** The recorded retrain/append/compact decision for one candidate
-    * batch: drift above `barE12` on any label ⇒ retrain on
+    * batch: drift above `barE12` on any SHARED label, or ANY novel-label
+    * rows in the batch (r18 ADVICE — novel labels have no centroid to
+    * drift against and are above-bar by definition) ⇒ retrain on
     * corpus ∪ batch (new version); otherwise append, then compact if the
     * live codes table grew past `maxFiles`. `corpus` is the raw indexed
     * corpus (the caller owns it — the index stores codes, not vectors).
     * Every branch returns a [[Decision]] so the choice is artifact data,
-    * never implicit. */
+    * never implicit. Runs entirely under ONE writer lock — the
+    * append-then-compact sequence is atomic w.r.t. other writers. */
   def appendOrRetrain(spark: SparkSession, dir: String, corpus: DataFrame,
-      newVecs: DataFrame, barE12: Long, maxFiles: Int = 16): Decision = {
-    val shift = driftByLabel(corpus, newVecs)
-      .agg(max(col("shift_l2sq_e12"))).head()
-    val maxShift = if (shift.isNullAt(0)) 0L else shift.getLong(0)
-    if (maxShift > barE12) {
-      val v = retrain(spark, dir, corpus.unionByName(newVecs))
-      Decision("retrained", v, maxShift, barE12, 0)
-    } else {
-      append(spark, dir, newVecs)
-      val files = codesFileCount(dir)
-      if (files > maxFiles) {
-        val v = compact(spark, dir)
-        Decision("appended_compacted", v, maxShift, barE12, files)
-      } else Decision("appended", currentVersion(dir), maxShift, barE12, files)
+      newVecs: DataFrame, barE12: Long, maxFiles: Int = 16): Decision =
+    withWriterLock(dir) {
+      val shift = driftByLabel(corpus, newVecs)
+        .agg(max(col("shift_l2sq_e12"))).head()
+      val maxShift = if (shift.isNullAt(0)) 0L else shift.getLong(0)
+      val novel = novelLabelCount(corpus, newVecs)
+      if (maxShift > barE12 || novel > 0) {
+        val v = retrainLocked(spark, dir, corpus.unionByName(newVecs))
+        Decision("retrained", v, maxShift, barE12, 0, novel)
+      } else {
+        appendLocked(spark, dir, newVecs)
+        val files = codesFileCount(dir)
+        if (files > maxFiles) {
+          val v = compactLocked(spark, dir, 8)
+          Decision("appended_compacted", v, maxShift, barE12, files, novel)
+        } else Decision("appended", currentVersion(dir), maxShift, barE12,
+          files, novel)
+      }
     }
-  }
 }

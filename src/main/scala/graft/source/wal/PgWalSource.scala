@@ -134,9 +134,14 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
   private var retreatHeadLsn: Long = -1L
   private var retreatCount: Int = 0
   private val RetreatWarnThreshold = 50
-  // every segment name this stream instance has EVER listed — the
-  // below-cursor visibility guard's "was it there before the cursor
-  // passed?" memory (names only; stays tiny vs the boundary snapshots)
+  // segment names present in the MOST RECENT listing — the below-cursor
+  // visibility guard's "was it there before the cursor passed?" memory.
+  // r19 (r18 VERDICT #5): bounded by the on-disk segment count, not by
+  // names ever listed (a months-lived stream accreted every drained
+  // segment's name forever). Replacing the set with each listing evicts
+  // names whose files are gone; a DELETED segment re-appearing below the
+  // cursor now trips the guard too — a recreated file is as much a
+  // contract break as a late one.
   private val seenSegs = scala.collection.mutable.Set.empty[String]
 
   /** Soft admission control: advance at most `maxPerBatch` frames per
@@ -164,6 +169,7 @@ final class PgWalMicroBatchStream(path: String, maxPerBatch: Int,
               "frames can never be planned from here")
       }
     }
+    seenSegs.clear() // retain only the current listing (bounded memory)
     files.foreach(f => seenSegs += f.getFileName.toString)
     val it = WalLog.scanFrom(files, scanSeg, scanOffset)
     try latestOffsetFrom(it)

@@ -114,11 +114,26 @@ object AnnServeStream {
       .select(col("qid"), col("qlabel"), col("p.l_subspace").as("l_subspace"),
         col("p.qarr").as("qarr"))
     val cap = 4 * maxDriverLut // one qsub row per (query, subspace)
+    // the driver-LUT path keys queries to candidates through a long cast
+    // of the label column (r18 ADVICE): a non-integral label (string,
+    // decimal…) would null out the cast, silently matching nothing — the
+    // distributed path joins on the label natively and handles any type,
+    // so non-integral labels route there instead of failing quietly
+    def integral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val driverEligible = maxDriverLut > 0 &&
+      integral(queries.schema("label").dataType) &&
+      integral(idx.codes.schema("label").dataType)
     val head =
-      if (maxDriverLut > 0) qsub.limit(cap + 1).collect()
+      if (driverEligible) qsub.limit(cap + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     val perPair =
-      if (maxDriverLut == 0 || head.length > cap) {
+      if (!driverEligible || head.length > cap) {
         val carrLit = typedLit(idx.carrBySub)
         val lut = qsub
           .select(col("qid"), col("qlabel"), col("l_subspace"), col("qarr"),

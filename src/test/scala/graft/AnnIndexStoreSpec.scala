@@ -113,6 +113,12 @@ class AnnIndexStoreSpec extends AnyFunSuite {
         "retrained version diverged from the fresh-trained derivation: " +
           s"missing=${(full -- retrained).take(3)} " +
           s"extra=${(retrained -- full).take(3)}")
+      // old-version GC (r18 ADVICE): the flip to v3 keeps v2 one cycle
+      // (an in-flight reader may still be scanning it) and deletes v1
+      assert(!Files.isDirectory(java.nio.file.Paths.get(dir, "v1")),
+        "v1 should be garbage-collected after the flip to v3")
+      assert(Files.isDirectory(java.nio.file.Paths.get(dir, "v2")),
+        "v2 (just superseded) is kept one cycle for in-flight readers")
     } finally {
       graft.util.Checkpoints.releaseOwned(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -147,6 +153,69 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       assert(d2.maxShiftE12 > 1000000000000L)
       assert(d2.version == vBefore + 1)
       graft.util.Checkpoints.releaseOwned(spark)
+    } finally {
+      graft.util.Checkpoints.releaseOwned(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("novel-label batch forces retrain even at zero shared-label drift") {
+    // r18 ADVICE (medium): driftByLabel can only price labels both sides
+    // share, so a wholly out-of-distribution batch under labels the
+    // codebook never saw read as zero drift and APPENDED — the exact
+    // degradation the gate exists to catch. Novel labels now force the
+    // retrain branch and their count is Decision data.
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val corpus = vecs()
+    val dir = Files.createTempDirectory("graft-annidx-novel").toString
+    try {
+      AnnIndexStore.save(codes, carr, dir)
+      graft.util.Checkpoints.releaseOwned(spark)
+      // in-distribution vectors under labels absent from the corpus
+      val maxLabel =
+        corpus.agg(max(col("label"))).head().getAs[Number](0).longValue()
+      val novelBatch = corpus.filter(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + 3000000L)
+        .withColumn("label",
+          (col("label") + maxLabel + 1L).cast("int")) // keep corpus type
+      assert(AnnIndexStore.novelLabelCount(corpus, novelBatch) > 0)
+      val d = AnnIndexStore.appendOrRetrain(spark, dir, corpus, novelBatch,
+        barE12 = 1000000000000L)
+      assert(d.action == "retrained",
+        s"novel-label batch must retrain, got $d")
+      assert(d.novelLabels > 0, s"novel count must be recorded, got $d")
+      // the retrained index actually knows the new labels: codes exist
+      // for them under the flipped version
+      val newCodes = spark.read
+        .parquet(s"${AnnIndexStore.resolve(dir)}/codes.parquet")
+        .filter(col("label") > maxLabel).count()
+      assert(newCodes > 0, "retrained version must encode the novel labels")
+      graft.util.Checkpoints.releaseOwned(spark)
+    } finally {
+      graft.util.Checkpoints.releaseOwned(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("writer lock: a held lock fails a second writer fast; breakLock clears") {
+    val (_, codes, carr) = ExtQueries.pqTrainedIndex(spark, SparkTestBase.sf)
+    val dir = Files.createTempDirectory("graft-annidx-lock").toString
+    try {
+      AnnIndexStore.save(codes, carr, dir)
+      graft.util.Checkpoints.releaseOwned(spark)
+      // simulate a concurrent writer holding the lock
+      Files.createFile(java.nio.file.Paths.get(dir, ".writer.lock"))
+      val batch = vecs().filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 5000000L)
+      val e = intercept[IllegalStateException] {
+        AnnIndexStore.append(spark, dir, batch)
+      }
+      assert(e.getMessage.contains("writer lock"))
+      // a crashed writer's stale lock clears and the append proceeds
+      AnnIndexStore.breakLock(dir)
+      AnnIndexStore.append(spark, dir, batch)
+      // the lock released after the append — the next mutator runs
+      AnnIndexStore.compact(spark, dir, targetFiles = 2)
     } finally {
       graft.util.Checkpoints.releaseOwned(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

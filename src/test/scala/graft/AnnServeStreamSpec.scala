@@ -137,6 +137,22 @@ class AnnServeStreamSpec extends AnyFunSuite {
     assert(broadcasts(served.queryExecution.executedPlan) == 0,
       "driver-LUT serveFast must not broadcast anything:\n" +
         served.queryExecution.executedPlan)
+    // r19 (r18 ADVICE): a NON-INTEGRAL label column must route to the
+    // distributed-LUT path (the driver path's long cast would null out
+    // and silently return zero neighbors) and still produce the exact
+    // result set. String labels on both sides: the truth set is label-
+    // value-independent since the label only gates candidate matching.
+    val qStr = queries.withColumn("label",
+      concat(lit("L"), col("label").cast("string")))
+    val codesStr = codes.withColumn("label",
+      concat(lit("L"), col("label").cast("string")))
+    val idxStr = AnnServeStream.prepare(codesStr, carr)
+    try {
+      val servedStr = AnnServeStream.serveFast(qStr, idxStr)
+      assert(servedStr.collect().toSet == truth,
+        "string-label serving must fall back to the distributed path " +
+          "and stay exact")
+    } finally idxStr.release()
     idx.release()
     graft.util.Checkpoints.releaseOwned(spark)
   }

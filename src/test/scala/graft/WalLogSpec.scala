@@ -130,6 +130,33 @@ class WalLogSpec extends AnyFunSuite {
     assert(s2.latestOffset().asInstanceOf[graft.source.wal.LsnOffset].lsn == 30L)
   }
 
+  test("visibility guard memory is bounded and still fires across eviction") {
+    // r19 (r18 VERDICT #5): seenSegs holds only the CURRENT listing's
+    // names, so a long-lived stream's guard memory is O(on-disk
+    // segments), not O(segments ever). The guard must keep firing after
+    // evictions: (a) a still-listed below-cursor segment stays benign
+    // across many triggers; (b) a segment DELETED from disk (evicted)
+    // that re-appears below the cursor trips the guard — a recreated
+    // file breaks the same ascending-visibility contract as a late one.
+    val dir = Files.createTempDirectory("graft-wallog-evict").toString
+    val seg0 = Paths.get(dir, "00000000.wal")
+    WalLog.write(seg0, Seq(frame(10, 4), frame(20, 4)))
+    WalLog.write(Paths.get(dir, "00000001.wal"), Seq(frame(30, 4), frame(40, 4)))
+    val stream = new graft.source.wal.PgWalMicroBatchStream(dir, Int.MaxValue)
+    // cursor advances into segment 1; segment 0 is below it but was
+    // listed — benign on every subsequent trigger
+    assert(stream.latestOffset().asInstanceOf[graft.source.wal.LsnOffset]
+      .lsn == 30L)
+    stream.latestOffset(); stream.latestOffset() // repeated listings: no throw
+    // delete segment 0 (drained + cleaned up) — its name evicts
+    Files.delete(seg0)
+    stream.latestOffset() // listing without seg0: guard memory drops it
+    // the deleted segment re-appears below the cursor: loud failure
+    WalLog.write(seg0, Seq(frame(10, 4)))
+    val e = intercept[IllegalStateException](stream.latestOffset())
+    assert(e.getMessage.contains("00000000.wal"))
+  }
+
   test("maxLsn reads the last segment only but still reflects the head") {
     val dir = Files.createTempDirectory("graft-wallog3").toString
     WalLog.write(Paths.get(dir, "00000000.wal"), Seq(frame(10, 4), frame(20, 4)))
