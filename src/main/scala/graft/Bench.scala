@@ -1866,6 +1866,16 @@ object Bench {
     // the noop runs' maps are the itemized machinery floor in the artifact
     var annLastBreakdown = Map.empty[String, Long]
     var annServeBreakdown = Map.empty[String, Long] // recorded serve pass
+    // serving-knob sweep rows (r19 / r18 VERDICT #4):
+    // (batch, lut path, codes partitions, p50 ms, qps, env)
+    val annSweepRows = scala.collection.mutable.Buffer
+      .empty[(Int, String, Int, Long, Double, EnvRow)]
+    // ingest-while-serving rung (r19 / r18 VERDICT #2)
+    var annIngestP50 = 0L; var annIngestP99 = 0L
+    var annIngestQps = -1.0
+    var annIngestEnv: Option[EnvRow] = None
+    var annIngestDecisions = Seq.empty[String]
+    var annIngestFlips = 0
     var annNoopBreakdown = Map.empty[String, Long]
     var annNoopSyncBreakdown = Map.empty[String, Long]
     val annServeEnv = scala.collection.mutable.Buffer.empty[(Int, EnvRow)]
@@ -1908,7 +1918,9 @@ object Bench {
         // where processAllAvailable may return with commits lagging).
         // The sync twin stays recorded next to it (ann_serve_noop_sync).
         def annOnce(perFile: Int = 1, n: Int = nq, noop: Boolean = false,
-            asyncTrack: Boolean = true)
+            asyncTrack: Boolean = true,
+            idxUse: graft.streaming.AnnServeStream.TrainedServeIndex = idx,
+            driverLut: Int = 256)
             : (Long, Long, Double) = {
           val qset = if (n == nq) queries
             else allQueries.filter(col("vec_id") < n)
@@ -1987,7 +1999,7 @@ object Bench {
                   _: Long) =>
                 val c = if (noop) b.count()
                   else graft.streaming.AnnServeStream
-                    .serveFast(b, idx).count()
+                    .serveFast(b, idxUse, maxDriverLut = driverLut).count()
                 served.addAndGet(c)
                 if (c > 0) batches.incrementAndGet()
                 ()
@@ -2091,6 +2103,181 @@ object Bench {
           // clause's first-trial exemption); the load clause reads every
           // rung's env row
           (passWalls.toSeq, envA.toSeq, false)
+        }
+        // ---- serving-knob sweep (r19 / r18 VERDICT #4): the driver-LUT
+        // crossover (maxDriverLut) and the prepare(numPartitions) sizing
+        // knob ship with MEASURED defaults — batch {1, 64} × {driver,
+        // distributed} LUT × codes partitions {4, 32}, one recorded pass
+        // each on the already-warm serving path. Verdict-only audit (the
+        // combos' walls differ BY DESIGN, so only the load clause
+        // applies).
+        if (sys.env.getOrElse("GRAFT_BENCH_ANN_SWEEP", "1") != "0") try {
+          val idx32 = graft.streaming.AnnServeStream.prepare(codes, carr,
+            numPartitions = 32)
+          val sweepEnvs = scala.collection.mutable.Buffer.empty[EnvRow]
+          try {
+            for (parts <- Seq(4, 32); lutName <- Seq("driver", "dist");
+                 batch <- Seq(1, 64)) {
+              val ix = if (parts == 4) idx else idx32
+              val lut = if (lutName == "driver") 256 else 0
+              var out = (0L, 0L, -1.0)
+              val (_, env) = envTrial {
+                out = annOnce(perFile = batch,
+                  n = if (batch == 64) 128 else nq,
+                  idxUse = ix, driverLut = lut)
+                0.0
+              }
+              sweepEnvs += env
+              annSweepRows += ((batch, lutName, parts, out._1, out._3, env))
+              System.err.println(f"[bench] ann_serve sweep b$batch%-2d " +
+                f"$lutName%-6s parts=$parts%-2d: p50=${out._1}ms " +
+                f"qps=${out._3}%.1f")
+            }
+            phaseAudits += (("ann_serve_sweep",
+              if (sweepEnvs.exists(_.load > contamLoadBar)) "contaminated"
+              else "clean", 1))
+          } finally idx32.release()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann_serve_sweep failed: ${e.getMessage}")
+          recErr("ann_serve_sweep", e)
+        }
+        // ---- ingest-while-serving rung (r19 / r18 VERDICT #2): the
+        // deployment shape the lifecycle exists for — an ingest stream
+        // pushes drift-gated batches through appendOrRetrain against the
+        // LIVE index (two in-distribution appends, then a novel-label
+        // batch forcing a retrain that flips CURRENT) while the serving
+        // stream answers b8 batches against a ServingHandle that adopts
+        // the flip between micro-batches. Recorded: serve p50/qps UNDER
+        // ingest (vs the quiet-path b8 point above), the per-batch
+        // lifecycle decisions, and the adopted version flips.
+        if (sys.env.getOrElse("GRAFT_BENCH_ANN_INGEST", "1") != "0") try {
+          val lifeDir = Files.createTempDirectory("graft-bench-annlife")
+          val idxDir = s"$lifeDir/idx"; val corpDir = s"$lifeDir/corpus"
+          val ingSrc = Files.createDirectories(
+            Paths.get(s"$lifeDir/ingest")).toString
+          graft.sim.AnnIndexStore.save(codes, carr, idxDir)
+          allQueries.write.mode("overwrite").parquet(corpDir)
+          val maxId = allQueries.agg(max("vec_id")).head().getLong(0)
+          val maxLabel = allQueries.agg(max("label")).head()
+            .getAs[Number](0).longValue()
+          // 3 pre-written ingest batches: 2 in-distribution resamples +
+          // 1 novel-label (forces the retrain + CURRENT flip mid-serve)
+          (1 to 2).foreach { i =>
+            allQueries.filter(col("vec_id") % 13 === 0)
+              .withColumn("vec_id", col("vec_id") + (maxId + 1) * i)
+              .coalesce(1).write.mode("append").parquet(ingSrc)
+          }
+          allQueries.filter(col("vec_id") % 17 === 0)
+            .withColumn("vec_id", col("vec_id") + (maxId + 1) * 3)
+            .withColumn("label",
+              (col("label") + maxLabel + 1L).cast(
+                allQueries.schema("label").dataType.simpleString))
+            .coalesce(1).write.mode("append").parquet(ingSrc)
+          val handle = new graft.streaming.AnnIngestStream.ServingHandle(
+            spark, idxDir, numPartitions = 4)
+          val decisions = new java.util.concurrent.ConcurrentLinkedQueue[
+            graft.streaming.AnnIngestStream.BatchDecision]
+          val flips = new java.util.concurrent.atomic.AtomicInteger(0)
+          val (_, envIng) = envTrial {
+            val ingQ = graft.streaming.AnnIngestStream.ingest(
+              spark.readStream.schema(allQueries.schema)
+                .option("maxFilesPerTrigger", "1").parquet(ingSrc),
+              idxDir, corpDir, barE12 = 1000000000000L)(decisions.add(_))
+            try {
+              // serve b8 batches WHILE the ingest drains its 3 batches;
+              // the handle adopts any flip between serving micro-batches.
+              // Latencies are recorded PER QUERY ID and filtered to the
+              // serving query after the run — a session-wide listener
+              // would fold the ingest query's multi-second retrain batch
+              // into the serve p50.
+              val dir = Files.createTempDirectory("graft-bench-ingq").toString
+              val durById = new java.util.concurrent.ConcurrentLinkedQueue[
+                (java.util.UUID, Long)]
+              val l2 = new org.apache.spark.sql.streaming.StreamingQueryListener {
+                override def onQueryStarted(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryStartedEvent): Unit = ()
+                override def onQueryProgress(e: org.apache.spark.sql.streaming
+                    .StreamingQueryListener.QueryProgressEvent): Unit =
+                  if (e.progress.numInputRows > 0)
+                    durById.add((e.progress.id, e.progress.batchDuration))
+                override def onQueryTerminated(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+              }
+              spark.streams.addListener(l2)
+              val aqePrev =
+                spark.conf.get("spark.sql.adaptive.enabled", "true")
+              val shufPrev = spark.conf.get("spark.sql.shuffle.partitions")
+              spark.conf.set("spark.sql.adaptive.enabled", "false")
+              spark.conf.set("spark.sql.shuffle.partitions", "4")
+              try {
+                (0 until nq by 8).foreach { i =>
+                  queries.filter(col("vec_id") >= i && col("vec_id") < i + 8)
+                    .coalesce(1).write.mode("append").parquet(dir)
+                }
+                val served = new java.util.concurrent.atomic.AtomicLong(0L)
+                val t0 = System.nanoTime()
+                val srvQ = spark.readStream.schema(queries.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(dir)
+                  .writeStream
+                  .foreachBatch {
+                    (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+                      if (handle.refreshIfFlipped()) flips.incrementAndGet()
+                      served.addAndGet(graft.streaming.AnnServeStream
+                        .serveFast(b, handle.index).count())
+                      ()
+                  }.start()
+                try {
+                  srvQ.processAllAvailable()
+                  ingQ.processAllAvailable() // ingest finishes its 3 batches
+                  // one more serving batch AFTER the flip is guaranteed
+                  // visible — the post-flip side of the boundary is data
+                  queries.filter(col("vec_id") < 8).coalesce(1)
+                    .write.mode("append").parquet(dir)
+                  srvQ.processAllAvailable()
+                  if (handle.refreshIfFlipped()) flips.incrementAndGet()
+                } finally { srvQ.stop(); }
+                val wall = (System.nanoTime() - t0) / 1e9
+                import scala.jdk.CollectionConverters._
+                val srvDurs = durById.asScala
+                  .collect { case (id, d) if id == srvQ.id => d }
+                  .toSeq.sorted
+                val (p50, p99) =
+                  if (srvDurs.isEmpty) (0L, 0L)
+                  else (srvDurs(srvDurs.size / 2),
+                    srvDurs(math.min(srvDurs.size - 1,
+                      (srvDurs.size * 99) / 100)))
+                annIngestP50 = p50; annIngestP99 = p99
+                annIngestQps = (served.get().toDouble / 5) / wall // k=5 rows/q
+                require(served.get() > 0, "ingest-while-serving served 0 rows")
+              } finally {
+                spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+                spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
+                spark.streams.removeListener(l2)
+                rmRf(dir)
+              }
+            } finally ingQ.stop()
+            0.0
+          }
+          annIngestEnv = Some(envIng)
+          import scala.jdk.CollectionConverters._
+          annIngestDecisions = decisions.asScala.toSeq.sortBy(_.batchId)
+            .map(_.decision.action)
+          annIngestFlips = flips.get()
+          val acts = annIngestDecisions.mkString(",")
+          require(annIngestDecisions.count(_ == "retrained") >= 1,
+            s"ingest rung must exercise a mid-serve retrain, got [$acts]")
+          require(annIngestFlips >= 1,
+            s"serving handle must adopt the CURRENT flip, got $annIngestFlips")
+          phaseAudits += (("ann_ingest_serve",
+            if (envIng.load > contamLoadBar) "contaminated" else "clean", 1))
+          System.err.println(f"[bench] ann_ingest_serve: p50=${annIngestP50}ms" +
+            f" p99=${annIngestP99}ms qps=$annIngestQps%.1f under ingest " +
+            s"[$acts], flips=$annIngestFlips")
+          handle.release()
+          org.apache.commons.io.FileUtils.deleteDirectory(lifeDir.toFile)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann_ingest_serve failed: ${e.getMessage}")
+          recErr("ann_ingest_serve", e)
         }
         idx.release()
       } catch { case e: Throwable =>
@@ -2413,6 +2600,19 @@ object Bench {
       s""""ann_serve_env":[${annServeEnv.map { case (pass, env) =>
         s"""{"pass":$pass,${env.json.tail}"""
       }.mkString(",")}],""" +
+      // serving-knob sweep (r19): measured defaults for maxDriverLut ×
+      // prepare(numPartitions)
+      s""""ann_serve_sweep":[${annSweepRows.map {
+        case (batch, lut, parts, p50, qps, env) =>
+          s"""{"batch":$batch,"lut":"$lut","parts":$parts,"p50":$p50,""" +
+            s""""qps":${r3(qps)},"env":${env.json}}"""
+      }.mkString(",")}],""" +
+      // ingest-while-serving rung (r19): serve latency under a live
+      // lifecycle ingest, the per-batch decisions, adopted version flips
+      s""""ann_ingest_serve":{"p50":$annIngestP50,"p99":$annIngestP99,""" +
+      s""""qps":${r3(annIngestQps)},"decisions":[${annIngestDecisions
+        .map(jstr).mkString(",")}],"flips":$annIngestFlips""" +
+      annIngestEnv.fold("")(e => s""","env":${e.json}""") + "}," +
       s""""latency_floor_passes_ms":[${floorPassRows.map {
         case (variant, pass, p50, p99) =>
           s"""{"variant":"$variant","pass":$pass,"p50":$p50,"p99":$p99}"""

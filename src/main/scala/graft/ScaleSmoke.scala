@@ -317,16 +317,48 @@ object ScaleSmoke {
 
     val names = sys.env.get("GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    // r19 (r18 VERDICT #6): the ladder's runs carry env rows + a phase
+    // verdict like every bench phase — the r18 2M spot-check had to argue
+    // contamination from its own control runs (±40 % inter-day scatter)
+    // because nothing recorded the box state next to the numbers. One env
+    // row per query (1-min load at START, process cpu-s, wall, gc delta);
+    // the verdict uses the load clause only (one trial per query — no
+    // scatter basis) with the scaled bar cpus/2: the ladder's queries run
+    // back-to-back at full width, so load at query start prices the
+    // previous query's non-decayed self-load exactly like the 100× drain
+    // trials (README r18) — self-load tops out at 4-6, a competing
+    // saturating process pushes past 16.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def cpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val loadBar = sys.env.get("GRAFT_SMOKE_LOAD_BAR").map(_.toDouble)
+      .getOrElse(cpus.toDouble / 2)
+    val envRows = scala.collection.mutable
+      .Buffer.empty[(String, Double, Double, Double, Long)]
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
       def shape(dir: String): String =
         joinShape(fn(spark, dir).queryExecution.executedPlan.toString)
       val small = shape(src)
+      val load0 = loadAvg(); val c0 = cpuNanos(); val g0 = gcMs()
       val t0 = System.nanoTime()
       val r = try {
         fn(spark, out).write.format("noop").mode("overwrite").save(); "ok"
       } catch { case e: Throwable => s"FAIL: ${e.getMessage.take(120)}" }
       val secs = (System.nanoTime() - t0) / 1e9
+      envRows += ((name, load0,
+        if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9, secs, gcMs() - g0))
       val big = try shape(out) catch { case _: Throwable => "n/a" }
       // the shape probes + timed run each registered this query's owned
       // checkpoints (localCheckpoint is eager, so even plan-only probes
@@ -337,6 +369,15 @@ object ScaleSmoke {
     }
     println("=== ScaleSmoke (10x sf0.1) ===")
     rows.foreach(println)
+    val verdict =
+      if (envRows.exists(_._2 > loadBar)) "contaminated" else "clean"
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"smoke_env":[${envRows.map { case (n, l, c, w, g) =>
+      s"""{"q":"$n","load":${r3(l)},"cpu_s":${r3(c)},"wall_s":${r3(w)},""" +
+        s""""gc_ms":$g}"""
+    }.mkString(",")}],"load_bar":${r3(loadBar)},""" +
+      s""""smoke_env_verdict":"$verdict"}""")
     spark.stop()
   }
 }
