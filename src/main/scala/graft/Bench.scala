@@ -2294,11 +2294,17 @@ object Bench {
     // +10-60% run-level drift and 18.5 s pass-1 GC corrupting in-suite
     // headline numbers).
     // Warm-up: JIT, codegen, parquet footers — not timed, small SF.
-    if (runSuite) SparkEntry.queries.foreach { case (_, fn) =>
-      try runToNoop(fn(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
-      finally graft.util.Checkpoints.releaseOwned(spark)
-    }
+    // GRAFT_BENCH_ONLY also filters the warm-up (iteration aid, r19): a
+    // focused suite run should not pay a full 181-query warm-up pass. The
+    // driver's full run leaves ONLY unset, so its warm-up is unchanged.
+    val onlyWarm = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    if (runSuite) SparkEntry.queries
+      .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try runToNoop(fn(spark, "/root/testdata/sf0.001"))
+        catch { case _: Throwable => () }
+        finally graft.util.Checkpoints.releaseOwned(spark)
+      }
 
     // min of 3 runs per query — the reference's component baseline is
     // min-of-5 (tests/benchmarks/baseline/components.json). The 3 passes are
@@ -2356,7 +2362,11 @@ object Bench {
     // (total s, 1-min load at start, qualified count) of the bounded
     // suite retry pass, when one ran (r19 / r18 VERDICT #1)
     var suiteRetryRec: Option[(Double, Double, Int)] = None
-    if (runSuite) (1 to 3).foreach { _ =>
+    // GRAFT_BENCH_PASSES (iteration aid, r19): more interleaved passes for
+    // focused A/B runs — min-of-N absorbs this box's cross-minute drift far
+    // better than min-of-3. The driver's full run leaves it unset (3).
+    val suitePasses = sys.env.getOrElse("GRAFT_BENCH_PASSES", "3").toInt
+    if (runSuite) (1 to suitePasses).foreach { _ =>
       passLoad += loadAvg()
       val p0 = System.nanoTime(); val g0 = gcMs()
       ordered.foreach { case (name, fn) =>

@@ -583,7 +583,8 @@ object Multimodal {
     * executors never ship rasters to the driver. */
   def mediaCompressedTable(docs: DataFrame, format: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.util.ScanFanout.fan(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val (w, h, rgb) = patternRgb(id, text)

@@ -1036,9 +1036,17 @@ object ExtQueries {
         .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"),
           col("a.bucket").as("bucket"),
           round(graft.functions.CosineSimilarity(col("a.embedding"), col("b.embedding")), 4).as("cos"))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("nid"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") === 1).drop("rank")
+      // map-side partial top-1 heap, not a rank window (r19, guide §2.3):
+      // the window form shuffled and per-group-sorted the FULL same-bucket
+      // candidate frame (n × bucket-mates rows); the heap reduces each
+      // input partition to one row per vid before the exchange. `bucket`
+      // is the vid's own bucket (constant within the group), so grouping
+      // by (vid, bucket) keeps it without a join. Tie-break — higher cos,
+      // then smaller nid — is the window's ORDER BY cos DESC, nid.
+      cand.groupBy(col("vid"), col("bucket"))
+        .agg(graft.functions.TopKByScore.topK(col("cos"), col("nid"), 1).as("t"))
+        .select(col("vid"), expr("t[0].id").as("nid"), col("bucket"),
+          expr("t[0].score").as("cos"))
     },
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
@@ -1071,10 +1079,15 @@ object ExtQueries {
       val allPairs = a.join(b, col("vid") =!= col("nid"))
         .select(col("vid"), col("nid"),
           round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("nid"))
-      val truth = allPairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("nid").as("true_nid"))
+      // map-side partial top-1 heap, not a rank window (r19, guide §2.3):
+      // the truth leg is sample × corpus wide — the window form shuffled
+      // and per-group-sorted every candidate pair, the heap ships one row
+      // per probe across the exchange. Tie-break (higher cos, then smaller
+      // nid) is the window's ORDER BY cos DESC, nid — the equivalence
+      // simTopkAgg pins against the same oracle shape.
+      val truth = allPairs.groupBy(col("vid"))
+        .agg(graft.functions.TopKByScore.topK(col("cos"), col("nid"), 1).as("t"))
+        .select(col("vid"), expr("t[0].id").as("true_nid"))
       val lsh = simLshAnn._1(s, dir).select(col("vid"), col("nid").as("lsh_nid"))
       lsh.join(truth, "vid")
         .agg(count(lit(1)).as("n_eval"),
@@ -3572,11 +3585,15 @@ object ExtQueries {
           col("pfp") === col("fp") && col("pband") === col("dc_band")),
           out, nc)
       }
+      // each leg output is one row per probe — bounded ≤1000 by the probe
+      // cap at ANY corpus size — so broadcast them (guide §3.1): the plan
+      // had four SortMergeJoin LeftOuter here, each paying an exchange +
+      // two sorts on frames the cap bounds by construction
       truth
-        .join(best(0, 0, "rdoc", "nc_r0"), Seq("qdoc"), "left")
-        .join(best(1, 0, "mdoc", "nc_mp"), Seq("qdoc"), "left")
-        .join(best(1, 1, "fdoc", "nc_fp"), Seq("qdoc"), "left")
-        .join(best(1, 2, "gdoc", "nc_f2"), Seq("qdoc"), "left")
+        .join(broadcast(best(0, 0, "rdoc", "nc_r0")), Seq("qdoc"), "left")
+        .join(broadcast(best(1, 0, "mdoc", "nc_mp")), Seq("qdoc"), "left")
+        .join(broadcast(best(1, 1, "fdoc", "nc_fp")), Seq("qdoc"), "left")
+        .join(broadcast(best(1, 2, "gdoc", "nc_f2")), Seq("qdoc"), "left")
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("rdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits"),
           sum(when(col("mdoc") === col("tdoc"), 1L).otherwise(0L)).as("n_hits_mp"),
@@ -5280,7 +5297,8 @@ object ExtQueries {
     (s, dir) => {
       val d = docs(s, dir)
       import d.sparkSession.implicits._
-      val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = graft.util.ScanFanout
+        .fan(d.select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
             val nFrames = (3 + id % 4).toInt
@@ -5329,7 +5347,8 @@ object ExtQueries {
     (s, dir) => {
       val d = docs(s, dir)
       import d.sparkSession.implicits._
-      val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = graft.util.ScanFanout
+        .fan(d.select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
             val nFrames = (3 + id % 4).toInt
