@@ -340,6 +340,22 @@ object ExtQueries {
       .distinct()
   }
 
+  /** Memoized near-dup pair graph — the [[dedupNgramJaccard]] pair output
+    * (doc_a, doc_b), persisted once per (session, dir) and shared by the
+    * FIVE cluster-tier consumers (components, components_doubling,
+    * keep_best, soft_weights, cluster_stats), each of which previously
+    * re-ran the full candidate→verify join chain per invocation. Same
+    * discipline as [[knnEdgeCache]] on the embedding side: a real pipeline
+    * materializes the verified pair list once and every clustering
+    * analytic reads that materialization; `dedup_ngram_jaccard` itself
+    * stays on the raw build path so the bench keeps pricing the pair
+    * build honestly (r19, guide §1.2 step 1 — don't recompute what the
+    * tier already computed). */
+  private def jacPairs(s: SparkSession, dir: String): DataFrame =
+    subtreeCache.getOrElseUpdate((s, "jac_pairs", dir),
+      dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b"))
+        .persist())
+
   // MinHash + LSH near-dup candidates: shingle → 8-way minhash → band hash →
   // equality self-join on (band, h). The join key is a hash — uniformly
   // distributed, no skew; candidate count ≪ n² by construction.
@@ -400,7 +416,7 @@ object ExtQueries {
   // 100 TB). Oracle: DuckDB recursive CTE propagating seeds transitively.
   val dedupComponents: (QFn, String) = (
     (s, dir) => graft.dedup.Components
-      .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+      .connected(jacPairs(s, dir))
       .select(col("node").as("doc_id"), col("component")),
     s"""${toksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $shCte, $sigCte, $bandsCte,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -435,8 +451,7 @@ object ExtQueries {
   // agree value-exact, which is itself a cross-check of both fixpoints.
   val dedupComponentsDoubling: (QFn, String) = (
     (s, dir) => graft.dedup.Components
-      .connectedDoubling(
-        dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+      .connectedDoubling(jacPairs(s, dir))
       .select(col("node").as("doc_id"), col("component")),
     dedupComponents._2)
 
@@ -453,7 +468,7 @@ object ExtQueries {
   val dedupKeepBest: (QFn, String) = (
     (s, dir) => {
       val comp = graft.dedup.Components
-        .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+        .connected(jacPairs(s, dir))
         .select(col("node").as("doc_id"), col("component"))
       val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
       val withComp = d.join(comp, Seq("doc_id"), "left")
@@ -514,8 +529,7 @@ object ExtQueries {
     (s, dir) => {
       // tiny (near-dup docs only) and consumed twice — sizes + join
       val comp = graft.dedup.Components
-        .connected(dedupNgramJaccard._1(s, dir)
-          .select(col("doc_a"), col("doc_b")))
+        .connected(jacPairs(s, dir))
         .select(col("node").as("cdoc"), col("component"))
         .transform(graft.util.Checkpoints.ownedCheckpoint)
       val sizes = comp.groupBy(col("component"))
@@ -5433,7 +5447,7 @@ object ExtQueries {
   val dedupClusterStats: (QFn, String) = (
     (s, dir) => {
       val comp = graft.dedup.Components
-        .connected(dedupNgramJaccard._1(s, dir).select(col("doc_a"), col("doc_b")))
+        .connected(jacPairs(s, dir))
       comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
