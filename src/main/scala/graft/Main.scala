@@ -47,6 +47,10 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-buffer typed aggregates (TopK heaps, MinOrd) must stay
+      // hash-based past 128 groups — see Bench.scala's rationale (r19)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -10,6 +10,17 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Object-agg hash capacity (r19): the engine's typed-imperative
+      // aggregates (TopK heaps, MinOrd/MaxOrd) carry O(k)-bounded buffers
+      // (tens of bytes-to-~2 KB each), but Spark's default
+      // objectHashAggregate fallback threshold (128 in-memory keys) demotes
+      // them to sort-based on any high-cardinality group — re-introducing
+      // exactly the per-group sort the heap form exists to avoid. 64k keys
+      // x ~2 KB worst-case heap = ~128 MB per task upper bound, scale-
+      // independent (buffer size is bounded by k, not data); env-overridable
+      // for A/B (GRAFT_OBJ_AGG_FALLBACK).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -383,7 +383,8 @@ object CdcQueries {
       cl.unionAll(redelivered)
         .groupBy(col("resource"), col("lsn_num"))
         .agg(count(lit(1)).as("deliveries"),
-          min(col("op")).as("op"), min(col("id")).as("id"))
+          graft.functions.MinMaxOrd.minOrd(col("op")).as("op"),
+          min(col("id")).as("id"))
     },
     s"""$cte, b AS (SELECT CAST(floor(max(lsn_num) * 0.9) AS BIGINT) AS b
        |             FROM changelog),

@@ -188,7 +188,13 @@ object ExtQueries {
         s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t) - $n), " +
           s"i -> concat_ws(' ', slice(t, i + 1, $n))) " +
           "ELSE array() END")
-      docs(s, dir).withColumn("t", TextAnalysis.tokensCol(col("text")))
+      // fanned (r19): the per-row gram build + two array_distinct passes
+      // are the one text kernel heavy enough that parallelizing the
+      // single-task fixture scan beats the added exchange (A/B: 0.82 ->
+      // 0.62 s; the same fan on the LIGHT text queries measured net
+      // negative and is deliberately absent there — see OPTIMIZATION_r19)
+      graft.util.ScanFanout.fan(docs(s, dir))
+        .withColumn("t", TextAnalysis.tokensCol(col("text")))
         .withColumn("g2", grams(2)).withColumn("g3", grams(3))
         .select(col("doc_id"),
           size(col("g2")).cast("long").as("n2"),
@@ -319,7 +325,12 @@ object ExtQueries {
   /** MinHash signatures (8 hashes), persisted for the same reuse reason. */
   private def sigDF(s: SparkSession, dir: String): DataFrame =
     subtreeCache.getOrElseUpdate((s, "sig", dir), {
-      val mins = (1 to 8).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+      // minOrd, not min: a string buffer demotes the whole aggregate to a
+      // SortAggregate (two full sorts of the shingle set per
+      // materialization); the typed-imperative form stays an
+      // ObjectHashAggregate (r19, MinMaxOrdSpec pins equivalence)
+      val mins = (1 to 8).map(j => graft.functions.MinMaxOrd
+        .minOrd(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
       shingles(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
     })
 
@@ -474,7 +485,8 @@ object ExtQueries {
       val withComp = d.join(comp, Seq("doc_id"), "left")
       val best = withComp.filter(col("component").isNotNull)
         .groupBy(col("component"))
-        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .agg(graft.functions.MinMaxOrd
+          .maxOrd(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
         .select(col("component"), col("b.neg_id").as("best_neg_id"))
       withComp.join(broadcast(best), Seq("component"), "left")
         .select(col("doc_id"),
@@ -1764,7 +1776,8 @@ object ExtQueries {
             .as("cos"))
         // argmax via struct ordering: highest cos, then LOWEST cid (ties)
         .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
+        .agg(graft.functions.MinMaxOrd
+          .maxOrd(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
         .select(col("vec_id"), col("m.cos").as("cos"),
           (-col("m.nc")).cast("long").as("cluster"))
     },
@@ -1802,7 +1815,8 @@ object ExtQueries {
           round(graft.functions.CosineSimilarity(col("embedding"), col("ce"))
             * 10000).cast("long").as("cos_e4"))
         .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos_e4"), (-col("cid")).as("nc"))).as("m"))
+        .agg(graft.functions.MinMaxOrd
+          .maxOrd(struct(col("cos_e4"), (-col("cid")).as("nc"))).as("m"))
         .select((-col("m.nc")).cast("long").as("cluster"),
           (lit(10000L) - col("m.cos_e4")).as("dist_e4"))
         .groupBy(col("cluster"))
@@ -4152,7 +4166,8 @@ object ExtQueries {
             "element_at(syms, CAST(i AS INT) + 1) AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
+        .agg(graft.functions.MinMaxOrd
+          .minOrd(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
         .select(col("m.l").as("l"), col("m.r").as("r"),
           (-col("m.nc")).as("cnt"))
         // degenerate-corpus guard (r14 ADVICE): on an empty pair table
@@ -4965,7 +4980,8 @@ object ExtQueries {
         lab = bi.join(lab, col("dst") === col("node"))
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("src"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+          .agg(graft.functions.MinMaxOrd
+            .minOrd(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
           .select(col("src").as("node"), col("m.l").as("label"))
           .transform(graft.util.Checkpoints.ownedCheckpoint)
         // superstep R is materialized — release R−1's checkpoint (round 0

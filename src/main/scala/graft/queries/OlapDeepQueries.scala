@@ -560,7 +560,8 @@ object OlapDeepQueries {
             .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"))
-        .agg(min(struct(col("unit_e4"), col("s_suppkey"), col("s_name")))
+        .agg(graft.functions.MinMaxOrd
+          .minOrd(struct(col("unit_e4"), col("s_suppkey"), col("s_name")))
           .as("best"))
         .select(col("p_partkey"), col("best.unit_e4").as("unit_e4"),
           col("best.s_suppkey").as("s_suppkey"),

@@ -34,6 +34,14 @@ object ScanFanout {
     val conf = ds.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     if (target <= 1) return ds
+    // idempotent: a frame already fanned upstream (a round-robin
+    // Repartition to the same target anywhere in the plan) passes through,
+    // so nested helpers never stack a second shuffle of the same rows
+    val alreadyFanned = ds.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.numPartitions == target => r
+    }.isDefined
+    if (alreadyFanned) return ds
     val bytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes >= BigInt(conf.filesMaxPartitionBytes)) ds
     else ds.repartition(target)
