@@ -827,9 +827,11 @@ object AnalyticsQueries {
         struct(floor(col("l_extendedprice") * 100).cast("long").as("p_e2"),
           col("l_linenumber")).as("pl"))
       .groupBy(col("l_orderkey"))
-      // minOrd keeps this an ObjectHashAggregate — the native struct-min
-      // demoted the aggregate to two full sorts of the fact (r19)
-      .agg(graft.functions.MinMaxOrd.minOrd(col("pl")).as("m"))
+      // native struct-min (SortAggregate) kept deliberately: 150k
+      // one-per-order groups make the sorted form cheaper than the
+      // object-hash buffer churn (r19 full-run A/B 0.64 vs 0.88); the
+      // honesty note above still holds
+      .agg(min(col("pl")).as("m"))
       .select(col("l_orderkey"), col("m.p_e2").as("cheap_price_e2"),
         col("m.l_linenumber").as("cheap_line")),
     """SELECT l_orderkey, p_e2 AS cheap_price_e2, l_linenumber AS cheap_line
