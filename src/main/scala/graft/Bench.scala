@@ -1302,6 +1302,11 @@ object Bench {
               math.abs(cpuS - prevWarmCpu) <=
                 math.max(0.25 * prevWarmCpu, 1.0)
             prevWarmCpu = cpuS
+            // r20 (r19 VERDICT #4/#6): decay wait between warm-up drains —
+            // the 10× warm-up loop has had this since r14; without it the
+            // headline's up-to-5 back-to-back warm-up bursts stack 1-min
+            // self-load past the 4.5 contamination bar right at trial 1
+            waitQuiet(1.0, 60)
           }
           hdConverged = steady
           walWarmupConverged = steady
@@ -1309,9 +1314,18 @@ object Bench {
             s"[bench] $hdLabel warm-up exhausted its cap WITHOUT " +
               "converging — attempt marked dirty")
           // let the warm-up's own burst decay before trial 1's env row
-          waitQuiet(1.0, 30)
+          // (r20: 30 s only decayed a ~5 load to ~3; match the 10× point's
+          // 90 s / load < 1.0 budget so trial 1 starts genuinely quiet)
+          waitQuiet(1.0, 90)
         }
         val hdTrials = (1 to (if (insuite) 3 else 5)).map { i =>
+          // r20 (r19 VERDICT #6): the same inter-trial decay wait the 10×
+          // point has had since r14 — trial N's own 32-core burst otherwise
+          // shades trial N+1's 1-min load row AND its wall clock (residual
+          // contention is where the >3×-min scatter trials come from). The
+          // insuite drift probe keeps back-to-back trials on purpose: heap/
+          // load history is the thing it measures.
+          if (!insuite && i > 1) waitQuiet(1.0, 90)
           val (t, env) = envTrial(
             try headlineDrain(framesHeadline)
             catch { case e: Throwable =>

@@ -32,24 +32,26 @@ object Components {
     */
   def connected(pairs: DataFrame): DataFrame = {
     val Array(a, b) = pairs.columns
-    // materialize the pair list BEFORE mirroring it: the union's two
+    // checkpoint the pair list BEFORE mirroring it: the union's two
     // branches would otherwise each evaluate the (often expensive)
-    // pair-generation subtree — LSH joins, knn scoring — once
-    val p = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
-    val edges = p.union(p.select(col("dst"), col("src"))).localCheckpoint()
-    // p's only consumer (edges) is materialized — release its blocks now;
-    // same per-round discipline below (r11 VERDICT: a bounded-round loop
-    // must not pin rounds×n rows of superseded checkpoint state)
-    graft.util.Checkpoints.release(p)
+    // pair-generation subtree — LSH joins, knn scoring — once. The
+    // checkpoints here are LAZY (r20): each round's convergence count is
+    // the action that materializes that round's state, so the loop runs
+    // ONE job per round instead of two (checkpoint job + count job), and
+    // round 1's count additionally folds in p/edges/seed materialization.
+    val p = graft.util.Checkpoints.checkpoint(
+      pairs.select(col(a).as("src"), col(b).as("dst")))
+    val edges = graft.util.Checkpoints.checkpoint(
+      p.union(p.select(col("dst"), col("src"))))
     // seed with round 1 already applied: component = min(self, neighbors)
     // — the node set is distinct(src) either way (edges are bidirected),
     // so seeding costs the same single aggregation as a plain distinct
     // but saves one full loop iteration (two joins + checkpoint + count)
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("node"),
-        least(col("src"), col("mn")).as("component"))
-      .localCheckpoint()
+    var labels = graft.util.Checkpoints.checkpoint(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"),
+          least(col("src"), col("mn")).as("component")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("src") === col("node"))
@@ -58,19 +60,22 @@ object Components {
       // carry the previous label through the propagation join so the
       // convergence count reads the SAME checkpointed result — a separate
       // old-vs-new self-join would add a join + shuffle per iteration
-      val next = labels.join(prop, col("node") === col("pnode"), "left")
-        .select(col("node"), col("component").as("prev"),
-          least(col("component"), coalesce(col("p"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+      val next = graft.util.Checkpoints.checkpoint(
+        labels.join(prop, col("node") === col("pnode"), "left")
+          .select(col("node"), col("component").as("prev"),
+            least(col("component"), coalesce(col("p"), col("component")))
+              .as("component")))
       changed = next.filter(col("component") =!= col("prev")).count()
-      // round R is materialized (localCheckpoint is eager) — round R−1's
-      // blocks will never be read again
+      // the count materialized round R — round R−1's blocks will never be
+      // read again (release is a guarded no-op on an unmaterialized lazy
+      // frame; every frame released here was materialized by a count)
       graft.util.Checkpoints.release(labels)
       labels = next.select(col("node"), col("component"))
     }
-    // the returned frame is a projection off the FINAL checkpoint only —
-    // the edge frame's blocks are no longer reachable from any plan
+    // round 1's count materialized p (via edges) and edges; after the loop
+    // neither is reachable from the returned plan — the returned frame is
+    // a projection off the FINAL checkpoint only
+    graft.util.Checkpoints.release(p)
     graft.util.Checkpoints.release(edges)
     labels
   }
@@ -97,19 +102,24 @@ object Components {
     */
   def connectedDoubling(pairs: DataFrame): DataFrame = {
     val Array(a, b) = pairs.columns
-    val p = pairs.select(col(a).as("pu"), col(b).as("pv")).localCheckpoint()
+    val p = graft.util.Checkpoints.checkpoint(
+      pairs.select(col(a).as("pu"), col(b).as("pv")))
     // self-loops and isolated nodes never survive the star rewiring — keep
     // the full node set aside so they surface in the output as their own
-    // component, exactly like the propagation variant
+    // component, exactly like the propagation variant. `nodes` stays
+    // EAGER deliberately (r20): its only consumer is the RETURNED plan,
+    // which the caller executes after this function released `p` — a lazy
+    // `nodes` would read p's released blocks there and fail on truncated
+    // lineage. Its eager job also materializes p for the lazy edge chain.
     val nodes = p.select(col("pu").as("node"))
       .union(p.select(col("pv").as("node"))).distinct().localCheckpoint()
-    var edges = p.filter(col("pu") =!= col("pv"))
-      .select(greatest(col("pu"), col("pv")).as("u"),
-        least(col("pu"), col("pv")).as("v"))
-      .distinct().localCheckpoint()
-    // both consumers of p (nodes, the canonical edge set) are materialized
-    graft.util.Checkpoints.release(p)
+    var edges = graft.util.Checkpoints.checkpoint(
+      p.filter(col("pu") =!= col("pv"))
+        .select(greatest(col("pu"), col("pv")).as("u"),
+          least(col("pu"), col("pv")).as("v"))
+        .distinct())
     var changed = 1L
+    var pReleased = false
     while (changed > 0) {
       // large-star: m(x) = min over x's closed neighborhood; every neighbor
       // y > x re-points to m(x). Output keeps u > v (y > x ≥ m(x)).
@@ -127,12 +137,13 @@ object Components {
       // small-star: per node x, m = min(x's smaller neighbors ∪ {x}); x and
       // each smaller neighbor re-point to m. Direction u > v preserved.
       val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(sm.select(col("u").as("cu"), col("m")),
-          col("u") === col("cu"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(sm.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+      val small = graft.util.Checkpoints.checkpoint(
+        large.join(sm.select(col("u").as("cu"), col("m")),
+            col("u") === col("cu"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(sm.select(col("u"), col("m").as("v")))
+          .distinct())
       // fixpoint = identical edge set (both sides are distinct); the
       // symmetric difference runs as ONE full-outer join + count — two
       // separate except().count() anti-joins would launch two jobs per
@@ -141,8 +152,11 @@ object Components {
         .join(edges.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("l").isNull || col("r").isNull).count()
       // the convergence count was round R−1's last read — release it (the
-      // final round's `small` stays: the label join below reads it)
+      // final round's `small` stays: the label join below reads it).
+      // Round 1's count also materialized the initial lazy edge chain off
+      // p, so p's blocks become releasable exactly here.
       graft.util.Checkpoints.release(edges)
+      if (!pReleased) { graft.util.Checkpoints.release(p); pReleased = true }
       edges = small
     }
     // at fixpoint each non-center node carries exactly one star edge to its

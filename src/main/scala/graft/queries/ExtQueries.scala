@@ -4190,14 +4190,21 @@ object ExtQueries {
         .transform(graft.util.Checkpoints.ownedCheckpoint)
       val prev = words
       words = merged
-      graft.util.Checkpoints.release(prev) // round t-1's vocab state
       val stats = merged
         .agg(sum(col("freq") * size(col("syms"))).as("corpus_syms"))
-      best.crossJoin(broadcast(stats))
+      val row = best.crossJoin(broadcast(stats))
         .select(lit(t).cast("long").as("iter"), col("l").as("merge_l"),
           col("r").as("merge_r"), col("cnt").as("pair_count"),
           col("corpus_syms"))
         .transform(graft.util.Checkpoints.ownedCheckpoint) // 1 row/iter
+      // release round t-1's vocab state only AFTER `row` is built: `merged`
+      // is exchange-free (scan → broadcast-join → project), so under lazy
+      // checkpoints it materializes during row's broadcast(stats) stage —
+      // which is the first (and only) compute that still reads `prev`'s
+      // blocks. Releasing before that point would truncate lineage `merged`
+      // still needs (r20 lazy-checkpoint discipline).
+      graft.util.Checkpoints.release(prev)
+      row
     }
     (rows, words)
   }

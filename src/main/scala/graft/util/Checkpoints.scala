@@ -35,8 +35,34 @@ object Checkpoints {
   /** Unpersist a superseded checkpointed frame's blocks (non-blocking;
     * failures swallowed — releasing is an optimization, never a
     * correctness step). Only call once nothing will read the frame again:
-    * truncated lineage cannot recompute released blocks. */
+    * truncated lineage cannot recompute released blocks.
+    *
+    * Lazily-checkpointed frames (r20): an RDD that is checkpoint-MARKED
+    * but not yet materialized must NOT be unpersisted — clearing its
+    * storage level before the first compute means nothing gets cached,
+    * and once `doCheckpoint` truncates the lineage after that compute,
+    * any SECOND consumer fails with "checkpoint block not found". Such a
+    * frame holds no blocks anyway (there is nothing to release), so the
+    * guard skips it; its blocks are swept later by [[releaseOwned]] or a
+    * post-materialization release. */
   def release(df: DataFrame): Unit =
+    try rdds(df).foreach { r =>
+      if (r.isCheckpointed) {
+        r.unpersist(blocking = false)
+        releasedCount.incrementAndGet()
+      }
+    } catch { case _: Throwable => () }
+
+  /** Unconditional unpersist for frames whose lifecycle is OVER — the
+    * post-consumption sweep ([[releaseOwned]]). Unlike [[release]] this
+    * also frees frames that were cached by AQE stage materialization but
+    * never finalized by an action's doCheckpoint (Spark finalizes only
+    * the NEAREST marked ancestor, so superseded loop rounds stay
+    * unfinalized); that is safe here and only here because the owned
+    * contract guarantees no future read — an unfinalized frame released
+    * early would instead crash a later doCheckpoint on its cleared
+    * storage level. */
+  private def releaseConsumed(df: DataFrame): Unit =
     try rdds(df).foreach { r =>
       r.unpersist(blocking = false)
       releasedCount.incrementAndGet()
@@ -65,9 +91,23 @@ object Checkpoints {
   private def uuid(s: org.apache.spark.sql.SparkSession): String =
     org.apache.spark.sql.graft.ColumnBridge.sessionUuid(s)
 
-  /** Eagerly checkpoint `df` and register the result as owned by a query
-    * of `df`'s session — the drop-in for in-query `.localCheckpoint()`
-    * calls whose returned plan reads the checkpoint.
+  /** LAZY by default since r20: the eager form's materialization ran one
+    * extra job per call site (and wrote the final stage's rows to the
+    * block manager in that job only to read them back in the consumer's
+    * first pass). With `eager = false` the checkpoint-marked RDD
+    * materializes inside the FIRST consuming job — same blocks, same
+    * truncated lineage, one job and one block read-back fewer. Under AQE
+    * the plan's intermediate exchange stages still execute at build time
+    * (`toRdd` materializes query stages), so only the final stage moves
+    * into the consumer. `GRAFT_EAGER_CHECKPOINT=1` restores the old
+    * behavior for A/B. */
+  private val eagerCheckpoints: Boolean =
+    sys.env.getOrElse("GRAFT_EAGER_CHECKPOINT", "0") == "1"
+
+  /** Checkpoint `df` (lazily — see [[eagerCheckpoints]]) and register the
+    * result as owned by a query of `df`'s session — the drop-in for
+    * in-query `.localCheckpoint()` calls whose returned plan reads the
+    * checkpoint.
     *
     * Registration retries until the queue it added to is still the mapped
     * one: a concurrent [[releaseOwned]] for the same session can remove
@@ -76,8 +116,14 @@ object Checkpoints {
     * under parallel suites). If the removal lands after the re-check, the
     * concurrent release sweeps the just-added frame — the legitimate
     * "registered then immediately released" ordering, never a leak. */
+  /** Un-registered (caller-managed lifecycle) checkpoint under the same
+    * lazy/eager policy as [[ownedCheckpoint]] — for iterative loops that
+    * release superseded rounds themselves. */
+  def checkpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = eagerCheckpoints)
+
   def ownedCheckpoint(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint()
+    val c = df.localCheckpoint(eager = eagerCheckpoints)
     val id = uuid(c.sparkSession)
     var registered = false
     while (!registered) {
@@ -125,7 +171,7 @@ object Checkpoints {
     else {
       var n = 0
       val qi = q.iterator()
-      while (qi.hasNext) { release(qi.next()); n += 1 }
+      while (qi.hasNext) { releaseConsumed(qi.next()); n += 1 }
       n
     }
   }

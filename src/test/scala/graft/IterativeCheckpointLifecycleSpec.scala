@@ -109,18 +109,37 @@ class IterativeCheckpointLifecycleSpec extends AnyFunSuite {
   }
 
   test("graph iterative queries release their per-round checkpoints and stay correct") {
-    // fresh session (own cache entries), same contract as KnnCacheLifecycleSpec
+    // fresh session (own cache entries), same contract as KnnCacheLifecycleSpec.
+    // r20 (lazy checkpoints): a BOUNDED-round loop's in-loop release of
+    // superseded rounds is a guarded no-op until the consuming action
+    // finalizes the checkpoints (AQE stage materialization at build time
+    // caches blocks but only a real action runs doCheckpoint), so the
+    // lifecycle gate moves to the post-consumption sweep: after the
+    // harness's releaseOwned, EVERY registered frame — per-round state
+    // included — must leave the persistent-RDD registry. Live state during
+    // one action is O(rounds) with rounds fixed at 2–4 for these queries;
+    // the unbounded-round fixpoint loops (Components.connected) still
+    // release per round because each round's convergence count is an
+    // action (covered by the Components tests above).
     val s = spark.newSession()
     Seq("graph_label_propagation", "graph_bfs_levels", "graph_kcore")
       .foreach { q =>
         val r0 = Checkpoints.releasedTotal
         val out = SparkEntry.queries(q)(s, SparkTestBase.sf)
         val cnt = out.count()
-        assert(Checkpoints.releasedTotal - r0 >= 2,
-          s"$q released fewer than 2 superseded checkpoints")
-        // the released rounds must not have been load-bearing: the frame
-        // re-reads cleanly and matches a re-run of the same query
+        assert(Checkpoints.ownedCount(s) >= 2,
+          s"$q registered fewer than 2 owned round checkpoints")
+        val ids = Checkpoints.ownedFrames(s).flatMap(Checkpoints.rdds).map(_.id)
+        // the result must not depend on released state: re-read matches
         assert(out.count() == cnt, s"$q result unstable after releases")
+        Checkpoints.releaseOwned(s)
+        assert(Checkpoints.releasedTotal - r0 >= 2,
+          s"$q released fewer than 2 checkpoints incl. the owned sweep")
+        val deadline = System.nanoTime() + 10000000000L
+        def still = ids.filter(s.sparkContext.getPersistentRDDs.contains)
+        while (still.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(still.isEmpty,
+          s"$q: RDDs $still still persisted after releaseOwned")
       }
     graft.queries.ExtQueries.invalidateKnnEdges(s)
   }
