@@ -2322,7 +2322,14 @@ object Bench {
     // GRAFT_BENCH_ONLY also filters the warm-up (iteration aid, r19): a
     // focused suite run should not pay a full 181-query warm-up pass. The
     // driver's full run leaves ONLY unset, so its warm-up is unchanged.
-    val onlyWarm = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // GRAFT_BENCH_WARM_ALL=1 (r20, iteration aid): keep the FULL warm-up
+    // pass even under GRAFT_BENCH_ONLY — for A/B runs against pre-r19
+    // trees whose warm-up never filtered (JIT state must match or the
+    // focused comparison measures warm-up breadth, not the tree). The
+    // driver's full run leaves both unset: warm-up unchanged.
+    val onlyWarm =
+      if (sys.env.getOrElse("GRAFT_BENCH_WARM_ALL", "0") == "1") None
+      else sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     if (runSuite) SparkEntry.queries
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
       .foreach { case (_, fn) =>

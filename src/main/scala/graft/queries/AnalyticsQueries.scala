@@ -1767,10 +1767,13 @@ object AnalyticsQueries {
   // final per-type rollup are both partial-aggregable.
   val eventsAttributionLinear: (QFn, String) = (
     (s, dir) => {
+      // NOT checkpointed (r20 A/B): materializing the whole fact projection
+      // into the block manager costs more than letting each side re-scan
+      // parquet with its own PUSHED event_type filter (guide §6 — the
+      // columnar scan with pushdown beats a row-format materialization)
       val base = events(s, dir)
         .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
           col("event_id"))
-        .transform(graft.util.Checkpoints.ownedCheckpoint) // conversions AND touches slice this one scan
       val convs = base.filter(col("event_type") === "purchase")
         .select(col("user_id").as("cu"), col("ts_us").as("cts"),
           col("event_id").as("conv_id"))

@@ -5178,6 +5178,15 @@ object ExtQueries {
       val sh = sh0.join(keptS, Seq("s")).transform(graft.util.Checkpoints.ownedCheckpoint)
       val sa = sh.filter(col("doc_id") % 5 === 0)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // Bloom pre-filter on the candidate side of this self-join: MEASURED
+      // NEGATIVE and reverted (r20, guide §3.2 / r19 VERDICT #5). A bloom
+      // over the slice's shingles (4M items, 3% fpp, udf mightContain on
+      // the sb side) read 2.201 → 2.622 s at min-of-5 — the build job +
+      // per-row UDF cost more than the saved shuffle at bench scale, where
+      // the df ≤ 32 cap already bounds the join. Plan kept at
+      // plans/r20/dedup_lsh_recall_bloom_rejected.txt. At 100 TB Spark's
+      // own runtime bloom injection (applicationSideScanSizeThreshold
+      // 10 GB) is the mechanism that would fire instead.
       val truth = sa.as("sa").join(sh.as("sb"),
           col("sa.s") === col("sb.s") &&
             (col("sa.doc_id") < col("sb.doc_id") ||

@@ -398,6 +398,12 @@ object OlapDeepQueries {
     (s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
+        // r20: the fixture's single-row-group scan serialized the whole
+        // basket collect + pair explode on one core (scaling ratio ≈1.0 at
+        // 8-vs-32 in PERF_r19). fanBy hash-partitions on the basket key
+        // ONLY when the scan is provably single-task, and the groupBy
+        // reuses the exchange — no extra shuffle at any scale.
+        .transform(ds => graft.util.ScanFanout.fanBy(ds, col("l_orderkey")))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(expr(
@@ -601,6 +607,18 @@ object OlapDeepQueries {
   // partition.
   val olapSupplierVariety: (QFn, String) = (
     (s, dir) => {
+      // Checkpoint kept (r20 A/B, reverted): dropping it in favor of AQE
+      // exchange reuse does NOT reuse — column pruning specializes the two
+      // consumers' aggregate subtrees (the pair-set side drops n/nr), so
+      // the canonical plans differ and lineitem is scanned + pair-
+      // aggregated TWICE (verified in the dumped plan: two Scan parquet,
+      // no ReusedExchange; measured flat at sf0.1, but two fact scans is
+      // the wrong 100 TB shape vs one scan + a pairs-sized checkpoint).
+      // r20 A/B, reverted: fanBy before this groupBy measured 1.18x
+      // SLOWER (map-side partial agg of plain count/sum beats shuffling
+      // raw rows even from a single-task scan — replicates the r19
+      // "lineitem fan negative" finding; the market_basket win is
+      // specific to expensive collect_set partial aggs)
       val pairStats = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"),
@@ -706,6 +724,8 @@ object OlapDeepQueries {
         .select(col("l_suppkey"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"),
           expr("unix_micros(cast(l_shipdate as timestamp))").as("sd_us"))
+        // (r20 A/B, reverted: fanBy here measured 1.36x slower — see
+        // olap_supplier_variety's note)
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(when(col("sd_us") >= US_1996_01_01 &&
             col("sd_us") < US_1997_01_01, col("qty")).otherwise(0L))

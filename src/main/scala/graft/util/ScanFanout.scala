@@ -46,4 +46,21 @@ object ScanFanout {
     if (bytes >= BigInt(conf.filesMaxPartitionBytes)) ds
     else ds.repartition(target)
   }
+
+  /** Keyed variant (r20): hash-repartition on the downstream aggregation
+    * key when the scan is provably single-task, so the following groupBy
+    * REUSES the exchange (same key, same partition count = the session's
+    * shuffle parallelism) instead of adding a round-robin shuffle plus the
+    * aggregation's own. Identity at scale on the same guard as [[fan]].
+    * For per-row kernels with no downstream key, use [[fan]]. */
+  def fanBy[T](ds: Dataset[T],
+      cols: org.apache.spark.sql.Column*): Dataset[T] = {
+    if (sys.env.getOrElse("GRAFT_FANOUT", "1") == "0") return ds
+    val conf = ds.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    if (target <= 1) return ds
+    val bytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(conf.filesMaxPartitionBytes)) ds
+    else ds.repartition(target, cols: _*)
+  }
 }
