@@ -1557,29 +1557,48 @@ object AnalyticsQueries {
   // week — so the report runs at the granularity where absence exists).
   val eventsChurnDaily: (QFn, String) = (
     (s, dir) => {
-      val wu = events(s, dir)
+      // r20 restructure (guide §2.3/§2.4, r19 VERDICT #7): the absence
+      // test runs per USER over that user's sorted distinct day set — one
+      // user-key shuffle into a time-span-bounded collect_set (≤ |days|,
+      // the same bound that makes ewma's collect safe), the day-shifted
+      // anti-join disappears (membership of day+1 is an in-array index
+      // probe), and both per-day counts come from ONE explode + aggregate.
+      // The old shape shuffled the distinct (day, user) frame four times
+      // (checkpoint build, both anti-join sides, actives rollup); this
+      // shape shuffles it twice (user gather, day rollup). The last-day
+      // cutoff rides a single-partition window over the |days|-row frame
+      // instead of a broadcast branch that re-reads the checkpoint.
+      // sign-of-dividend remainder (`%`), matching the oracle's `%` and
+      // the sibling events_dau_mau — pmod would diverge for negative
+      // epoch-µs timestamps
+      val perUser = events(s, dir)
         .select(tsUs.as("ts_us"), col("user_id"))
-        // sign-of-dividend remainder (`%`), matching the oracle's `%` and
-        // the sibling events_dau_mau — pmod would diverge for negative
-        // epoch-µs timestamps
         .select((col("ts_us") - (col("ts_us") % lit(86400000000L)))
           .as("day_us"), col("user_id"))
-        .distinct().transform(graft.util.Checkpoints.ownedCheckpoint) // feeds both anti-join sides
-      val next = wu.select((col("day_us") - 86400000000L).as("prev_day_us"),
-        col("user_id").as("nu"))
-      val churned = wu.join(next,
-          col("day_us") === col("prev_day_us") && col("user_id") === col("nu"),
-          "left_anti")
-        .groupBy(col("day_us")).agg(count(lit(1)).as("n_churned"))
-      val actives = wu.groupBy(col("day_us").as("ad"))
-        .agg(count(lit(1)).as("n_active"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("day_us"))).as("days"))
+      // try_element_at (1-based) instead of days[i+1]: under ANSI mode a
+      // bare out-of-bounds index on the last element would crash; NULL
+      // falls through the OR exactly as the absent-next-day case
+      val flags = perUser.select(explode(expr(
+          "transform(days, (d, i) -> struct(d AS day_us, " +
+            "CASE WHEN i = size(days) - 1 " +
+            "OR try_element_at(days, i + 2) <> d + 86400000000 " +
+            "THEN 1L ELSE 0L END AS churned))")).as("f"))
+        .select(col("f.day_us").as("day_us"), col("f.churned").as("churned"))
+      val perDay = flags.groupBy(col("day_us"))
+        .agg(count(lit(1)).as("n_active"), sum(col("churned")).as("n_churned"))
+        // the old shape's actives⋈churned INNER join dropped any day whose
+        // churn count is zero — keep that row contract exactly
+        .filter(col("n_churned") > 0)
       // the last observed day has no following day — every user would
       // count as churned; drop it (standard churn-report convention)
-      val lastDay = wu.agg(max(col("day_us")).as("last_d"))
-      actives.join(churned, col("ad") === col("day_us"))
-        .crossJoin(broadcast(lastDay))
-        .filter(col("ad") < col("last_d"))
-        .select(col("ad").as("day_us"), col("n_active"), col("n_churned"),
+      perDay
+        .withColumn("last_d", max(col("day_us"))
+          .over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+        .filter(col("day_us") < col("last_d"))
+        .select(col("day_us"), col("n_active"), col("n_churned"),
           expr("n_churned * 1000000 div n_active").as("churn_pm"))
     },
     """WITH wu AS (

@@ -2478,6 +2478,15 @@ object ExtQueries {
         explode(pqSubspaceSplit(nSub, "subspace", "varr")).as("p"))
       .select(col("vec_id"), col("label"), col("p.subspace").as("subspace"),
         col("p.varr").as("varr"))
+      // r20 A/B, reverted: fanning this checkpoint to 32 partitions
+      // (hypothesis: the broadcast-joined L2 legs inherit the single-task
+      // scan layout) measured ~2x SLOWER across the whole sim tier
+      // (min-of-5, GRAFT_FANOUT on/off: recall 1.99->4.40, trained
+      // 0.91->2.21, pq_train 0.99->1.74, rerank_trained 1.53->2.94) — the
+      // added keyless repartition (with its sort-before-repartition pass
+      // over 512 B array rows) plus 32x the per-stage task count through
+      // the train loop's many small stages costs far more than the
+      // serial-kernel time it recovers at this corpus size.
       .transform(graft.util.Checkpoints.ownedCheckpoint) // quantize ONCE, feeds every round
     // r15: NO corpus-sized long form anywhere in the loop. The previous
     // shape checkpointed corpus × 64 (vec, subspace, dim, x_e6) rows and
