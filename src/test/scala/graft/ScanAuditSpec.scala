@@ -42,6 +42,10 @@ class ScanAuditSpec extends AnyFunSuite {
     "graph_pagerank" -> ("node frame + its one-row count, both " +
       "column-pruned vec_id-only scans (edge list is checkpointed)"),
     // differently-filtered slices of one table meeting in a join/union
+    "events_attribution_linear" -> ("touches vs conversions slices with " +
+      "pushed event_type filters (r20: two pruned columnar scans measured " +
+      "no slower than the whole-fact checkpoint they replaced, and drop " +
+      "a fact-sized row-format materialization)"),
     "events_asof_join" -> "clicks vs purchases slices, filters pushed",
     "events_range_join" -> "probe vs context slices, filters pushed",
     "events_funnel" -> "three stage slices, per-stage pushed filters",
