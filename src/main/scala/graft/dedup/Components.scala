@@ -39,15 +39,15 @@ object Components {
     // the action that materializes that round's state, so the loop runs
     // ONE job per round instead of two (checkpoint job + count job), and
     // round 1's count additionally folds in p/edges/seed materialization.
-    val p = graft.util.Checkpoints.checkpoint(
+    val p = graft.util.Checkpoints.ownedCheckpoint(
       pairs.select(col(a).as("src"), col(b).as("dst")))
-    val edges = graft.util.Checkpoints.checkpoint(
+    val edges = graft.util.Checkpoints.ownedCheckpoint(
       p.union(p.select(col("dst"), col("src"))))
     // seed with round 1 already applied: component = min(self, neighbors)
     // — the node set is distinct(src) either way (edges are bidirected),
     // so seeding costs the same single aggregation as a plain distinct
     // but saves one full loop iteration (two joins + checkpoint + count)
-    var labels = graft.util.Checkpoints.checkpoint(
+    var labels = graft.util.Checkpoints.ownedCheckpoint(
       edges.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src").as("node"),
@@ -60,7 +60,7 @@ object Components {
       // carry the previous label through the propagation join so the
       // convergence count reads the SAME checkpointed result — a separate
       // old-vs-new self-join would add a join + shuffle per iteration
-      val next = graft.util.Checkpoints.checkpoint(
+      val next = graft.util.Checkpoints.ownedCheckpoint(
         labels.join(prop, col("node") === col("pnode"), "left")
           .select(col("node"), col("component").as("prev"),
             least(col("component"), coalesce(col("p"), col("component")))
@@ -72,9 +72,11 @@ object Components {
       graft.util.Checkpoints.release(labels)
       labels = next.select(col("node"), col("component"))
     }
-    // round 1's count materialized p (via edges) and edges; after the loop
-    // neither is reachable from the returned plan — the returned frame is
-    // a projection off the FINAL checkpoint only
+    // p and edges are never FINALIZED (each round's count finalizes only
+    // its own nearest-marked `next`), so these releases are guarded
+    // no-ops — their blocks, and the final round's, are reclaimed by the
+    // harness's releaseOwned sweep after the output is consumed; every
+    // frame above is owned-registered for exactly that reason (r20).
     graft.util.Checkpoints.release(p)
     graft.util.Checkpoints.release(edges)
     labels
@@ -102,18 +104,19 @@ object Components {
     */
   def connectedDoubling(pairs: DataFrame): DataFrame = {
     val Array(a, b) = pairs.columns
-    val p = graft.util.Checkpoints.checkpoint(
+    val p = graft.util.Checkpoints.ownedCheckpoint(
       pairs.select(col(a).as("pu"), col(b).as("pv")))
     // self-loops and isolated nodes never survive the star rewiring — keep
     // the full node set aside so they surface in the output as their own
-    // component, exactly like the propagation variant. `nodes` stays
-    // EAGER deliberately (r20): its only consumer is the RETURNED plan,
-    // which the caller executes after this function released `p` — a lazy
-    // `nodes` would read p's released blocks there and fail on truncated
-    // lineage. Its eager job also materializes p for the lazy edge chain.
-    val nodes = p.select(col("pu").as("node"))
-      .union(p.select(col("pv").as("node"))).distinct().localCheckpoint()
-    var edges = graft.util.Checkpoints.checkpoint(
+    // component, exactly like the propagation variant. Safe lazily (r20):
+    // p stays cached until the harness's post-consumption sweep, so the
+    // returned plan's nodes→p read always finds live blocks — the in-loop
+    // release(p) below is a guarded no-op (p is never FINALIZED: counts
+    // finalize only their nearest-marked round frame).
+    val nodes = graft.util.Checkpoints.ownedCheckpoint(
+      p.select(col("pu").as("node"))
+        .union(p.select(col("pv").as("node"))).distinct())
+    var edges = graft.util.Checkpoints.ownedCheckpoint(
       p.filter(col("pu") =!= col("pv"))
         .select(greatest(col("pu"), col("pv")).as("u"),
           least(col("pu"), col("pv")).as("v"))
@@ -137,7 +140,7 @@ object Components {
       // small-star: per node x, m = min(x's smaller neighbors ∪ {x}); x and
       // each smaller neighbor re-point to m. Direction u > v preserved.
       val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = graft.util.Checkpoints.checkpoint(
+      val small = graft.util.Checkpoints.ownedCheckpoint(
         large.join(sm.select(col("u").as("cu"), col("m")),
             col("u") === col("cu"))
           .filter(col("v") =!= col("m"))

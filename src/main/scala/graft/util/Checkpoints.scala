@@ -116,14 +116,21 @@ object Checkpoints {
     * under parallel suites). If the removal lands after the re-check, the
     * concurrent release sweeps the just-added frame — the legitimate
     * "registered then immediately released" ordering, never a leak. */
-  /** Un-registered (caller-managed lifecycle) checkpoint under the same
-    * lazy/eager policy as [[ownedCheckpoint]] — for iterative loops that
-    * release superseded rounds themselves. */
-  def checkpoint(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = eagerCheckpoints)
+  // NOTE (r20): there is deliberately NO un-registered lazy checkpoint
+  // helper. A lazy checkpoint that is not owned-registered can NEVER be
+  // safely freed by its creator alone: Spark's doCheckpoint finalizes
+  // only the NEAREST marked ancestor per action, so frames sitting
+  // behind a later checkpoint stay unfinalized and the guarded
+  // [[release]] must skip them — only the post-consumption owned sweep
+  // (unconditional) can reclaim their blocks.
 
   def ownedCheckpoint(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(eager = eagerCheckpoints)
+    register(c)
+    c
+  }
+
+  private def register(c: DataFrame): Unit = {
     val id = uuid(c.sparkSession)
     var registered = false
     while (!registered) {
@@ -133,7 +140,6 @@ object Checkpoints {
       if (owned.get(id) eq q) registered = true
       else q.remove(c) // queue was detached mid-register: retry on the live one
     }
-    c
   }
 
   /** Frames currently registered for `s` (the lifecycle-spec gate). */
